@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the MapReduce-surface and text-analysis
+  * operators. Pure `functions._` compositions (whole-stage codegen) —
+  * no Scala UDFs in the hot path.
+  *
+  * Tokenizer semantics follow the reference
+  * (/root/reference/mapreduce/worker/algorithm.py:10-12): split on one
+  * or more ASCII-punctuation-or-whitespace chars, drop empty tokens.
+  * Java `\p{Punct}` == Python `string.punctuation` == RE2
+  * `[[:punct:]]` (same 32 ASCII chars), so the DuckDB oracle regex
+  * `[[:punct:][:space:]]+` is semantically identical.
+  */
+object Text {
+  val TokenSplitRegex = "[\\p{Punct}\\s]+"
+
+  /** Array of non-empty tokens of `c` (reference map_function semantics). */
+  def tokens(c: Column): Column =
+    filter(split(c, TokenSplitRegex), t => length(t) > 0)
+
+  /** Whitespace-separated token count (fast path, no explode). */
+  def wsTokenCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish token count: word pieces + digits + single punct marks,
+    * the usual `~chars/4` proxy a training pipeline meters with.
+    */
+  val BpeIshRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeIshTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeIshRegex), lit(0)))
+
+  /** Lowercased, whitespace-collapsed, trimmed text — canonical form
+    * used by dedup and fingerprinting.
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Ratio of ASCII punctuation chars to total chars. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double") /
+          length(c).cast("double"))
+
+  /** FNV-1a 64-bit rolling hash over the bytes of `c`, as a codegen'd
+    * higher-order-function fold (aggregate over the char array). Used
+    * for document fingerprints; deterministic across JVMs (unlike
+    * String.hashCode is 32-bit; this is 64-bit with good dispersion).
+    */
+  def fnv1a64(c: Column): Column = {
+    val prime = lit(1099511628211L)
+    aggregate(
+      // split("") yields a leading empty string on some engines; filter it.
+      filter(split(c, ""), s => length(s) === 1),
+      lit(-3750763034362895579L), // FNV offset basis 14695981039346656037 as signed
+      (acc, ch) => (acc.bitwiseXOR(ascii(ch).cast("long"))) * prime)
+  }
+}

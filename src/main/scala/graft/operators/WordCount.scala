@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's entire shipped algorithm surface
+  * (/root/reference/mapreduce/worker/algorithm.py — word count map +
+  * reduce; coordinator/algorithm.py — split/shuffle/collect),
+  * re-expressed as declarative Spark plans:
+  *
+  *   map        → explode(tokens(text))          (codegen'd generate)
+  *   shuffle    → groupBy(word) hash exchange    (sort-based shuffle,
+  *                 map-side partial aggregation — the reference's
+  *                 coordinator-side in-memory sort in execute_shuffle
+  *                 is exactly what a 100 TB run cannot do)
+  *   reduce     → count(*) / collect_list merge  (partial + final agg)
+  *   collect    → the sink write (Verify.scala)
+  *
+  * Scale notes: token-keyed aggregation shuffles on a high-cardinality
+  * key with partial aggregation upstream, so the exchange carries one
+  * row per (partition, distinct token), not per token occurrence.
+  * No driver-side state anywhere.
+  */
+object WordCount {
+
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+
+  /** Flagship: word count over the documents corpus. */
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Distributed grep: the generic "map = filter" job the reference's
+    * pluggable STEP_ID_TO_FUNCTION was built to host.
+    */
+  def grep(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").rlike("join.*filter|filter.*join"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Inverted index: token → sorted doc list + postings count. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .distinct()
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("doc_ids"))
+      .orderBy("word")
+
+  /** Per-token corpus stats (occurrences, doc frequency, id range). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("word")
+
+  val queries: Map[String, GQuery] = Map(
+    "wc_wordcount" -> GQuery.sql(wordcount,
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '[[:punct:][:space:]]+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin),
+    "wc_grep" -> GQuery.sql(grep,
+      """SELECT doc_id, source FROM documents
+        |WHERE regexp_matches(text, 'join.*filter|filter.*join')
+        |ORDER BY doc_id""".stripMargin),
+    "wc_inverted_index" -> GQuery.sql(invertedIndex,
+      """SELECT word, count(*) AS n_docs,
+        |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+        |FROM (SELECT DISTINCT doc_id,
+        |             unnest(regexp_split_to_array(text, '[[:punct:][:space:]]+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin),
+    "wc_token_stats" -> GQuery.sql(tokenStats,
+      """SELECT word, count(*) AS occurrences,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (SELECT doc_id,
+        |             unnest(regexp_split_to_array(text, '[[:punct:][:space:]]+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin),
+  )
+}

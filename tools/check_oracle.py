@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle check.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Registers each parquet table by name, runs every SQL in
+oracle_sql.json, and compares against the Spark-written parquet in
+<verifyOutDir>/<name>/ — columns sorted by name, rows sorted, values
+hashed. Prints PASS/FAIL per query.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"MISSING spark output: {name}")
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        spark = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+        d, s = canon(duck), canon(spark)
+        if list(d.columns) != list(s.columns):
+            print(f"FAIL {name}: columns duck={list(d.columns)} spark={list(s.columns)}")
+            n_fail += 1
+            continue
+        if len(d) != len(s):
+            print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
+            n_fail += 1
+            continue
+        if not d.equals(s):
+            neq = (d != s).any(axis=1)
+            print(f"FAIL {name}: {neq.sum()} differing rows; first:")
+            idx = neq[neq].index[:3]
+            print("  duck :", d.loc[idx].to_dict("records"))
+            print("  spark:", s.loc[idx].to_dict("records"))
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(d)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
