@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val registry: Map[String, GQuery] =
-    operators.WordCount.queries
+    operators.WordCount.queries ++
+      operators.Relational.queries ++
+      operators.Events.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -19,7 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** The events parquet stores nanosecond timestamps, which Spark's
+    * reader rejects ([PARQUET_TYPE_ILLEGAL] TIMESTAMP(NANOS)). Read
+    * them as raw nanos (legacy flag) and floor to a microsecond
+    * timestamp — same floor DuckDB applies at ms granularity, so
+    * epoch-ms outputs stay oracle-exact (see operators.Events).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,480 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator core (SURVEY.md §2.B): the general
+  * map→shuffle→reduce engine the reference's pluggable
+  * STEP_ID_TO_FUNCTION hosts (/root/reference/mapreduce/worker/
+  * algorithm.py), widened to a full analytics surface and expressed
+  * as declarative TPC-H-shaped Catalyst plans.
+  *
+  * Scale discipline (100 TB):
+  *  - dimension tables (region/nation/supplier/part) are broadcast —
+  *    never shuffled; fact-fact joins shuffle on their join key only.
+  *  - aggregates are groupBy.agg → partial (map-side) aggregation
+  *    before the exchange, the fix for the reference's
+  *    coordinator-side in-memory shuffle.
+  *  - every filter is a Column predicate on scan columns → pushed to
+  *    the parquet reader (PushedFilters), verified in PlanSpec.
+  *  - FP aggregates are rounded identically on both engine and
+  *    oracle sides (sum order differs across engines).
+  */
+object Relational {
+
+  private def round2(c: Column) = round(c, 2)
+
+  /** TPC-H Q1 shape: scan-heavy multi-aggregate with pushdown filter. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round2(sum(col("l_quantity"))).as("sum_qty"),
+        round2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: fact-fact-dim join, agg, deterministic top-k. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-06-30")))
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-06-30")))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q4 shape: EXISTS as a left-semi join with a join-side predicate. */
+  def q4Semijoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5 shape: star join; all dims broadcast, facts shuffle once. */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** TPC-H Q6 shape: fully-pushed selective scan, single global agg. */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** NOT EXISTS as a left-anti join (customers with no urgent order). */
+  def q7Antijoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round2(sum(col("c_acctbal"))).as("acctbal_sum"))
+      .orderBy("c_mktsegment")
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12 shape: CASE-WHEN conditional aggregation over a join. */
+  def q12ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(high, 0).otherwise(1)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q13 shape: outer join + two-level aggregation. */
+  def q13OrderHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "P"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q14 shape: broadcast dim join + conditional ratio. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("promo_revenue_pct"))
+
+  /** TPC-H Q16 shape: groupBy + HAVING + count distinct. */
+  def q16Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 20)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .filter(col("supplier_cnt") >= 5)
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+
+  /** TPC-H Q17 shape: per-key avg subquery joined back to the fact. */
+  def q17CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+    l.join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#11")),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 shape: agg-then-join-back (large orders). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val big = l.groupBy(col("l_orderkey").as("big_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("big_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), round2(col("total_qty")).as("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: join with OR-of-ANDs residual predicates. */
+  def q19DisjunctiveJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 40)))
+      .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q20 shape: IN-subquery over a derived aggregate → semi join. */
+  def q20InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("promo_qty"))
+      .filter(col("promo_qty") > 300)
+    Tables.supplier(spark, dir)
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  /** DISTINCT projection. */
+  def relDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** UNION / INTERSECT / EXCEPT pipeline on key sets. */
+  def relSetops(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    val openOrders = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    building.union(machinery).distinct()
+      .intersect(openOrders)
+      .except(urgent)
+      .orderBy("c_custkey")
+  }
+
+  /** ROLLUP multi-level aggregate; grouping flags instead of nulls so
+    * null-ordering semantics can't differ between engines.
+    */
+  def relRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round2(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("g_flag", "g_status", "returnflag", "linestatus")
+
+  /** Dense per-group top-k via window — no global sort, no shuffle
+    * beyond the partition key.
+    */
+  def relTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running sum + rank over a partitioned window (unique sort key). */
+  def relWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("running_qty", round2(sum(col("l_quantity"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** HLL sketch count-distinct — the 100 TB path for distinct counts. */
+  def relApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Quantile sketches per group (approx percentile + median). */
+  def relPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile_approx(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile_approx(o_totalprice, 0.95)"), 2).as("p95"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+
+  val queries: Map[String, GQuery] = Map(
+    "q1_pricing_summary" -> GQuery.sql(q1PricingSummary,
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "q3_shipping_priority" -> GQuery.sql(q3ShippingPriority,
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    "q4_semijoin" -> GQuery.sql(q4Semijoin,
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    "q5_multijoin" -> GQuery.sql(q5Multijoin,
+      """SELECT n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+    "q6_filter_agg" -> GQuery.sql(q6FilterAgg,
+      """SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+    "q7_antijoin" -> GQuery.sql(q7Antijoin,
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "q10_returned_items" -> GQuery.sql(q10ReturnedItems,
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    "q12_conditional_agg" -> GQuery.sql(q12ConditionalAgg,
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+    "q13_outer_join_histogram" -> GQuery.sql(q13OrderHistogram,
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    "q14_promo_share" -> GQuery.sql(q14PromoShare,
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice*(1-l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin),
+    "q16_having" -> GQuery.sql(q16Having,
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 20
+        |GROUP BY p_brand, p_type, p_size
+        |HAVING count(DISTINCT l_suppkey) >= 5
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q17_correlated_subquery" -> GQuery.sql(q17CorrelatedSubquery,
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin),
+    "q18_groupby_backjoin" -> GQuery.sql(q18LargeOrders,
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  round(total_qty, 2) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 200) big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+    "q19_disjunctive_join" -> GQuery.sql(q19DisjunctiveJoin,
+      """SELECT round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin),
+    "q20_in_subquery" -> GQuery.sql(q20InSubquery,
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+        |ORDER BY s_suppkey""".stripMargin),
+    "rel_distinct" -> GQuery.sql(relDistinct,
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin),
+    "rel_setops" -> GQuery.sql(relSetops,
+      """SELECT c_custkey FROM (
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  INTERSECT
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+    "rel_rollup" -> GQuery.sql(relRollup,
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  grouping(l_returnflag) AS g_flag,
+        |  grouping(l_linestatus) AS g_status,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin),
+    "rel_topk_per_group" -> GQuery.sql(relTopkPerGroup,
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin),
+    "rel_window_running" -> GQuery.sql(relWindowRunning,
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem WHERE l_suppkey <= 10)
+        |ORDER BY l_suppkey, rn""".stripMargin),
+    "rel_approx_distinct" -> GQuery.rowsOnly(relApproxDistinct),
+    "rel_percentiles" -> GQuery.rowsOnly(relPercentiles),
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Relational}
+
+class RelationalSpec extends SparkTestBase {
+
+  test("q1 aggregates reconcile with raw scan") {
+    val q1 = Relational.q1PricingSummary(spark, SfDir)
+    val total = q1.agg(sum("count_order")).collect()(0).getLong(0)
+    val raw = Tables.lineitem(spark, SfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02"))).count()
+    assert(total == raw)
+  }
+
+  test("anti join + semi join partition the orders universe") {
+    val withUrgent = Tables.customer(spark, SfDir)
+      .join(Tables.orders(spark, SfDir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val withoutUrgent = Relational.q7Antijoin(spark, SfDir)
+      .agg(sum("n_customers")).collect()(0).getLong(0)
+    assert(withUrgent + withoutUrgent == Tables.customer(spark, SfDir).count())
+  }
+
+  test("topk per group returns exactly k rows per group") {
+    val counts = Relational.relTopkPerGroup(spark, SfDir)
+      .groupBy("o_orderpriority").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 3))
+  }
+
+  test("sessionize: session count equals new-session flags; no session crosses a 30-min gap") {
+    val s = Events.sessionize(spark, SfDir)
+    // every session's span per event count: end >= start, and session ids start at 1
+    assert(s.filter(col("session_end_ms") < col("session_start_ms")).count() == 0)
+    assert(s.groupBy("user_id").agg(min("session_seq").as("m"))
+      .filter(col("m") =!= 1).count() == 0)
+  }
+
+  test("plan shape: q5 broadcasts dims and pushes date filter to scan") {
+    val plan = Relational.q5Multijoin(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    val scanPlan = Tables.lineitem(spark, SfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+      .select("l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // column pruning: only the 2 referenced columns reach the reader
+    assert(scanPlan.contains("ReadSchema: struct<l_quantity:double,l_shipdate:timestamp"))
+  }
+
+  test("plan shape: q1 stays inside whole-stage codegen") {
+    // "*(n)" prefixes mark whole-stage-codegen spans in the plan string
+    val plan = Relational.q1PricingSummary(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("*(1) Filter"))
+  }
+}
