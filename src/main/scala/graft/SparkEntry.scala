@@ -12,7 +12,11 @@ object SparkEntry {
   val registry: Map[String, GQuery] =
     operators.WordCount.queries ++
       operators.Relational.queries ++
-      operators.Events.queries
+      operators.Events.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -45,17 +45,16 @@ object Text {
         (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double") /
           length(c).cast("double"))
 
-  /** FNV-1a 64-bit rolling hash over the bytes of `c`, as a codegen'd
-    * higher-order-function fold (aggregate over the char array). Used
-    * for document fingerprints; deterministic across JVMs (unlike
-    * String.hashCode is 32-bit; this is 64-bit with good dispersion).
+  /** Polynomial rolling hash over the chars of `c` (base 131 mod
+    * 1e9+7), as a codegen'd higher-order-function fold — a
+    * Rabin-Karp-style document fingerprint. Modular form keeps every
+    * intermediate < 2^62 so it is ANSI-safe (no wrapping multiply,
+    * which Spark 4's ANSI mode rejects).
     */
-  def fnv1a64(c: Column): Column = {
-    val prime = lit(1099511628211L)
+  def rollingHash(c: Column): Column =
     aggregate(
-      // split("") yields a leading empty string on some engines; filter it.
+      // split("") yields empty-string fragments on some engines; keep 1-char tokens only.
       filter(split(c, ""), s => length(s) === 1),
-      lit(-3750763034362895579L), // FNV offset basis 14695981039346656037 as signed
-      (acc, ch) => (acc.bitwiseXOR(ascii(ch).cast("long"))) * prime)
-  }
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(131L) + ascii(ch).cast("long"), lit(1000000007L)))
 }

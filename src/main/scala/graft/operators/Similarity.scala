@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2.E). Brute-force cosine is the exactness baseline
+  * (broadcast the query set, never the corpus); the IVF variant is
+  * the 100 TB path — assign corpus to cells once, probe only the
+  * nearest cells per query, so scan cost drops by ~n_cells/n_probe.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  val NQueries = 5
+  val TopK = 10
+
+  /** Exact top-k cosine neighbors for the first NQueries vectors.
+    * The query side is broadcast (tiny); the corpus is scanned once;
+    * per-query top-k via window over the query partition — at scale
+    * swap row_number for a bounded-heap Aggregator, same plan shape.
+    */
+  def bruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val NCells = 16
+  // Synthetic embeddings are near-uniform (no cluster structure), so
+  // recall tracks NProbe/NCells; real embedding corpora cluster and
+  // reach high recall at much lower probe ratios.
+  val NProbe = 8
+
+  /** IVF-style ANN: deterministic pseudo-centroids (every corpus/
+    * NCells-th vector), one-time cell assignment of the corpus, and
+    * per-query probing of the NProbe nearest cells only. Recall vs
+    * brute force is checked in SimilaritySpec. Rows-only.
+    */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val centroids = e.withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+      .withColumn("step", ceil(count(lit(1)).over(Window.partitionBy()) / NCells).cast("long"))
+      .filter(col("rn") % col("step") === 1)
+      .select(col("rn").as("cell_id"), col("v").as("cv"))
+    val cellW = Window.partitionBy("vec_id").orderBy(desc("cell_cos"), asc("cell_id"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("label"), col("v"), col("cell_id"),
+        cosine(col("v"), col("cv")).as("cell_cos"))
+      .withColumn("crank", row_number().over(cellW))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .select(col("q_id"), col("qv"), col("cell_id"),
+        cosine(col("qv"), col("cv")).as("cell_cos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cell_cos"), asc("cell_id"))))
+      .filter(col("crank") <= NProbe)
+      .select(col("q_id"), col("qv"), col("cell_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("vec_id"))
+    qCells.join(assigned, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Per-label vector stats via codegen'd higher-order functions —
+    * no UDFs: L2 norms and first-component spread.
+    */
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label"), sqrt(dot(col("v"), col("v"))).as("norm"),
+        element_at(col("v"), 1).as("d0"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("norm")), 6).as("avg_norm"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        round(avg(col("d0")), 6).as("avg_d0"))
+      .orderBy("label")
+
+  val queries: Map[String, GQuery] = Map(
+    "ann_bruteforce_topk" -> GQuery.sql(bruteforceTopk,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_inner_product(q.qv, e.v) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_raw,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
+    "ann_ivf_topk" -> GQuery.rowsOnly(ivfTopk),
+    "vec_norm_stats" -> GQuery.sql(normStats,
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(sqrt(list_inner_product(v, v))), 6) AS avg_norm,
+        |  round(min(sqrt(list_inner_product(v, v))), 6) AS min_norm,
+        |  round(max(sqrt(list_inner_product(v, v))), 6) AS max_norm,
+        |  round(avg(v[1]), 6) AS avg_d0
+        |FROM e GROUP BY label ORDER BY label""".stripMargin),
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline
+  * (SURVEY.md §2.F): token metering, quality signals, language ID,
+  * fingerprints. All single-pass narrow transforms — no shuffle at
+  * all except the final verification ORDER BY, so they scale linearly
+  * with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Token counts: whitespace tokens and a BPE-ish proxy count. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Text.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        Text.bpeIshTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** Quality signals: lengths, punctuation ratio, stopword ratio,
+    * vocabulary (distinct-token) ratio.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(lower(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        size(toks).cast("long").as("n_tokens"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(when(size(toks) === 0, 0.0).otherwise(
+          size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+            size(toks).cast("double")), 6).as("stopword_ratio"),
+        round(when(size(toks) === 0, 0.0).otherwise(
+          size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double")), 6).as("uniq_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-profile language ID: score each candidate language by
+    * marker-token hits, predict the argmax (ties → 'und'). The marker
+    * sets are tiny on purpose — this is the shape of an n-gram
+    * language model (per-class token scoring + argmax), not a real
+    * model. Rows-only check (no clean SQL equivalent).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "is", "join", "query"),
+      "de" -> Seq("der", "und", "das", "ist"),
+      "es" -> Seq("el", "la", "de", "es"),
+      "fr" -> Seq("le", "la", "et", "est"),
+      "zh" -> Seq("de", "shi", "he"))
+    val toks = Text.tokens(lower(col("text")))
+    val scores = markers.toSeq.sortBy(_._1).map { case (langCode, ms) =>
+      struct(
+        size(filter(toks, t => t.isin(ms: _*))).as("hits"),
+        lit(langCode).as("lang_code"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        sort_array(array(scores: _*), asc = false).getItem(0).as("best"))
+      .select(col("doc_id"), col("true_lang"),
+        when(col("best.hits") > 0, col("best.lang_code")).otherwise("und").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: md5 of the normalized text (oracle-exact)
+    * — the key used by exact dedup and incremental re-crawl dedup.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(Text.normalized(col("text")).cast("binary")).as("md5_hash"))
+      .orderBy("doc_id")
+
+  /** Rabin-Karp rolling-hash fingerprint (rows-only; character-fold
+    * semantics have no clean DuckDB equivalent).
+    */
+  def fingerprintFnv(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.rollingHash(Text.normalized(col("text"))).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, GQuery] = Map(
+    "txt_token_count" -> GQuery.sql(tokenCount,
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "txt_quality" -> GQuery.sql(quality,
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS char_len,
+        |  len(t) AS n_tokens,
+        |  round(CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |    / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(t) = 0 THEN 0 ELSE
+        |    len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is')))::DOUBLE
+        |    / len(t) END, 6) AS stopword_ratio,
+        |  round(CASE WHEN len(t) = 0 THEN 0 ELSE
+        |    len(list_distinct(t))::DOUBLE / len(t) END, 6) AS uniq_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin),
+    "txt_langid" -> GQuery.rowsOnly(langId),
+    "txt_fingerprint" -> GQuery.sql(fingerprint,
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_hash
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "txt_fingerprint_fnv" -> GQuery.rowsOnly(fingerprintFnv),
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("exact dedup: copies partition the corpus") {
+    val d = Dedup.exact(spark, SfDir)
+    val total = d.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, SfDir).count())
+  }
+
+  test("minhash LSH candidates recall every exact high-jaccard same-source pair") {
+    val exactPairs = Dedup.ngramJaccard(spark, SfDir)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashLsh(spark, SfDir)
+      .select("doc_id_1", "doc_id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH searches all sources, so it can only find MORE pairs than the
+    // source-blocked exact scan; at jaccard>=0.35 with 8 bands x 4 rows
+    // the per-pair candidate probability is >99.9%.
+    assert(exactPairs.subsetOf(lshPairs),
+      s"missed: ${exactPairs.diff(lshPairs)}")
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    val s = Dedup.simhash(spark, SfDir)
+    assert(s.filter(col("doc_id_1") >= col("doc_id_2")).count() == 0)
+    assert(s.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("ivf ANN achieves >=60% recall@10 of brute force on sf0.001") {
+    val bf = Similarity.bruteforceTopk(spark, SfDir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopk(spark, SfDir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall@10 = $recall")
+  }
+
+  test("rolling hash is stable and collision-sane") {
+    val fp = TextAnalysis.fingerprintFnv(spark, SfDir)
+    val n = fp.count()
+    val distinct = fp.select("rolling_hash").distinct().count()
+    // text dedup level: distinct hashes == distinct normalized texts
+    val distinctTexts = Tables.documents(spark, SfDir)
+      .select(graft.functions.Text.normalized(col("text"))).distinct().count()
+    assert(n == 500 || n > 0)
+    assert(distinct == distinctTexts)
+  }
+
+  test("batch features carry batch shape and deterministic stub features") {
+    val f = Multimodal.batchFeatures(spark, SfDir)
+    assert(f.filter(col("batch_size") < 1 || col("batch_size") > 64).count() == 0)
+    assert(f.filter(size(col("features")) =!= 4).count() == 0)
+    // feature[0] is the byte length — must equal mm_meta's n_bytes
+    val joined = f.select(col("doc_id"), element_at(col("features"), 1).as("len"))
+      .join(Multimodal.meta(spark, SfDir), "doc_id")
+      .filter(col("len") =!= col("n_bytes"))
+    assert(joined.count() == 0)
+  }
+
+  test("langid predicts a language for every doc, deterministically") {
+    val l1 = TextAnalysis.langId(spark, SfDir).collect()
+    val l2 = TextAnalysis.langId(spark, SfDir).collect()
+    assert(l1.sameElements(l2))
+    assert(l1.forall(r => r.getString(2).nonEmpty))
+  }
+}
