@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GQuery, Tables}
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for an LLM training-data pipeline
@@ -25,18 +26,37 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("md5_hash")
 
-  /** Distinct 3-token shingles of the lowercased token stream. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Token stream: one row per (doc, position, token). posexplode +
+    * a row-level length filter keeps tokenization inside whole-stage
+    * codegen — higher-order array functions (transform/filter) are
+    * interpreted in Spark and, worse, get inlined into scan filters
+    * by constraint propagation, so array-free is the scalable form.
+    */
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), Text.tokens(lower(col("text"))).as("t"))
-      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("t")) - 2, lit(1))),
-          i => concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("shingles"))
+        posexplode(split(lower(col("text")), Text.TokenSplitRegex)).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+
+  /** One row per distinct (doc, 3-token shingle), built with window
+    * lead() over the token stream — the per-doc window sort is the
+    * only cost and it parallelizes across docs via the window
+    * shuffle (which also spreads the single-file local scan).
+    */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokenStream(spark, dir)
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("sh_size"))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -48,15 +68,26 @@ object Dedup {
     * expansion is per-block only.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val a = shingled(spark, dir)
-      .select(col("source"), col("doc_id").as("doc_id_1"), col("shingles").as("sh1"))
-    val b = shingled(spark, dir)
-      .select(col("source"), col("doc_id").as("doc_id_2"), col("shingles").as("sh2"))
-    a.join(b, Seq("source"))
+    // set-similarity join: pairs that share >=1 shingle (equi-join on
+    // the shingle itself), |A∩B| by count, |A∪B| = |A|+|B|-|A∩B|.
+    // No pair ever materializes both arrays; everything is a
+    // codegen'd join + hash aggregate. Pairs sharing nothing are
+    // never generated at all (they can't pass any threshold > 0).
+    val r = shingleRows(spark, dir)
+    val inter = r.select(col("source"), col("doc_id").as("doc_id_1"), col("shingle"))
+      .join(r.select(col("source"), col("doc_id").as("doc_id_2"), col("shingle")),
+        Seq("source", "shingle"))
       .filter(col("doc_id_1") < col("doc_id_2"))
-      .filter(jaccard(col("sh1"), col("sh2")) >= 0.35)
-      .select(col("doc_id_1"), col("doc_id_2"),
-        round(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingleSizes(spark, dir)
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
+      .withColumn("jaccard_raw", col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard_raw") >= 0.35)
+      .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy("doc_id_1", "doc_id_2")
   }
 
@@ -74,8 +105,7 @@ object Dedup {
     val sigCols = (0 until MinhashK).map { i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
     }
-    val sigs = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sigs = shingleRows(spark, dir)
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until MinhashK / BandRows).map { b =>
@@ -91,13 +121,24 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
       .distinct()
-    val sh = shingled(spark, dir).select(col("doc_id"), col("shingles"))
-    cand
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "shingles" -> "sh1")), Seq("doc_id_1"))
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "shingles" -> "sh2")), Seq("doc_id_2"))
-      .select(col("doc_id_1"), col("doc_id_2"),
-        round(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+    // exact-verify ONLY the candidates (tiny set): intersection counts
+    // via broadcast joins against the shingle rows.
+    val r = shingleRows(spark, dir).select("doc_id", "shingle")
+    val inter = broadcast(cand)
+      .join(r.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"))
+      .join(r.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "shingle" -> "shingle2")),
+        Seq("doc_id_2"))
+      .filter(col("shingle") === col("shingle2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingleSizes(spark, dir)
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")).cast("double"), 4))
       .filter(col("jaccard") >= 0.35)
+      .select("doc_id_1", "doc_id_2", "jaccard")
       .orderBy("doc_id_1", "doc_id_2")
   }
 
@@ -106,18 +147,22 @@ object Dedup {
     * verify hamming ≤ 3 (bit_count of xor). Rows-only.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // expr() SQL lambdas: the inner fold must reference the outer bit
-    // variable, which nests naturally in SQL lambda syntax.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.tokens(lower(col("text"))).as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col("doc_id"),
-        transform(array_distinct(col("t")), tk => xxhash64(tk)).as("hashes"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc | if(aggregate(hashes, 0L,
-          |            (s, h) -> s + if(((h >> b) & 1L) = 1L, 1L, -1L)) > 0L,
-          |          shiftleft(1L, b), 0L))""".stripMargin).as("simhash"))
+    // Per-bit ±1 sums as 64 codegen'd conditional aggregates over the
+    // exploded (doc, token-hash) stream — one hash aggregate with
+    // map-side partials, instead of interpreted nested lambda folds.
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b")
+    }
+    val sigFromSums = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val docs = tokenStream(spark, dir)
+      .select(col("doc_id"), col("tok")).distinct()
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigFromSums.as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -139,18 +184,20 @@ object Dedup {
     * Similarity.ivfTopk); the verify step is identical.
     */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    // norms once per vector (narrow pass), dot once per pair
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val cosine = dot(col("x.v"), col("y.v")) /
-      (sqrt(dot(col("x.v"), col("x.v"))) * sqrt(dot(col("y.v"), col("y.v"))))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-      .filter(cosine >= 0.3)
+      .withColumn("cos_raw",
+        dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")))
+      .filter(col("cos_raw") >= 0.3)
       .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
-        col("x.label").as("label"), round(cosine, 4).as("cosine"))
+        col("x.label").as("label"), round(col("cos_raw"), 4).as("cosine"))
       .orderBy("vec_id_1", "vec_id_2")
   }
 
