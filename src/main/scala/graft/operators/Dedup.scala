@@ -52,6 +52,10 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .distinct()
+    // NOT persisted: the identical distinct() shuffle in every branch
+    // is deduplicated by exchange reuse within a query, and an
+    // explicit cache measured slower (parallel branches race to build
+    // it). A production pipeline would write this table out once.
   }
 
   private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
@@ -184,13 +188,14 @@ object Dedup {
     * Similarity.ivfTopk); the verify step is identical.
     */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    // norms once per vector (narrow pass), dot once per pair
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    val dot = vec_dot _
+    // norms once per vector (narrow pass), dot once per pair; vec_dot
+    // is a native codegen Expression (double accumulation, exact
+    // float→double widening — DuckDB-parity)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", vec_norm(col("v")))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos_raw",

@@ -13,16 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  import graft.functions.VectorFunctions.{vec_dot => dot, vec_cosine => cosine}
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
   val NQueries = 5
   val TopK = 10
