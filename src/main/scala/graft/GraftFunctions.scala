@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SQL-surface registration for graft's native expressions, both
+  * builder-time (`.withExtensions(new GraftExtensions)`) and on an
+  * already-built session (`GraftFunctions.register(spark)`), so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works like a built-in.
+  */
+object GraftFunctions {
+  val vecDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProduct(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"vec_dot expects 2 arguments, got ${other.length}")
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", vecDotBuilder, "built-in")
+}
+
+/** Session-extensions entry point: inject graft functions at
+  * SparkSession build time (`spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      GraftFunctions.vecDotBuilder))
+  }
+}

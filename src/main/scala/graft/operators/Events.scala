@@ -72,7 +72,75 @@ object Events {
         max(col("k")).as("k_max"))
       .orderBy("event_type")
 
+  /** As-of join — the canonical "operator Spark lacks natively":
+    * each purchase matched to the user's most recent signup at or
+    * before it. Composed from built-ins (preference (a) in the
+    * custom-operator ladder): tag both streams, union, and carry the
+    * last signup forward with a running last_value window — one
+    * shuffle on user_id, no range explosion. The DuckDB oracle is its
+    * native ASOF JOIN. Microsecond epochs floor identically from the
+    * ns source on both engines.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    // order signups before purchases at equal timestamps so ts >= matches
+    val w = Window.partitionBy("user_id").orderBy("us", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("kind"),
+        col("event_id"))
+      .unionByName(ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("us"), lit(0).as("kind"),
+          col("event_id")))
+      .withColumn("last_signup_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_signup_us",
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+    joined.filter(col("kind") === 1 && col("last_signup_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("us").as("purchase_us"),
+        col("last_signup_id").as("signup_event_id"),
+        col("last_signup_us").as("signup_us"))
+      .orderBy("event_id")
+  }
+
+  /** Hour-over-hour cohort retention: users active in hour h who are
+    * also active in h+1.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .distinct()
+    active.as("a")
+      .join(active.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.hour_ms") === col("a.hour_ms") + 3600000L)
+      .groupBy(col("a.hour_ms").as("hour_ms"))
+      .agg(countDistinct(col("a.user_id")).as("retained_users"))
+      .orderBy("hour_ms")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_asof_join" -> GQuery.sql(asofJoin,
+      """SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  s.event_id AS signup_event_id,
+        |  epoch_us(s.ts) AS signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin),
+    "ev_retention" -> GQuery.sql(retention,
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms
+        |  FROM events)
+        |SELECT a.hour_ms AS hour_ms, count(DISTINCT a.user_id) AS retained_users
+        |FROM active a JOIN active b
+        |  ON a.user_id = b.user_id AND b.hour_ms = a.hour_ms + 3600000
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "ev_hourly_rollup" -> GQuery.sql(hourlyRollup,
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n_events,

@@ -306,7 +306,46 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy("o_orderpriority")
 
+  /** Pivot: priority × order-status matrix of totals. */
+  def relPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round2(sum(col("o_totalprice"))))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy("o_orderpriority")
+
+  /** CUBE over (returnflag, linestatus) with grouping flags. */
+  def relCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round2(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("n_rows"))
+      .orderBy("g_flag", "g_status", "returnflag", "linestatus")
+
   val queries: Map[String, GQuery] = Map(
+    "rel_pivot" -> GQuery.sql(relPivot,
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    "rel_cube" -> GQuery.sql(relCube,
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  grouping(l_returnflag) AS g_flag,
+        |  grouping(l_linestatus) AS g_status,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin),
     "q1_pricing_summary" -> GQuery.sql(q1PricingSummary,
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -40,6 +40,27 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Same exact top-k, but via the bounded-heap TopKByScore
+    * Aggregator instead of a window sort: partial aggregation caps
+    * every map partition's contribution at k rows before the shuffle
+    * — the plan that survives a corpus 1000× larger. Verified against
+    * the identical DuckDB oracle as the window form.
+    */
+  def bruteforceTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val topk = graft.functions.TopK.topKByScore(TopK)
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("qv"), col("v")).as("score"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), round(col("s.score"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val NCells = 16
   // Synthetic embeddings are near-uniform (no cluster structure), so
   // recall tracks NProbe/NCells; real embedding corpora cluster and
@@ -100,6 +121,20 @@ object Similarity {
 
   val queries: Map[String, GQuery] = Map(
     "ann_bruteforce_topk" -> GQuery.sql(bruteforceTopk,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_inner_product(q.qv, e.v) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_raw,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
+    "ann_topk_agg" -> GQuery.sql(bruteforceTopkAgg,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
         |scored AS (

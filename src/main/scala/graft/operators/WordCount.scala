@@ -67,7 +67,39 @@ object WordCount {
         max(col("doc_id")).as("last_doc"))
       .orderBy("word")
 
+  /** Bigram counts — the n-gram generalization of the reference's
+    * unigram wordcount, built from the positional token stream with a
+    * window lead (codegen; no array HOFs).
+    */
+  def bigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), Text.TokenSplitRegex)).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(100)
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_bigrams" -> GQuery.sql(bigrams,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin),
     "wc_wordcount" -> GQuery.sql(wordcount,
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '[[:punct:][:space:]]+')) AS word

@@ -60,6 +60,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("vec_dot is SQL-callable after registration and matches the HOF form") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("bounded-heap top-k aggregator equals the window top-k") {
+    val win = Similarity.bruteforceTopk(spark, SfDir)
+    val agg = Similarity.bruteforceTopkAgg(spark, SfDir)
+    assert(win.exceptAll(agg).count() == 0 && agg.exceptAll(win).count() == 0)
+  }
+
   test("langid predicts a language for every doc, deterministically") {
     val l1 = TextAnalysis.langId(spark, SfDir).collect()
     val l2 = TextAnalysis.langId(spark, SfDir).collect()
