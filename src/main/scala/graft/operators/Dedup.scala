@@ -58,13 +58,18 @@ object Dedup {
     // it). A production pipeline would write this table out once.
   }
 
-  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
-    shingleRows(spark, dir).groupBy("doc_id")
-      .agg(count(lit(1)).as("sh_size"))
+  /** Shingles keyed by 64-bit hash: joins and signatures operate on
+    * 8-byte keys instead of ~30-char strings — far less shuffle bytes
+    * and build-side memory (collision odds over the shingle
+    * vocabulary are ~|V|²/2⁶⁴, negligible).
+    */
+  private def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir)
+      .select(col("doc_id"), col("source"), xxhash64(col("shingle")).as("sh"))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
+    shingleHashRows(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("sh_size"))
 
   /** Blocked n-gram-Jaccard near-dup pairs: candidate pairs share a
     * blocking key (source), verified with exact trigram-shingle
@@ -77,10 +82,10 @@ object Dedup {
     // No pair ever materializes both arrays; everything is a
     // codegen'd join + hash aggregate. Pairs sharing nothing are
     // never generated at all (they can't pass any threshold > 0).
-    val r = shingleRows(spark, dir)
-    val inter = r.select(col("source"), col("doc_id").as("doc_id_1"), col("shingle"))
-      .join(r.select(col("source"), col("doc_id").as("doc_id_2"), col("shingle")),
-        Seq("source", "shingle"))
+    val r = shingleHashRows(spark, dir)
+    val inter = r.select(col("source"), col("doc_id").as("doc_id_1"), col("sh"))
+      .join(r.select(col("source"), col("doc_id").as("doc_id_2"), col("sh")),
+        Seq("source", "sh"))
       .filter(col("doc_id_1") < col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_inter"))
@@ -107,9 +112,9 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until MinhashK).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i")
     }
-    val sigs = shingleRows(spark, dir)
+    val sigs = shingleHashRows(spark, dir)
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until MinhashK / BandRows).map { b =>
@@ -127,12 +132,12 @@ object Dedup {
       .distinct()
     // exact-verify ONLY the candidates (tiny set): intersection counts
     // via broadcast joins against the shingle rows.
-    val r = shingleRows(spark, dir).select("doc_id", "shingle")
+    val r = shingleHashRows(spark, dir).select("doc_id", "sh")
     val inter = broadcast(cand)
       .join(r.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"))
-      .join(r.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "shingle" -> "shingle2")),
+      .join(r.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh" -> "sh2")),
         Seq("doc_id_2"))
-      .filter(col("shingle") === col("shingle2"))
+      .filter(col("sh") === col("sh2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_inter"))
     val sizes = shingleSizes(spark, dir)
@@ -162,8 +167,7 @@ object Dedup {
       when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     val docs = tokenStream(spark, dir)
-      .select(col("doc_id"), col("tok")).distinct()
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigFromSums.as("simhash"))

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (SURVEY.md §2.I): deterministic
+  * sampling and splits, sequence packing, grouped statistics, TF-IDF,
+  * and the composite clean-corpus pass. All narrow or single-shuffle
+  * plans; sampling is hash-deterministic (reproducible across runs
+  * and engines, unlike rand()).
+  */
+object Pipeline {
+
+  /** Deterministic ~5% sample via a Knuth multiplicative hash of the
+    * key — reproducible, engine-portable, and filterable at the scan.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter((col("doc_id") * 2654435761L) % 100 < 5)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split on the same hash. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+
+  /** Stratified sample: first ceil(20%) of each language by doc_id.
+    * Window count-over-partition + row_number — one shuffle on the
+    * stratum key.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val ordered = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(ordered).cast("long"))
+      .withColumn("quota", ceil(count(lit(1)).over(byLang) * 0.2).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select("doc_id", "lang", "rn")
+      .orderBy("doc_id")
+  }
+
+  val PackBudget = 512L
+
+  /** Budgeted sequence packing (prefix-sum binning): docs in id order
+    * are assigned to packs of ~PackBudget whitespace tokens by
+    * exclusive-prefix-sum division. The running sum is one global
+    * window here; at scale it becomes per-shard packing (partition by
+    * shard key) with identical semantics.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_incl", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum_incl - n_tokens) div $PackBudget"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  /** Grouped statistics: sample stddev + Pearson correlation of order
+    * totals vs customer balance per market segment.
+    */
+  def groupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(stddev_samp(col("o_totalprice")), 2).as("price_stddev"),
+        round(corr(col("o_totalprice"), col("c_acctbal")), 4).as("price_balance_corr"))
+      .orderBy("c_mktsegment")
+
+  val TfidfTopN = 3
+
+  /** TF-IDF: top-N terms per document (tf = count/len, idf = ln(N/df),
+    * deterministic tie-break on term).
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_total"))
+    val terms = docs
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("term_count"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_raw"), asc("term"))
+    tf.join(docLen, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw",
+        (col("term_count").cast("double") / col("doc_len")) *
+          log(col("n_total").cast("double") / col("doc_freq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopN)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Composite clean-corpus pass — the end-to-end shape of a training
+    * data pipeline: exact-dedup (keep canonical), then quality gates.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(lower(col("text")))
+    val withHash = Tables.documents(spark, dir)
+      .withColumn("md5_hash", md5(Text.normalized(col("text")).cast("binary")))
+    val canonical = withHash
+      .groupBy("md5_hash").agg(min(col("doc_id")).as("doc_id"))
+    withHash.join(canonical, Seq("md5_hash", "doc_id"), "left_semi")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("punct_ratio", Text.punctRatio(col("text")))
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000 &&
+        col("punct_ratio") < 0.2)
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, GQuery] = Map(
+    "pipe_hash_sample" -> GQuery.sql(hashSample,
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < 5
+        |ORDER BY doc_id""".stripMargin),
+    "pipe_train_test_split" -> GQuery.sql(trainTestSplit,
+      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin),
+    "pipe_stratified_sample" -> GQuery.sql(stratifiedSample,
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |    CAST(ceil(count(*) OVER (PARTITION BY lang) * 0.2) AS BIGINT) AS quota
+        |  FROM documents)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin),
+    "pipe_pack_sequences" -> GQuery.sql(packSequences,
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+        |  FROM t)
+        |SELECT CAST((cum_incl - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin),
+    "pipe_group_stats" -> GQuery.sql(groupStats,
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(stddev_samp(o_totalprice), 2) AS price_stddev,
+        |  round(corr(o_totalprice, c_acctbal), 4) AS price_balance_corr
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "pipe_tfidf" -> GQuery.sql(tfidf,
+      s"""WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+')) AS term
+        |  FROM documents),
+        |terms2 AS (SELECT * FROM terms WHERE length(term) > 0),
+        |doclen AS (SELECT doc_id, count(*) AS doc_len FROM terms2 GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS term_count FROM terms2 GROUP BY 1, 2),
+        |idf AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (tf.term_count::DOUBLE / doclen.doc_len) *
+        |      ln(n.n_total::DOUBLE / idf.doc_freq) AS tfidf_raw
+        |  FROM tf JOIN doclen USING (doc_id) JOIN idf USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf_raw,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_raw DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, round(tfidf_raw, 6) AS tfidf
+        |FROM ranked WHERE rank <= $TfidfTopN ORDER BY doc_id, rank""".stripMargin),
+    "pipe_clean_corpus" -> GQuery.sql(cleanCorpus,
+      """WITH h AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_hash,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |        x -> len(x) > 0)) AS n_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |      / length(text) END AS punct_ratio
+        |  FROM documents),
+        |canon AS (SELECT md5_hash, min(doc_id) AS doc_id FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.lang, h.n_tokens
+        |FROM h JOIN canon ON h.md5_hash = canon.md5_hash AND h.doc_id = canon.doc_id
+        |WHERE h.n_tokens BETWEEN 5 AND 1000 AND h.punct_ratio < 0.2
+        |ORDER BY h.doc_id""".stripMargin),
+  )
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 
 class PipelineOpsSpec extends SparkTestBase {
 
@@ -71,6 +71,33 @@ class PipelineOpsSpec extends SparkTestBase {
     val win = Similarity.bruteforceTopk(spark, SfDir)
     val agg = Similarity.bruteforceTopkAgg(spark, SfDir)
     assert(win.exceptAll(agg).count() == 0 && agg.exceptAll(win).count() == 0)
+  }
+
+  test("hash sample + split are deterministic partitions of the corpus") {
+    val total = Tables.documents(spark, SfDir).count()
+    val split = Pipeline.trainTestSplit(spark, SfDir)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(split == total)
+    val s1 = Pipeline.hashSample(spark, SfDir).collect()
+    val s2 = Pipeline.hashSample(spark, SfDir).collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("sequence packs respect the prefix-sum budget invariant") {
+    val packs = Pipeline.packSequences(spark, SfDir).collect()
+    val totalTokens = packs.map(_.getAs[Long]("pack_tokens")).sum
+    val expected = Tables.documents(spark, SfDir)
+      .select(graft.functions.Text.wsTokenCount(col("text")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(totalTokens == expected)
+    assert(packs.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, SfDir).count())
+  }
+
+  test("clean corpus only keeps canonical docs passing the gates") {
+    val cc = Pipeline.cleanCorpus(spark, SfDir)
+    assert(cc.count() > 0)
+    assert(cc.filter(col("n_tokens") < 5 || col("n_tokens") > 1000).count() == 0)
   }
 
   test("langid predicts a language for every doc, deterministically") {
