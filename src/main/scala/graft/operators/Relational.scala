@@ -306,6 +306,77 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy("o_orderpriority")
 
+  /** TPC-H Q9 shape: multi-dim profit rollup by nation × year. */
+  def q9ProfitByNationYear(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))
+      .orderBy(asc("n_name"), desc("o_year"))
+
+  /** TPC-H Q11 shape: groups exceeding a share of a global scalar
+    * subquery (broadcast single-row cross join).
+    */
+  def q11RevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("part_rev"))
+    val total = rev.agg(sum(col("part_rev")).as("total_rev"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("part_rev") > col("total_rev") * 0.0012)
+      .select(col("l_partkey"), round(col("part_rev"), 2).as("part_rev"))
+      .orderBy(desc("part_rev"), asc("l_partkey"))
+  }
+
+  /** TPC-H Q15 shape: argmax via scalar-subquery max on a derived
+    * aggregate (top revenue supplier(s) in a half-year window).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-07-01")))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_rev")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21 shape: orders served by exactly one supplier →
+    * per-supplier counts (agg-on-agg, no correlated EXISTS chain).
+    */
+  def q21SoleSupplierOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        min(col("l_suppkey")).as("the_supp"))
+      .filter(col("n_supps") === 1)
+      .groupBy(col("the_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("sole_orders"))
+      .join(broadcast(Tables.supplier(spark, dir)), Seq("s_suppkey"))
+      .select("s_suppkey", "s_name", "sole_orders")
+      .orderBy(desc("sole_orders"), asc("s_suppkey"))
+
+  /** TPC-H Q22 shape: above-average balance + NOT EXISTS orders. */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Pivot: priority × order-status matrix of totals. */
   def relPivot(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -330,6 +401,48 @@ object Relational {
       .orderBy("g_flag", "g_status", "returnflag", "linestatus")
 
   val queries: Map[String, GQuery] = Map(
+    "q9_profit_by_nation_year" -> GQuery.sql(q9ProfitByNationYear,
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin),
+    "q11_revenue_share" -> GQuery.sql(q11RevenueShare,
+      """SELECT l_partkey, round(part_rev, 2) AS part_rev FROM (
+        |  SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS part_rev
+        |  FROM lineitem GROUP BY 1)
+        |WHERE part_rev > (SELECT sum(l_extendedprice*(1-l_discount)) * 0.0012
+        |                  FROM lineitem)
+        |ORDER BY part_rev DESC, l_partkey""".stripMargin),
+    "q15_top_supplier" -> GQuery.sql(q15TopSupplier,
+      """WITH rev AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice*(1-l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin),
+    "q21_sole_supplier_orders" -> GQuery.sql(q21SoleSupplierOrders,
+      """WITH sole AS (
+        |  SELECT l_orderkey, min(l_suppkey) AS s_suppkey
+        |  FROM lineitem GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) = 1)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS sole_orders
+        |FROM sole JOIN supplier s ON sole.s_suppkey = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY sole_orders DESC, s.s_suppkey""".stripMargin),
+    "q22_dormant_customers" -> GQuery.sql(q22DormantCustomers,
+      """SELECT c_nationkey, count(*) AS n_custs,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin),
     "rel_pivot" -> GQuery.sql(relPivot,
       """SELECT o_orderpriority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
