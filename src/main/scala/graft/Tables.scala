@@ -28,8 +28,14 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      // ns-as-long layout (the test corpus): floor to a µs timestamp
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      // already a proper timestamp (µs/ms parquet) — pass through
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -71,7 +71,25 @@ object Multimodal {
     }(enc).orderBy("doc_id")
   }
 
+  /** Frame-sampling plumbing for video-ish payloads: every payload
+    * yields ceil(n_bytes / 1024) "frames"; we keep every 4th frame
+    * index plus a deterministic per-frame fingerprint (stand-in for a
+    * decoded frame hash). Schema and explode shape are the real
+    * contract — the decode is the stub.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr("(n_bytes - 1) div 1024"))).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        xxhash64(col("doc_id"), col("frame_idx")).as("frame_fingerprint"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, GQuery] = Map(
+    "mm_frame_sample" -> GQuery.rowsOnly(frameSample),
     "mm_meta" -> GQuery.sql(meta,
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -106,6 +106,18 @@ object EventsStreaming {
       }
   }
 
+  /** Watermarked streaming dedup — the exactly-once ingest pattern:
+    * duplicate event_ids arriving within the watermark horizon are
+    * dropped; state is bounded by the watermark. Returns per-type
+    * counts over the deduplicated stream.
+    */
+  def dedupCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+
   /** Run a streaming query against a memory sink until the source is
     * drained; returns the collected sink table.
     */
