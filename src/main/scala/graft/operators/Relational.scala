@@ -52,7 +52,9 @@ object Relational {
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > to_timestamp(lit("1998-06-30")))
-      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .groupBy(col("l_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
       .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
@@ -474,14 +476,14 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
     "q3_shipping_priority" -> GQuery.sql(q3ShippingPriority,
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
         |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1998-06-30'
         |  AND l_shipdate > TIMESTAMP '1998-06-30'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
     "q4_semijoin" -> GQuery.sql(q4Semijoin,
       """SELECT o_orderpriority, count(*) AS order_count
