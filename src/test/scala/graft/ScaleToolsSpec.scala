@@ -25,6 +25,17 @@ class ScaleToolsSpec extends SparkTestBase {
   test("bucketed tables join without an exchange") {
     spark.sql("DROP TABLE IF EXISTS c_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse directories persist — clear them or CTAS refuses
+    for (t <- Seq("c_bucketed", "o_bucketed")) {
+      val p = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Tables.customer(spark, SfDir).write.mode("overwrite")
       .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("c_bucketed")
     Tables.orders(spark, SfDir).write.mode("overwrite")
