@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventsStreaming
+
+/** Failure-recovery surface. The reference validates worker-failure
+  * recovery by killing a worker pod mid-job
+  * (reference mapreduce/tests/whitebox_tests/tests.py: delete_some_worker);
+  * Spark's equivalents are lineage-based task retry (free) and
+  * checkpointed streaming state. This spec stops a stateful
+  * streaming query between batches and restarts it from its
+  * checkpoint: state must carry over and no events may be lost.
+  */
+class RecoverySpec extends SparkTestBase {
+
+  test("stateful sessionizer survives a stop/restart from checkpoint") {
+    val src = Files.createTempDirectory("graft_recovery_src")
+    val sink = Files.createTempDirectory("graft_recovery_sink").toString
+    val ckpt = Files.createTempDirectory("graft_recovery_ckpt").toString
+
+    // split the events table in two halves: first arrives before the
+    // "failure", second after the restart
+    val all = Tables.events(spark, SfDir)
+    val half = all.count() / 2
+    all.filter(col("event_id") < half)
+      .write.mode("overwrite").parquet(s"$src/batch_a")
+    all.filter(col("event_id") >= half)
+      .write.mode("overwrite").parquet(s"$src/incoming_b")
+
+    def runOnce(): Unit = {
+      val sessions = EventsStreaming.sessionize(spark,
+        spark.readStream
+          .schema(spark.read.parquet(s"$src/batch_a").schema)
+          .parquet(s"$src/batch_*")
+          .withWatermark("ts", "2 hours"))
+      val q = sessions.toDF.writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce() // processes batch_a, then the query terminates ("failure")
+    // second half lands while the query is down
+    Files.move(Paths.get(s"$src/incoming_b"), Paths.get(s"$src/batch_b"))
+    runOnce() // restart from checkpoint: offsets + per-user state resume
+
+    val out = spark.read.parquet(sink)
+    // no loss, no duplication across the restart
+    assert(out.agg(sum("n_events")).collect()(0).getLong(0) == all.count())
+    // state carried across the restart: session numbering continues
+    // monotonically per user (no user restarts at seq 1 twice)
+    val dupSeqs = out.groupBy("user_id", "session_seq").count()
+      .filter(col("count") > 1).count()
+    assert(dupSeqs == 0)
+  }
+}
