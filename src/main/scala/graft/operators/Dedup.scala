@@ -151,33 +151,58 @@ object Dedup {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
-  /** 64-bit SimHash over token hashes: per bit, sign of the sum of
-    * ±1 contributions; near-dups share ≥1 of four 16-bit bands and
-    * verify hamming ≤ 3 (bit_count of xor). Rows-only.
+  /** 64-bit SimHash over token hashes, hamming ≤ 3 near-dup pairs.
+    * Output = exactly the hamming≤3 pair set (candidate blocking is
+    * recall-lossless by pigeonhole), computed with two scale tricks:
+    *
+    * 1. PACKED bit sums: instead of 64 conditional ±1 aggregates, 22
+    *    sums of 3 bit-lanes packed 21 bits apart in one long (lane
+    *    counts are set-bit counts; sign_b = 2*ones_b > n). 23 agg
+    *    buffers instead of 64 — the aggregate was the round-1
+    *    bottleneck. Lanes hold counts up to 2^21-1 distinct
+    *    tokens/doc without inter-lane carry, and the top lane at
+    *    shift 42 stays below 2^63 even at that cap (no ANSI overflow).
+    * 2. FIVE bands joined by band PAIRS: hamming ≤ 3 can dirty at
+    *    most 3 of 5 bands, so ≥2 stay clean and every true pair
+    *    shares a clean (band_i, band_j) 25-bit key. 2^25 bucket space
+    *    vs the old 4×16-bit scheme's 2^16 — the bucket tail that goes
+    *    quadratic at billions of docs is 512× smaller, at the cost of
+    *    C(5,2)=10 keys/doc instead of 4.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // Per-bit ±1 sums as 64 codegen'd conditional aggregates over the
-    // exploded (doc, token-hash) stream — one hash aggregate with
-    // map-side partials, instead of interpreted nested lambda folds.
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$b")
+    // lanes: bit b lives in packed sum i = b % 22, lane l = b / 22,
+    // at in-long lane offset 21*l (21-bit stride: counts < 2^21 never
+    // carry, and 2^21-1 << 42 < 2^63 keeps the top lane ANSI-safe)
+    val packedSums = (0 until 22).map { i =>
+      val packed = (0 until 3).filter(l => i + 22 * l < 64).map { l =>
+        shiftleft(shiftright(col("h"), i + 22 * l).bitwiseAND(lit(1L)), 21 * l)
+      }.reduce(_.bitwiseOR(_))
+      sum(packed).as(s"p$i")
     }
     val sigFromSums = (0 until 64).map { b =>
-      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val ones = shiftright(col(s"p${b % 22}"), 21 * (b / 22)).bitwiseAND(lit(0x1FFFFFL))
+      when(ones * 2 > col("n_toks"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     val docs = tokenStream(spark, dir)
       .select(col("doc_id"), xxhash64(col("tok")).as("h")).distinct()
       .groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(count(lit(1)).as("n_toks"), packedSums: _*)
       .select(col("doc_id"), sigFromSums.as("simhash"))
+    // 5 bands of (13,13,13,13,12) bits; block on all C(5,2) band pairs
+    val bandStarts = Seq(0, 13, 26, 39, 52)
+    val bandBits = Seq(13, 13, 13, 13, 12)
+    def bandOf(i: Int) =
+      shiftright(col("simhash"), bandStarts(i))
+        .bitwiseAND(lit((1L << bandBits(i)) - 1))
+    val pairs = for (i <- 0 until 5; j <- i + 1 until 5) yield
+      struct(lit(i * 5 + j).as("bp"),
+        shiftleft(bandOf(i), bandBits(j)).bitwiseOR(bandOf(j)).as("bits"))
     val banded = docs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      explode(array(pairs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.bp").as("bp"), col("bb.bits").as("bits"))
     banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+        col("x.bp") === col("y.bp") && col("x.bits") === col("y.bits") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
@@ -186,10 +211,26 @@ object Dedup {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  val CosineChunks = 8
+
   /** Embedding near-dup pairs: label-blocked cosine ≥ 0.3, double
     * arithmetic on both engines (sequential fold ⇒ bit-identical).
-    * At scale the blocking key becomes an LSH/IVF cell (see
-    * Similarity.ivfTopk); the verify step is identical.
+    *
+    * Skew discipline: a hot label must NOT serialize into one
+    * O(block²) task, so each label block is sharded into
+    * CosineChunks² join groups — the x side carries its own hash
+    * chunk, the y side is replicated once per x-chunk — and the
+    * equi-join key becomes (label, chunk), spreading a hot block over
+    * CosineChunks tasks with per-task memory |block|/CosineChunks.
+    *
+    * Why not LSH candidate blocking here: measured on this corpus the
+    * pairwise-cosine bulk tops out at ~0.5 with no gap above the 0.3
+    * threshold (near-uniform synthetic embeddings), so sign-LSH bands
+    * selective enough to prune anything would also drop true pairs —
+    * at τ=0.3 every recall-lossless banding admits ~all pairs. When
+    * the threshold means near-duplicate (τ ≥ 0.9, a real gap), swap
+    * the blocking key for Similarity-style LSH/IVF cells; the verify
+    * step is identical.
     */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot, vec_norm}
@@ -200,8 +241,12 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("norm", vec_norm(col("v")))
-    e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+    val x = e.withColumn("chunk", pmod(xxhash64(col("vec_id")), lit(CosineChunks.toLong)))
+    val y = e.withColumn("chunk",
+      explode(array((0 until CosineChunks).map(k => lit(k.toLong)): _*)))
+    x.as("x").join(y.as("y"),
+        col("x.label") === col("y.label") && col("x.chunk") === col("y.chunk") &&
+          col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos_raw",
         dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")))
       .filter(col("cos_raw") >= 0.3)

@@ -126,12 +126,14 @@ object Events {
   val queries: Map[String, GQuery] = Map(
     "ev_asof_join" -> GQuery.sql(asofJoin,
       """SELECT p.event_id, p.user_id,
-        |  epoch_us(p.ts) AS purchase_us,
+        |  p.us AS purchase_us,
         |  s.event_id AS signup_event_id,
-        |  epoch_us(s.ts) AS signup_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |  s.us AS signup_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.us >= s.us
         |ORDER BY p.event_id""".stripMargin),
     "ev_retention" -> GQuery.sql(retention,
       """WITH active AS (

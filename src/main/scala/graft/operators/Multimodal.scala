@@ -33,6 +33,8 @@ object Multimodal {
   /** Deterministic stand-in for a media decoder: a real pipeline
     * would replace this with an image/audio decode producing a
     * fixed-length feature vector. Operates on raw payload bytes.
+    * Emits (n_bytes, mean byte, max byte, min byte) — byte-exact
+    * statistics the DuckDB oracle reproduces from the same payload.
     */
   private def stubDecode(payload: Array[Byte]): Array[Double] = {
     if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
@@ -46,14 +48,19 @@ object Multimodal {
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("batch_size", IntegerType),
-    StructField("features", ArrayType(DoubleType))))
+    StructField("f_bytes", DoubleType),
+    StructField("f_mean", DoubleType),
+    StructField("f_max", DoubleType),
+    StructField("f_min", DoubleType)))
 
   /** mapPartitions batched decode→featurize: payloads are processed
     * in bounded batches per partition (the shape a GPU/vectorized
     * decoder needs — amortized setup per batch, bounded peak memory).
     * Partitioning, batch size, and output schema are the real
-    * contract; only the per-payload decode body is stubbed.
+    * contract; only the per-payload decode body is stubbed. Features
+    * are emitted as SCALAR columns (the downstream-friendly and
+    * driver-sortable shape), rounded so oracle float comparison is
+    * order-insensitive.
     */
   def batchFeatures(spark: SparkSession, dir: String): DataFrame = {
     val BatchSize = 64
@@ -65,17 +72,22 @@ object Multimodal {
       rows.grouped(BatchSize).flatMap { batch =>
         // one "decoder init" per batch happens here in a real pipeline
         batch.iterator.map { r =>
-          Row(r.getLong(0), batch.size, stubDecode(r.getAs[Array[Byte]](1)))
+          val f = stubDecode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), f(0), f(1), f(2), f(3))
         }
       }
-    }(enc).orderBy("doc_id")
+    }(enc)
+      .select(col("doc_id"), col("f_bytes"), round(col("f_mean"), 6).as("f_mean"),
+        col("f_max"), col("f_min"))
+      .orderBy("doc_id")
   }
 
   /** Frame-sampling plumbing for video-ish payloads: every payload
     * yields ceil(n_bytes / 1024) "frames"; we keep every 4th frame
     * index plus a deterministic per-frame fingerprint (stand-in for a
-    * decoded frame hash). Schema and explode shape are the real
-    * contract — the decode is the stub.
+    * decoded frame hash; md5 so the DuckDB oracle reproduces it).
+    * Schema and explode shape are the real contract — the decode is
+    * the stub.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -85,17 +97,42 @@ object Multimodal {
         explode(sequence(lit(0L), expr("(n_bytes - 1) div 1024"))).as("frame_idx"))
       .filter(col("frame_idx") % 4 === 0)
       .select(col("doc_id"), col("frame_idx"),
-        xxhash64(col("doc_id"), col("frame_idx")).as("frame_fingerprint"))
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_idx").cast("string"))).as("frame_fingerprint"))
       .orderBy("doc_id", "frame_idx")
 
   val queries: Map[String, GQuery] = Map(
-    "mm_frame_sample" -> GQuery.rowsOnly(frameSample),
+    "mm_frame_sample" -> GQuery.sql(frameSample,
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, ((octet_length(encode(text)) - 1) // 1024) + 1)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  md5(doc_id || ':' || frame_idx) AS frame_fingerprint
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin),
     "mm_meta" -> GQuery.sql(meta,
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
         |  CASE octet_length(encode(text)) % 3
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin),
-    "mm_batch_features" -> GQuery.rowsOnly(batchFeatures),
+    // Oracle reproduces the stubbed byte-stat decode: documents.text is
+    // ASCII (verified: octet_length == length corpus-wide), so per-char
+    // code points == payload bytes.
+    "mm_batch_features" -> GQuery.sql(batchFeatures,
+      """WITH b AS (
+        |  SELECT doc_id, ascii(unnest(split(text, ''))) AS v
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (
+        |  SELECT doc_id, count(*)::DOUBLE AS f_bytes,
+        |    round(sum(v)::DOUBLE / count(*), 6) AS f_mean,
+        |    max(v)::DOUBLE AS f_max, min(v)::DOUBLE AS f_min
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.f_bytes, 0.0) AS f_bytes, coalesce(s.f_mean, 0.0) AS f_mean,
+        |  coalesce(s.f_max, 0.0) AS f_max, coalesce(s.f_min, 0.0) AS f_min
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
   )
 }

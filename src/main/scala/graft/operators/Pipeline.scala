@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.Text
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,17 +16,24 @@ object Pipeline {
 
   /** Deterministic ~5% sample via a Knuth multiplicative hash of the
     * key — reproducible, engine-portable, and filterable at the scan.
+    * The key is reduced mod a prime BEFORE the multiply so the Long
+    * product can never overflow (Spark 4 ANSI mode throws on wrap;
+    * DuckDB would silently promote to HUGEINT and diverge) — max
+    * product 999982 * 2654435761 ≈ 2.7e15 << 2^63.
     */
+  private def hashBucket(key: Column): Column =
+    ((key % 999983L) * 2654435761L) % 100
+
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter((col("doc_id") * 2654435761L) % 100 < 5)
+      .filter(hashBucket(col("doc_id")) < 5)
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
   /** Deterministic train/val/test split on the same hash. */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("bucket", hashBucket(col("doc_id")))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -52,18 +59,34 @@ object Pipeline {
 
   val PackBudget = 512L
 
+  val ShardDocs = 1000L
+
   /** Budgeted sequence packing (prefix-sum binning): docs in id order
     * are assigned to packs of ~PackBudget whitespace tokens by
-    * exclusive-prefix-sum division. The running sum is one global
-    * window here; at scale it becomes per-shard packing (partition by
-    * shard key) with identical semantics.
+    * exclusive-prefix-sum division — computed as TWO-LEVEL packing so
+    * no task ever sees the whole corpus: (1) a partitioned running sum
+    * within doc_id-range shards, (2) per-shard exclusive prefix
+    * offsets from a tiny shard-totals aggregate (n_docs/ShardDocs
+    * rows; its ordering window runs over that aggregate, not the
+    * corpus), broadcast back. Because shards are doc_id ranges,
+    * offset + local running sum == the global prefix sum exactly, so
+    * semantics are identical to a single global window.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.wsTokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum_incl", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr(s"doc_id div $ShardDocs"))
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("shard").agg(sum(col("n_tokens")).as("shard_total"))
+      .withColumn("offset", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
+      .select("shard", "offset")
+    toks
+      .withColumn("local_incl", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("cum_incl", col("offset") + col("local_incl"))
       .withColumn("pack_id", expr(s"(cum_incl - n_tokens) div $PackBudget"))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -132,11 +155,11 @@ object Pipeline {
   val queries: Map[String, GQuery] = Map(
     "pipe_hash_sample" -> GQuery.sql(hashSample,
       """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE (doc_id * 2654435761) % 100 < 5
+        |WHERE ((doc_id % 999983) * 2654435761) % 100 < 5
         |ORDER BY doc_id""".stripMargin),
     "pipe_train_test_split" -> GQuery.sql(trainTestSplit,
-      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      """SELECT CASE WHEN ((doc_id % 999983) * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN ((doc_id % 999983) * 2654435761) % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars

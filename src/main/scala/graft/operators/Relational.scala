@@ -327,7 +327,9 @@ object Relational {
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("part_rev"))
     val total = rev.agg(sum(col("part_rev")).as("total_rev"))
     rev.crossJoin(broadcast(total))
-      .filter(col("part_rev") > col("total_rev") * 0.0012)
+      // 0.0008 share: low enough that the correctness scale factor
+      // (sf0.01) yields actual rows (7), not a vacuous 0-row match.
+      .filter(col("part_rev") > col("total_rev") * 0.0008)
       .select(col("l_partkey"), round(col("part_rev"), 2).as("part_rev"))
       .orderBy(desc("part_rev"), asc("l_partkey"))
   }
@@ -415,7 +417,7 @@ object Relational {
       """SELECT l_partkey, round(part_rev, 2) AS part_rev FROM (
         |  SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS part_rev
         |  FROM lineitem GROUP BY 1)
-        |WHERE part_rev > (SELECT sum(l_extendedprice*(1-l_discount)) * 0.0012
+        |WHERE part_rev > (SELECT sum(l_extendedprice*(1-l_discount)) * 0.0008
         |                  FROM lineitem)
         |ORDER BY part_rev DESC, l_partkey""".stripMargin),
     "q15_top_supplier" -> GQuery.sql(q15TopSupplier,

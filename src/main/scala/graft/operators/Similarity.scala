@@ -67,23 +67,33 @@ object Similarity {
   // reach high recall at much lower probe ratios.
   val NProbe = 8
 
-  /** IVF-style ANN: deterministic pseudo-centroids (every corpus/
-    * NCells-th vector), one-time cell assignment of the corpus, and
+  /** IVF-style ANN: deterministic hash-sampled centroids (~NCells of
+    * them, no global ordering of the corpus anywhere), one-time cell
+    * assignment of the corpus via map-side max_by aggregation, and
     * per-query probing of the NProbe nearest cells only. Recall vs
     * brute force is checked in SimilaritySpec. Rows-only.
     */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val centroids = e.withColumn("rn", row_number().over(Window.orderBy("vec_id")))
-      .withColumn("step", ceil(count(lit(1)).over(Window.partitionBy()) / NCells).cast("long"))
-      .filter(col("rn") % col("step") === 1)
-      .select(col("rn").as("cell_id"), col("v").as("cv"))
-    val cellW = Window.partitionBy("vec_id").orderBy(desc("cell_cos"), asc("cell_id"))
+    // Centroids by deterministic hash sampling: keep vec_ids whose
+    // xxhash64 falls in a 1-in-(n/NCells) residue class — a single
+    // scan + scalar count, instead of a single-task global window.
+    // step degrades to 1 (every row a centroid) when n <= NCells.
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val centroids = e.crossJoin(broadcast(n))
+      .filter(pmod(xxhash64(col("vec_id")),
+        greatest(expr(s"n_vecs div $NCells"), lit(1L))) === 0L)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    // Nearest-centroid assignment as an aggregation, not a window:
+    // max_by partials run map-side, so the shuffle carries one row per
+    // (partition, vec_id) — not corpus × NCells. Ties break to the
+    // lowest cell_id via the (cos, -cell_id) ordering struct.
     val assigned = e.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("label"), col("v"), col("cell_id"),
+      .select(col("vec_id"), col("v"), col("cell_id"),
         cosine(col("v"), col("cv")).as("cell_cos"))
-      .withColumn("crank", row_number().over(cellW))
-      .filter(col("crank") === 1)
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("cell_cos"), -col("cell_id"))).as("cell_id"),
+        first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cell_id"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))

@@ -46,7 +46,9 @@ object TextAnalysis {
     * marker-token hits, predict the argmax (ties → 'und'). The marker
     * sets are tiny on purpose — this is the shape of an n-gram
     * language model (per-class token scoring + argmax), not a real
-    * model. Rows-only check (no clean SQL equivalent).
+    * model. Ties break to the lexicographically largest lang code
+    * (sort_array desc on (hits, lang_code)); the SQL oracle mirrors
+    * that with an explicit CASE chain in zh→fr→es→en→de order.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val markers: Map[String, Seq[String]] = Map(
@@ -109,7 +111,28 @@ object TextAnalysis {
         |  round(CASE WHEN len(t) = 0 THEN 0 ELSE
         |    len(list_distinct(t))::DOUBLE / len(t) END, 6) AS uniq_ratio
         |FROM toks ORDER BY doc_id""".stripMargin),
-    "txt_langid" -> GQuery.rowsOnly(langId),
+    "txt_langid" -> GQuery.sql(langId,
+      """WITH t AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, true_lang,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is','join','query'))) AS h_en,
+        |    len(list_filter(toks, x -> x IN ('der','und','das','ist'))) AS h_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','es'))) AS h_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS h_fr,
+        |    len(list_filter(toks, x -> x IN ('de','shi','he'))) AS h_zh
+        |  FROM t)
+        |SELECT doc_id, true_lang,
+        |  CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_zh >= greatest(h_en, h_de, h_es, h_fr) THEN 'zh'
+        |       WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
+        |       WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+        |       WHEN h_en >= h_de THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin),
     "txt_fingerprint" -> GQuery.sql(fingerprint,
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_hash
