@@ -187,6 +187,13 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("tok")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), packedSums: _*)
+      // the 2^21 lane cap is a hard precondition: a doc with more
+      // distinct tokens would carry between lanes and SILENTLY corrupt
+      // its signature (and every pair it blocks with). assert_true
+      // turns that into a loud job failure; such a doc (~tens of MB of
+      // unique vocabulary) should be routed to a widened-lane variant.
+      .filter(assert_true(col("n_toks") < (1L << 21),
+        lit("simhash lane overflow: doc with >= 2^21 distinct tokens")).isNull)
       .select(col("doc_id"), sigFromSums.as("simhash"))
     // 5 bands of (13,13,13,13,12) bits; block on all C(5,2) band pairs
     val bandStarts = Seq(0, 13, 26, 39, 52)

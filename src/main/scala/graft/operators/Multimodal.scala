@@ -82,12 +82,15 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Frame-sampling plumbing for video-ish payloads: every payload
-    * yields ceil(n_bytes / 1024) "frames"; we keep every 4th frame
-    * index plus a deterministic per-frame fingerprint (stand-in for a
-    * decoded frame hash; md5 so the DuckDB oracle reproduces it).
-    * Schema and explode shape are the real contract — the decode is
-    * the stub.
+  /** Frame-sampling plumbing for video-ish payloads: a payload yields
+    * ceil(n_bytes / 1024) "frames", except n_bytes = 0 which yields a
+    * single frame 0 on BOTH engines (Spark `(0-1) div 1024` and DuckDB
+    * `//` both truncate toward zero, so the empty payload degenerates
+    * to one frame rather than none — an accepted, consistent edge). We
+    * keep every 4th frame index plus a deterministic per-frame
+    * fingerprint (stand-in for a decoded frame hash; md5 so the DuckDB
+    * oracle reproduces it). Schema and explode shape are the real
+    * contract — the decode is the stub.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -119,9 +122,14 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin),
     // Oracle reproduces the stubbed byte-stat decode: documents.text is
     // ASCII (verified: octet_length == length corpus-wide), so per-char
-    // code points == payload bytes.
+    // code points == payload bytes. The `ascii_ok` guard makes a future
+    // non-ASCII corpus fail LOUDLY (0 oracle rows → row-count mismatch)
+    // instead of silently hash-diverging from Spark's byte stats.
     "mm_batch_features" -> GQuery.sql(batchFeatures,
-      """WITH b AS (
+      """WITH ascii_ok AS (
+        |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok
+        |  FROM documents WHERE octet_length(encode(text)) <> length(text)),
+        |b AS (
         |  SELECT doc_id, ascii(unnest(split(text, ''))) AS v
         |  FROM documents WHERE length(text) > 0),
         |s AS (
@@ -133,6 +141,7 @@ object Multimodal {
         |  coalesce(s.f_bytes, 0.0) AS f_bytes, coalesce(s.f_mean, 0.0) AS f_mean,
         |  coalesce(s.f_max, 0.0) AS f_max, coalesce(s.f_min, 0.0) AS f_min
         |FROM documents d LEFT JOIN s USING (doc_id)
+        |WHERE (SELECT ok FROM ascii_ok) = 1
         |ORDER BY d.doc_id""".stripMargin),
   )
 }

@@ -168,13 +168,20 @@ object Relational {
       .filter(col("supplier_cnt") >= 5)
       .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
 
-  /** TPC-H Q17 shape: per-key avg subquery joined back to the fact. */
+  /** TPC-H Q17 shape: per-key avg subquery joined back to the fact.
+    * The broadcast Brand#11 filter prunes the fact BEFORE the
+    * per-partkey avg aggregate — only ~1/25 of partkeys survive, so at
+    * scale the shuffle-agg runs over the pruned fact, not all of
+    * lineitem. The avg per partkey is unchanged by the pruning (the
+    * part filter is on the grouping key itself).
+    */
   def q17CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
-    l.join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#11")),
+    val pruned = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#11")),
         col("l_partkey") === col("p_partkey"))
+    val avgQty = pruned.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+    pruned
       .join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("half_avg_qty"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))

@@ -80,10 +80,18 @@ object Similarity {
     // scan + scalar count, instead of a single-task global window.
     // step degrades to 1 (every row a centroid) when n <= NCells.
     val n = e.agg(count(lit(1)).as("n_vecs"))
-    val centroids = e.crossJoin(broadcast(n))
+    val sampled = e.crossJoin(broadcast(n))
       .filter(pmod(xxhash64(col("vec_id")),
         greatest(expr(s"n_vecs div $NCells"), lit(1L))) === 0L)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    // The sample count is ~Binomial(n, NCells/n): an unlucky draw can
+    // come up short (or, pathologically, empty → silently empty
+    // result). Union a guaranteed centroid — the min vec_id — so at
+    // least one cell always exists; dedup covers the overlap.
+    val fallback = e.crossJoin(broadcast(e.agg(min(col("vec_id")).as("min_id"))))
+      .filter(col("vec_id") === col("min_id"))
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val centroids = sampled.unionByName(fallback).dropDuplicates("cell_id")
     // Nearest-centroid assignment as an aggregation, not a window:
     // max_by partials run map-side, so the shuffle carries one row per
     // (partition, vec_id) — not corpus × NCells. Ties break to the

@@ -43,12 +43,13 @@ object TextAnalysis {
   }
 
   /** Stopword-profile language ID: score each candidate language by
-    * marker-token hits, predict the argmax (ties → 'und'). The marker
-    * sets are tiny on purpose — this is the shape of an n-gram
-    * language model (per-class token scoring + argmax), not a real
-    * model. Ties break to the lexicographically largest lang code
-    * (sort_array desc on (hits, lang_code)); the SQL oracle mirrors
-    * that with an explicit CASE chain in zh→fr→es→en→de order.
+    * marker-token hits and predict the argmax; 'und' only when no
+    * marker hits at all. The marker sets are tiny on purpose — this is
+    * the shape of an n-gram language model (per-class token scoring +
+    * argmax), not a real model. Ties break to the lexicographically
+    * largest lang code (sort_array desc on (hits, lang_code)); the SQL
+    * oracle mirrors that with an explicit CASE chain in zh→fr→es→en→de
+    * order.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val markers: Map[String, Seq[String]] = Map(

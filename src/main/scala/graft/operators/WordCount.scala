@@ -29,12 +29,59 @@ object WordCount {
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
 
-  /** Flagship: word count over the documents corpus. */
+  /** Flagship: word count over the documents corpus, expressed through
+    * the generic `MapReduce.mapReduce` facade (the reference's
+    * STEP_ID_TO_FUNCTION contract) — map = tokenize+explode,
+    * reduce = count per word.
+    */
   def wordcount(spark: SparkSession, dir: String): DataFrame =
-    tokenized(spark, dir)
+    graft.MapReduce.mapReduce(
+      Tables.documents(spark, dir),
+      df => df.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word")),
+      "word",
+      count(lit(1)).as("cnt"))
+
+  /** The reference's ACTUAL input mode: a directory of raw text files
+    * (coordinator/algorithm.py:start_map splits raw blobs on token
+    * boundaries; whitebox tests feed multi-file directories). The
+    * documents corpus is staged once per source dir as plain `.txt`
+    * part files, then read back with the `text` source and tokenized
+    * with the SAME tokenizer as `wordcount` — counts must match it
+    * exactly. The DuckDB oracle reads the very same staged files via
+    * `read_text`.
+    */
+  def wordcountText(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(stageTextDir(spark, dir))
+      .select(explode(Text.tokens(col("value"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
+
+  /** Fixed staging root; each scale factor stages into its own
+    * basename-keyed subdirectory so a bench run at sf0.1 can never
+    * clobber the sf0.01 staging the oracle compare reads (the static
+    * oracle SQL globs the sf0.01 subdir — the scale Verify runs at).
+    */
+  val TextStageRoot = "/tmp/graft_text_corpus"
+
+  /** Stage `documents.text` as raw `.txt` files, idempotent per source
+    * dir (a `_SOURCE` marker records which sfDir is staged; restages
+    * only when it changes, so bench passes don't rewrite).
+    */
+  def stageTextDir(spark: SparkSession, dir: String): String = {
+    val stage = s"$TextStageRoot/${java.nio.file.Paths.get(dir).getFileName}"
+    val marker = java.nio.file.Paths.get(stage, "_SOURCE")
+    val cur =
+      try new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      catch { case _: Exception => "" }
+    if (cur != dir) {
+      Tables.documents(spark, dir).select("text")
+        .repartition(8)
+        .write.mode("overwrite").text(stage)
+      java.nio.file.Files.write(marker, dir.getBytes("UTF-8"))
+    }
+    stage
+  }
 
   /** Distributed grep: the generic "map = filter" job the reference's
     * pluggable STEP_ID_TO_FUNCTION was built to host.
@@ -104,6 +151,12 @@ object WordCount {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '[[:punct:][:space:]]+')) AS word
         |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin),
+    "wc_wordcount_text" -> GQuery.sql(wordcountText,
+      s"""SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(content, '[[:punct:][:space:]]+')) AS word
+        |      FROM read_text('$TextStageRoot/sf0.01/part-*.txt'))
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY word""".stripMargin),
     "wc_grep" -> GQuery.sql(grep,

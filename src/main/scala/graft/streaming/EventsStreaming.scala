@@ -64,46 +64,82 @@ object EventsStreaming {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("value_sum"))
 
-  case class Ev(event_id: Long, user_id: Long, ms: Long, value: Double)
+  // carries the raw `ts` (not a derived long) so the watermark tag on
+  // the column survives to the stateful operator — EventTimeTimeout
+  // requires a watermarked attribute in its input
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double) {
+    def ms: Long = ts.getTime
+  }
   case class Session(user_id: Long, session_seq: Long,
       session_start_ms: Long, session_end_ms: Long,
       n_events: Long, value_sum: Double)
-  case class SessState(lastMs: Long, seq: Long)
+  /** Per-user state: the (possibly open) most-recent session. A closed
+    * record (`open = false`) is kept as a tombstone so the session
+    * counter stays monotone across watermark closes and restarts —
+    * state per user stays O(1) at any stream length.
+    */
+  case class SessState(seq: Long, startMs: Long, endMs: Long,
+      nEvents: Long, valueSum: Double, open: Boolean)
 
   val GapMs: Long = 30L * 60 * 1000
 
-  /** Stateful gap sessionizer: per-user GroupState carries the last
-    * event time and session counter across triggers; each invocation
-    * emits the sessions it can close. State per user is O(1) — the
-    * shape that holds at any stream length.
+  /** Stateful gap sessionizer: per-user GroupState carries the OPEN
+    * session across triggers, so a session spanning a micro-batch (or
+    * checkpoint-restart) boundary is emitted exactly once, identical
+    * to the batch `Events.sessionize`. Sessions are emitted only when
+    * they provably closed: either a later event opened the next
+    * session, or the event-time watermark passed `end + gap`
+    * (EventTimeTimeout). Append mode never retracts.
     */
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
-    val evs = events.select(col("event_id"), col("user_id"),
-      unix_millis(col("ts")).as("ms"), col("value")).as[Ev]
+    val evs = events
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
     evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ms, e.event_id))
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur: Option[Session] = None
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ms - s.session_end_ms <= GapMs =>
-                cur = Some(s.copy(session_end_ms = e.ms,
-                  n_events = s.n_events + 1, value_sum = s.value_sum + e.value))
-              case maybe =>
-                maybe.foreach(out += _)
-                st = st.copy(seq = st.seq + 1)
-                cur = Some(Session(userId, st.seq, e.ms, e.ms, 1L, e.value))
+          def emit(s: SessState) = Session(userId, s.seq, s.startMs, s.endMs,
+            s.nEvents, math.round(s.valueSum * 100.0) / 100.0)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.update(s.copy(open = false)) // tombstone keeps seq monotone
+            if (s.open) Iterator.single(emit(s)) else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ms, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.getOrElse(
+              SessState(0L, 0L, 0L, 0L, 0.0, open = false))
+            sorted.foreach { e =>
+              if (st.open && e.ms - st.endMs <= GapMs) {
+                st = st.copy(endMs = math.max(st.endMs, e.ms),
+                  nEvents = st.nEvents + 1, valueSum = st.valueSum + e.value)
+              } else {
+                if (st.open) out += emit(st)
+                st = SessState(st.seq + 1, e.ms, e.ms, 1L, e.value, open = true)
+              }
             }
+            state.update(st)
+            if (st.open) {
+              // the timeout timestamp must sit above the current
+              // watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(st.endMs + GapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          // single-batch replay: flush the trailing session too
-          cur.foreach(out += _)
-          state.update(st)
-          out.iterator
       }
+  }
+
+  /** Test/staging helper: write `df` as a single parquet file dropped
+    * atomically into `watchDir` — one streaming-source "file arrival".
+    */
+  def dropFile(df: DataFrame, watchDir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drop")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(watchDir, s"$name.parquet"))
   }
 
   /** Watermarked streaming dedup — the exactly-once ingest pattern:

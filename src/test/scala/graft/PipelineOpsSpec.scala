@@ -49,15 +49,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(distinct == distinctTexts)
   }
 
-  test("batch features carry batch shape and deterministic stub features") {
+  test("batch features emit scalar byte-stat columns consistent with meta") {
     val f = Multimodal.batchFeatures(spark, SfDir)
-    assert(f.filter(col("batch_size") < 1 || col("batch_size") > 64).count() == 0)
-    assert(f.filter(size(col("features")) =!= 4).count() == 0)
-    // feature[0] is the byte length — must equal mm_meta's n_bytes
-    val joined = f.select(col("doc_id"), element_at(col("features"), 1).as("len"))
-      .join(Multimodal.meta(spark, SfDir), "doc_id")
-      .filter(col("len") =!= col("n_bytes"))
+    // f_bytes is the payload byte length — must equal mm_meta's n_bytes
+    val joined = f.join(Multimodal.meta(spark, SfDir), "doc_id")
+      .filter(col("f_bytes") =!= col("n_bytes").cast("double"))
     assert(joined.count() == 0)
+    // byte stats live in [0, 255] and mean sits between min and max
+    assert(f.filter(col("f_max") < 0 || col("f_max") > 255).count() == 0)
+    assert(f.filter(col("f_min") < 0 || col("f_min") > 255).count() == 0)
+    assert(f.filter(col("f_mean") < col("f_min") || col("f_mean") > col("f_max")).count() == 0)
   }
 
   test("vec_dot is SQL-callable after registration and matches the HOF form") {

@@ -20,21 +20,24 @@ class RecoverySpec extends SparkTestBase {
     val sink = Files.createTempDirectory("graft_recovery_sink").toString
     val ckpt = Files.createTempDirectory("graft_recovery_ckpt").toString
 
-    // split the events table in two halves: first arrives before the
-    // "failure", second after the restart
+    // split the events table in two time halves: first arrives before
+    // the "failure", second after the restart (arrival in event-time
+    // order, the streaming contract the watermark assumes)
     val all = Tables.events(spark, SfDir)
-    val half = all.count() / 2
-    all.filter(col("event_id") < half)
+    val medMs = all.select(expr("percentile_approx(unix_millis(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    val maxMs = all.select(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+    all.filter(unix_millis(col("ts")) <= medMs)
       .write.mode("overwrite").parquet(s"$src/batch_a")
-    all.filter(col("event_id") >= half)
+    all.filter(unix_millis(col("ts")) > medMs)
       .write.mode("overwrite").parquet(s"$src/incoming_b")
 
     def runOnce(): Unit = {
+      // sessionize applies the watermark itself
       val sessions = EventsStreaming.sessionize(spark,
         spark.readStream
           .schema(spark.read.parquet(s"$src/batch_a").schema)
-          .parquet(s"$src/batch_*")
-          .withWatermark("ts", "2 hours"))
+          .parquet(s"$src/batch_*"))
       val q = sessions.toDF.writeStream
         .outputMode("append").format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -47,7 +50,25 @@ class RecoverySpec extends SparkTestBase {
     Files.move(Paths.get(s"$src/incoming_b"), Paths.get(s"$src/batch_b"))
     runOnce() // restart from checkpoint: offsets + per-user state resume
 
-    val out = spark.read.parquet(sink)
+    // sessions are emitted only once the watermark closes them, so two
+    // sentinel drops (a far-future event, then a farther one processed
+    // under the advanced watermark) flush every real user's state
+    def sentinel(id: Long, ms: Long) = {
+      import spark.implicits._
+      Seq((id, ms)).toDF("event_id", "ms")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .select(all.columns.map(col): _*)
+    }
+    sentinel(-1L, maxMs + 10L * 3600 * 1000)
+      .write.mode("overwrite").parquet(s"$src/batch_c")
+    runOnce()
+    sentinel(-2L, maxMs + 20L * 3600 * 1000)
+      .write.mode("overwrite").parquet(s"$src/batch_d")
+    runOnce()
+
+    val out = spark.read.parquet(sink).filter(col("user_id") >= 0)
     // no loss, no duplication across the restart
     assert(out.agg(sum("n_events")).collect()(0).getLong(0) == all.count())
     // state carried across the restart: session numbering continues

@@ -21,16 +21,61 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
-  test("stateful streaming sessionizer equals the batch sessionizer") {
-    import spark.implicits._
-    val sessions = EventsStreaming.sessionize(spark,
-      EventsStreaming.readEvents(spark, eventsDir))
-    val got = EventsStreaming.runToMemory(spark, sessions.toDF, "sessions")
-      .select("user_id", "session_seq", "session_start_ms",
-        "session_end_ms", "n_events")
+  test("sessionizer carries open sessions across micro-batches and equals batch") {
+    // split the events table at the median event time: the first file
+    // drop ends mid-session for many users, the second continues them.
+    // Emitting each such session ONCE (not split in two) is the bug
+    // this test pins down.
+    val all = Tables.events(spark, SfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
     val want = Events.sessionize(spark, SfDir)
       .select("user_id", "session_seq", "session_start_ms",
         "session_end_ms", "n_events")
+    // split inside the longest session: its first event lands in drop A,
+    // its last in drop B — a session provably spans the boundary
+    val longest = want.orderBy(
+      (col("session_end_ms") - col("session_start_ms")).desc).limit(1)
+      .collect()(0)
+    val medMs = (longest.getAs[Long]("session_start_ms") +
+      longest.getAs[Long]("session_end_ms")) / 2
+    val maxMs = all.select(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+
+    val watch = java.nio.file.Files.createTempDirectory("graft_twobatch").toString
+    def sentinel(id: Long, ms: Long) = {
+      import spark.implicits._
+      Seq((id, ms)).toDF("event_id", "ms")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"))
+    }
+
+    val sessions = EventsStreaming.sessionize(spark,
+      spark.readStream.schema(all.schema).parquet(watch))
+    val q = sessions.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("sess2").start()
+    try {
+      EventsStreaming.dropFile(all.filter(unix_millis(col("ts")) <= medMs), watch, "a")
+      q.processAllAvailable()
+      EventsStreaming.dropFile(all.filter(unix_millis(col("ts")) > medMs), watch, "b")
+      q.processAllAvailable()
+      // two sentinel drops push the watermark past every real session's
+      // close: the first advances it (at end of its batch), the second
+      // runs a batch under the advanced watermark so timeouts fire
+      // deterministically.
+      EventsStreaming.dropFile(sentinel(-1L, maxMs + 10L * 3600 * 1000), watch, "s1")
+      q.processAllAvailable()
+      EventsStreaming.dropFile(sentinel(-2L, maxMs + 20L * 3600 * 1000), watch, "s2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess2").filter(col("user_id") >= 0)
+      .select("user_id", "session_seq", "session_start_ms",
+        "session_end_ms", "n_events")
+    // the scenario is real: some batch session spans the split point
+    val spanning = want.filter(col("session_start_ms") <= medMs &&
+      col("session_end_ms") > medMs).count()
+    assert(spanning > 0, "no session spans the file-drop boundary; split is vacuous")
     assert(got.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }

@@ -24,6 +24,14 @@ class WordCountSpec extends SparkTestBase {
     assert(toks == Map("word" -> 4L, "a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("raw-text-directory wordcount equals the parquet wordcount") {
+    val fromText = WordCount.wordcountText(spark, SfDir)
+    val fromParquet = WordCount.wordcount(spark, SfDir)
+    assert(fromText.count() > 0)
+    assert(fromText.exceptAll(fromParquet).count() == 0 &&
+      fromParquet.exceptAll(fromText).count() == 0)
+  }
+
   test("inverted index doc lists are sorted and consistent with n_docs") {
     val ii = WordCount.invertedIndex(spark, SfDir)
     val bad = ii.filter(size(split(col("doc_ids"), ",")) =!= col("n_docs"))
