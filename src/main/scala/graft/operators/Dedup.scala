@@ -262,7 +262,81 @@ object Dedup {
       .orderBy("vec_id_1", "vec_id_2")
   }
 
+  val LshBits = 16
+  val LshBands = 4 // 4 bits per band
+  val EmbedDim = 64 // TESTDATA embedding width (all scale factors)
+
+  /** Sign-LSH (random-hyperplane) embedding near-dup — the HIGH-
+    * threshold (τ = 0.9) scale path that `embedCosine`'s docstring
+    * promises: 16 sign bits from fixed-seed Gaussian hyperplanes,
+    * banded 4×4; a hyperplane agrees with probability 1 − θ/π, so at
+    * τ = 0.9 (θ ≤ 26°) a 4-bit band matches with p ≈ 0.54 and four
+    * bands miss a true pair with p ≈ 0.04 — while near-orthogonal
+    * pairs (the bulk of this corpus, max natural cosine 0.47) collide
+    * rarely, so candidate generation is sub-quadratic. Candidates are
+    * exact-verified, so precision is exact; only candidate RECALL is
+    * probabilistic.
+    *
+    * The synthetic corpus has no natural pairs above 0.48, so the
+    * query plants exact near-duplicates: a 0.5-scaled copy of every
+    * vector (vec_id + 1e6). Scaling by a power of two is FP-exact in
+    * both engines, the cosine is exactly 1.0, and scaled copies have
+    * IDENTICAL sign signatures — candidate recall for the planted
+    * pairs is 1, which is what makes the brute-force DuckDB oracle an
+    * exact (hash-level) check of the whole LSH pipeline.
+    */
+  def embedCosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+    val dot = vec_dot _
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val aug = e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("label"), transform(col("v"), x => x * lit(0.5f)).as("v")))
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic planes
+    val planes = Array.fill(LshBits, EmbedDim)(rnd.nextGaussian())
+    val sig = (0 until LshBits).map { h =>
+      when(dot(col("v"), array(planes(h).map(lit): _*)) >= 0,
+        shiftleft(lit(1L), h)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val bandBits = LshBits / LshBands
+    val banded = aug
+      .withColumn("norm", vec_norm(col("v")))
+      .withColumn("sig", sig)
+      .select(col("vec_id"), col("label"), col("v"), col("norm"),
+        explode(array((0 until LshBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+          col("x.bits") === col("y.bits") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
+        col("x.label").as("label"),
+        (dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))).as("cos_raw"))
+      .distinct() // a pair can collide in several bands
+      .filter(col("cos_raw") >= 0.9)
+      .select(col("vec_id_1"), col("vec_id_2"), col("label"),
+        round(col("cos_raw"), 4).as("cosine"))
+      .orderBy("vec_id_1", "vec_id_2")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "dd_embed_cosine_lsh" -> GQuery.sql(embedCosineLsh,
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, label, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label, list_transform(v, x -> x * 0.5) FROM e)
+        |SELECT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2, x.label AS label,
+        |  round(list_inner_product(x.v, y.v) /
+        |    (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))), 4) AS cosine
+        |FROM aug x JOIN aug y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE list_inner_product(x.v, y.v) /
+        |  (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.9
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin),
     "dd_exact" -> GQuery.sql(exact,
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_hash,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies

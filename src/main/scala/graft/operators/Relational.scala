@@ -325,6 +325,61 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))
       .orderBy(asc("n_name"), desc("o_year"))
 
+  /** TPC-H Q2 shape: per-part min-cost supplier within a region — the
+    * correlated-min-subquery pattern. No partsupp table in this
+    * corpus, so supply cost is derived: min(l_extendedprice /
+    * l_quantity) per (part, supplier). Dims broadcast; the per-part
+    * min joins back on RAW double equality (both engines take min
+    * over the identical value set, so the equality is bit-exact);
+    * rounding happens only at output.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val costs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val regSup = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val eligible = costs.join(broadcast(regSup), col("l_suppkey") === col("s_suppkey"))
+    val minCost = eligible.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    eligible
+      .join(minCost, col("l_partkey") === col("mc_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_size") <= 10 && col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), round(col("unit_cost"), 4).as("unit_cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8 shape: one nation's share of a region's revenue by
+    * order year — broadcast part/supplier dims, the lineitem⋈orders
+    * fact join, conditional-sum ratio per year.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("n_name") === "NATION_3", vol).otherwise(0.0)) / sum(vol),
+        6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** TPC-H Q11 shape: groups exceeding a share of a global scalar
     * subquery (broadcast single-row cross join).
     */
@@ -412,6 +467,42 @@ object Relational {
       .orderBy("g_flag", "g_status", "returnflag", "linestatus")
 
   val queries: Map[String, GQuery] = Map(
+    "q2_min_cost_supplier" -> GQuery.sql(q2MinCostSupplier,
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |regsup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |eligible AS (
+        |  SELECT * FROM costs JOIN regsup ON l_suppkey = s_suppkey),
+        |mc AS (
+        |  SELECT l_partkey AS mc_partkey, min(unit_cost) AS min_cost
+        |  FROM eligible GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  round(unit_cost, 4) AS unit_cost
+        |FROM eligible
+        |JOIN mc ON l_partkey = mc_partkey AND unit_cost = min_cost
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10 AND p_type = 'PROMO'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+    "q8_market_share" -> GQuery.sql(q8MarketShare,
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |        sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "q9_profit_by_nation_year" -> GQuery.sql(q9ProfitByNationYear,
       """SELECT n_name, year(o_orderdate) AS o_year,
         |  round(sum(l_extendedprice*(1-l_discount)), 2) AS profit

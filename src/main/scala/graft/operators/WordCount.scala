@@ -51,11 +51,11 @@ object WordCount {
     * `read_text`.
     */
   def wordcountText(spark: SparkSession, dir: String): DataFrame =
-    spark.read.text(stageTextDir(spark, dir))
-      .select(explode(Text.tokens(col("value"))).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("word")
+    graft.MapReduce.mapReduce(
+      spark.read.text(stageTextDir(spark, dir)),
+      df => df.select(explode(Text.tokens(col("value"))).as("word")),
+      "word",
+      count(lit(1)).as("cnt"))
 
   /** Fixed staging root; each scale factor stages into its own
     * basename-keyed subdirectory so a bench run at sf0.1 can never

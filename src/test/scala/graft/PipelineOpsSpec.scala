@@ -23,6 +23,16 @@ class PipelineOpsSpec extends SparkTestBase {
       s"missed: ${exactPairs.diff(lshPairs)}")
   }
 
+  test("sign-LSH embed dedup recalls every planted near-dup pair exactly") {
+    val pairs = Dedup.embedCosineLsh(spark, SfDir).collect()
+    val n = Tables.embeddings(spark, SfDir).count()
+    // every vector's planted 0.5-scaled copy must be recalled (identical
+    // sign signature ⇒ candidate recall 1), and nothing else crosses 0.9
+    assert(pairs.length == n)
+    assert(pairs.forall(r => r.getAs[Long]("vec_id_2") == r.getAs[Long]("vec_id_1") + 1000000L))
+    assert(pairs.forall(_.getAs[Double]("cosine") == 1.0))
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val s = Dedup.simhash(spark, SfDir)
     assert(s.filter(col("doc_id_1") >= col("doc_id_2")).count() == 0)
