@@ -55,4 +55,22 @@ class RelationalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) HashAggregate") || plan.contains("*(1) Filter"))
   }
+
+  test("plan shape: q2 broadcasts the region supplier set and part filter") {
+    val plan = Relational.q2MinCostSupplier(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // no shuffled cartesian anywhere in the min-cost join-back
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("plan shape: q8 broadcasts the dim sides and never shuffles a cartesian") {
+    val plan = Relational.q8MarketShare(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    // part and supplier-nation-region sides are broadcast (at the tiny
+    // test scale orders broadcasts too — at sf0.1+ lineitem⋈orders
+    // becomes the one shuffled join); either way, no cartesian
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2)
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -39,6 +39,18 @@ class SourcesSpec extends SparkTestBase {
       Tables.customer(spark, SfDir).filter(col("c_mktsegment") === "BUILDING").count())
   }
 
+  test("orc round-trip preserves the lineitem table with pushdown intact") {
+    val out = tmp("orc")
+    val l = Tables.lineitem(spark, SfDir)
+    l.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.exceptAll(l).count() == 0 && l.exceptAll(back).count() == 0)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("l_quantity") > 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"))
+  }
+
   test("text source feeds the wordcount pipeline like the reference's file inputs") {
     val out = tmp("text")
     Tables.documents(spark, SfDir).select("text")
