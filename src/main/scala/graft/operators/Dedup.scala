@@ -235,9 +235,9 @@ object Dedup {
     * threshold (near-uniform synthetic embeddings), so sign-LSH bands
     * selective enough to prune anything would also drop true pairs —
     * at τ=0.3 every recall-lossless banding admits ~all pairs. When
-    * the threshold means near-duplicate (τ ≥ 0.9, a real gap), swap
-    * the blocking key for Similarity-style LSH/IVF cells; the verify
-    * step is identical.
+    * the threshold means near-duplicate (τ ≥ 0.9, a real gap), use
+    * `embedCosineLsh` below — the sign-LSH banded form with the
+    * identical verify step.
     */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot, vec_norm}

@@ -131,6 +131,19 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming word count — the reference's flagship job over a
+    * stream of raw text files (new files are discovered per trigger,
+    * exactly the reference's directory-input contract). Complete-mode
+    * counts converge to the batch wordcount once the source drains;
+    * the incremental state is the per-word partial count, the same
+    * map-side partial aggregation as the batch plan.
+    */
+  def wordcount(spark: SparkSession, textDir: String): DataFrame =
+    spark.readStream.text(textDir)
+      .select(explode(graft.functions.Text.tokens(col("value"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Test/staging helper: write `df` as a single parquet file dropped
     * atomically into `watchDir` — one streaming-source "file arrival".
     */

@@ -21,6 +21,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming wordcount over staged text drops equals the batch wordcount") {
+    import org.apache.spark.sql.DataFrame
+    val watch = java.nio.file.Files.createTempDirectory("graft_wc_stream").toString
+    def dropText(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_droptxt")
+      df.coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, s"$name.txt"))
+    }
+    val docs = Tables.documents(spark, SfDir)
+    val half = docs.count() / 2
+    val q = EventsStreaming.wordcount(spark, watch)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wcstream").start()
+    try {
+      dropText(docs.filter(col("doc_id") < half).select("text"), "a")
+      q.processAllAvailable()
+      dropText(docs.filter(col("doc_id") >= half).select("text"), "b")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wcstream")
+    val want = graft.operators.WordCount.wordcount(spark, SfDir)
+      .select("word", "cnt")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("sessionizer carries open sessions across micro-batches and equals batch") {
     // split the events table at the median event time: the first file
     // drop ends mid-session for many users, the second continues them.
