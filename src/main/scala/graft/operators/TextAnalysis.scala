@@ -88,7 +88,50 @@ object TextAnalysis {
       .select(col("doc_id"), Text.rollingHash(Text.normalized(col("text"))).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** Bigram language-model estimation — the classic MapReduce n-gram
+    * LM job (count n-grams, normalize by context): P(w2 | w1) =
+    * c(w1 w2) / Σ_w c(w1 w). The denominator is the bigram-context
+    * total (a window sum partitioned by w1 over the already-reduced
+    * bigram counts — tiny relative to the corpus), not the raw
+    * unigram count, which sidesteps the last-token-per-doc edge on
+    * both engines. Same tokenizer and lead-window construction as
+    * `wc_bigrams`.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), Text.TokenSplitRegex)).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("ctx", sum(col("cnt")).over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(col("cnt").cast("double") / col("ctx").cast("double"), 6).as("cond_p"))
+      .orderBy("w1", "w2")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_bigram_lm" -> GQuery.sql(bigramLm,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |    i -> [t[i], t[i+1]])) AS p
+        |  FROM toks WHERE len(t) >= 2),
+        |counts AS (
+        |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt
+        |  FROM bg GROUP BY 1, 2)
+        |SELECT w1, w2, cnt,
+        |  round(cnt::DOUBLE / CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT), 6) AS cond_p
+        |FROM counts ORDER BY w1, w2""".stripMargin),
     "txt_token_count" -> GQuery.sql(tokenCount,
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS ws_tokens,
