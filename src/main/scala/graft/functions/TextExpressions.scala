@@ -61,9 +61,54 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 object ShingleHashes {
-  private val SplitPattern = java.util.regex.Pattern.compile(Text.TokenSplitRegex)
+  private[functions] val SplitPattern =
+    java.util.regex.Pattern.compile(Text.TokenSplitRegex)
 
   def shingle_hashes(c: Column, n: Int): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       ShingleHashes(org.apache.spark.sql.graftshim.ColumnShim.expression(c), n))
+}
+
+/** One-pass n-gram emission: text → ALL space-joined n-token grams in
+  * order (multiset, not deduped — n-gram counting needs every
+  * occurrence). Same tokenizer + lowercasing as `ShingleHashes`; the
+  * same shuffle-elimination argument applies to the bigram queries,
+  * which previously lined tokens up with a per-doc lead() window.
+  */
+case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val tokens = ShingleHashes.SplitPattern.split(text).filter(_.nonEmpty)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](tokens.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= tokens.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
+object NGrams {
+  def ngrams(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      NGrams(org.apache.spark.sql.graftshim.ColumnShim.expression(c), n))
 }

@@ -94,19 +94,15 @@ object TextAnalysis {
     * total (a window sum partitioned by w1 over the already-reduced
     * bigram counts — tiny relative to the corpus), not the raw
     * unigram count, which sidesteps the last-token-per-doc edge on
-    * both engines. Same tokenizer and lead-window construction as
-    * `wc_bigrams`.
+    * both engines. Bigrams come from the one-pass native `NGrams`
+    * expression, same as `wc_bigrams`.
     */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
     val counts = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), Text.TokenSplitRegex)).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+      .select(explode(graft.functions.NGrams.ngrams(col("text"), 2)).as("bigram"))
+      .select(split(col("bigram"), " ").as("p"))
+      .groupBy(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
       .agg(count(lit(1)).as("cnt"))
     counts
       .withColumn("ctx", sum(col("cnt")).over(Window.partitionBy("w1")))

@@ -115,24 +115,17 @@ object WordCount {
       .orderBy("word")
 
   /** Bigram counts — the n-gram generalization of the reference's
-    * unigram wordcount, built from the positional token stream with a
-    * window lead (codegen; no array HOFs).
+    * unigram wordcount, built by the one-pass native `NGrams`
+    * expression (no per-doc lead-window shuffle; see ShingleHashes for
+    * the measured rationale).
     */
-  def bigrams(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  def bigrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), Text.TokenSplitRegex)).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .select(explode(graft.functions.NGrams.ngrams(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(100)
-  }
 
   val queries: Map[String, GQuery] = Map(
     "wc_bigrams" -> GQuery.sql(bigrams,
