@@ -38,6 +38,24 @@ class WordCountSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("ShingleHashes and NGrams match the composed tokenizer pipeline") {
+    import spark.implicits._
+    val df = Seq("The quick, brown fox! jumps").toDF("text")
+    // hashes must equal Spark's own xxhash64 of the space-joined windows
+    val got = df.select(explode(
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    val want = df.select(explode(array(
+        xxhash64(lit("the quick brown")), xxhash64(lit("quick brown fox")),
+        xxhash64(lit("brown fox jumps")))).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // NGrams emits every occurrence, in order, tokenized identically
+    val ng = df.select(graft.functions.NGrams.ngrams(col("text"), 2).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(ng == Seq("the quick", "quick brown", "brown fox", "fox jumps"))
+  }
+
   test("registry: every oracle key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.entry(spark).count() > 0)
