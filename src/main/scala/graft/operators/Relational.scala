@@ -334,23 +334,30 @@ object Relational {
     * rounding happens only at output.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val costs = Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     val regSup = Tables.supplier(spark, dir)
       .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val eligible = costs.join(broadcast(regSup), col("l_suppkey") === col("s_suppkey"))
+    // BOTH broadcast filters (region suppliers AND the part predicate)
+    // prune the fact before the per-(part, supplier) aggregate — the
+    // same fix q17 got: both filters act on grouping keys, so the min
+    // is unchanged while the shuffle-agg runs over a fraction of
+    // lineitem. Supplier/part attributes ride along in the groupBy
+    // (functionally dependent on the keys — no extra cardinality).
+    val eligible = Tables.lineitem(spark, dir)
+      .join(broadcast(regSup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_size") <= 10 && col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("p_partkey"), col("p_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     val minCost = eligible.groupBy(col("l_partkey").as("mc_partkey"))
       .agg(min(col("unit_cost")).as("min_cost"))
     eligible
       .join(minCost, col("l_partkey") === col("mc_partkey") &&
         col("unit_cost") === col("min_cost"))
-      .join(broadcast(Tables.part(spark, dir)
-          .filter(col("p_size") <= 10 && col("p_type") === "PROMO")),
-        col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"), round(col("unit_cost"), 4).as("unit_cost"))
       .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
