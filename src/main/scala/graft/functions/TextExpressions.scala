@@ -33,7 +33,10 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // Locale.ROOT: default-locale lowercasing diverges from Spark's
+    // lower() / the DuckDB oracle under e.g. tr_TR ('I' → 'ı').
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val tokens = ShingleHashes.SplitPattern.split(text).filter(_.nonEmpty)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.HashSet[java.lang.Long]()
@@ -83,7 +86,8 @@ case class NGrams(child: Expression, n: Int)
   override def prettyName: String = "ngrams"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val tokens = ShingleHashes.SplitPattern.split(text).filter(_.nonEmpty)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](tokens.length - n + 1)

@@ -26,14 +26,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("md5_hash")
 
+  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select("doc_id", "source", "text")
+
+  /** Planted near-duplicates (the `dd_embed_cosine_lsh` oracle trick
+    * applied to text): a whitespace-perturbed copy of every 4th doc at
+    * `doc_id + PlantOffset`. The tokenizer drops empty tokens, so a
+    * copy's token stream — hence its shingle set, minhash signature,
+    * and simhash — is IDENTICAL to the original's: LSH candidate
+    * recall for every planted pair is exactly 1, deterministically.
+    * Restricting the verified-pair output to (id, id + PlantOffset)
+    * therefore turns the seed-dependent LSH pipelines into queries a
+    * brute-force DuckDB oracle can hash-check end-to-end (tokenize →
+    * signature → banding → bucket join → exact verify).
+    */
+  val PlantOffset = 1000000L
+  private def withPlanted(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("source"),
+        concat(lit(" "), col("text"), lit("\t")).as("text")))
+
   /** Token stream: one row per (doc, position, token). posexplode +
     * a row-level length filter keeps tokenization inside whole-stage
     * codegen — higher-order array functions (transform/filter) are
     * interpreted in Spark and, worse, get inlined into scan filters
     * by constraint propagation, so array-free is the scalable form.
     */
-  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def tokenStreamOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         posexplode(split(lower(col("text")), Text.TokenSplitRegex)).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
@@ -52,13 +72,13 @@ object Dedup {
     * minhash-LSH 2.2→1.5 s. Output rows are identical (same tokenizer
     * regex, same xxhash64 seed).
     */
-  private def shingleHashRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def shingleHashRowsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("sh"))
 
-  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
-    shingleHashRows(spark, dir).groupBy("doc_id")
+  private def shingleSizesOf(docs: DataFrame): DataFrame =
+    shingleHashRowsOf(docs).groupBy("doc_id")
       .agg(count(lit(1)).as("sh_size"))
 
   /** Blocked n-gram-Jaccard near-dup pairs: candidate pairs share a
@@ -72,14 +92,14 @@ object Dedup {
     // No pair ever materializes both arrays; everything is a
     // codegen'd join + hash aggregate. Pairs sharing nothing are
     // never generated at all (they can't pass any threshold > 0).
-    val r = shingleHashRows(spark, dir)
+    val r = shingleHashRowsOf(docsTable(spark, dir))
     val inter = r.select(col("source"), col("doc_id").as("doc_id_1"), col("sh"))
       .join(r.select(col("source"), col("doc_id").as("doc_id_2"), col("sh")),
         Seq("source", "sh"))
       .filter(col("doc_id_1") < col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = shingleSizes(spark, dir)
+    val sizes = shingleSizesOf(docsTable(spark, dir))
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
@@ -98,13 +118,13 @@ object Dedup {
     * bands of BandRows → bucket join on (band, band-hash) → exact
     * Jaccard verification of candidates only. The classic
     * Broder/MMDS construction; at 100 TB the bucket join replaces the
-    * all-pairs comparison entirely. Rows-only (no SQL equivalent).
+    * all-pairs comparison entirely.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshOn(docs: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map { i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i")
     }
-    val sigs = shingleHashRows(spark, dir)
+    val sigs = shingleHashRowsOf(docs)
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until MinhashK / BandRows).map { b =>
@@ -122,7 +142,7 @@ object Dedup {
       .distinct()
     // exact-verify ONLY the candidates (tiny set): intersection counts
     // via broadcast joins against the shingle rows.
-    val r = shingleHashRows(spark, dir).select("doc_id", "sh")
+    val r = shingleHashRowsOf(docs).select("doc_id", "sh")
     val inter = broadcast(cand)
       .join(r.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"))
       .join(r.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh" -> "sh2")),
@@ -130,7 +150,7 @@ object Dedup {
       .filter(col("sh") === col("sh2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = shingleSizes(spark, dir)
+    val sizes = shingleSizesOf(docs)
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
@@ -140,6 +160,21 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "jaccard")
       .orderBy("doc_id_1", "doc_id_2")
   }
+
+  /** The natural-corpus form (kept for the recall spec). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(docsTable(spark, dir))
+
+  /** The registry form: run the FULL LSH pipeline over the corpus plus
+    * planted identical-token copies, then keep only the planted pairs
+    * — whose candidate recall is deterministically 1 (identical
+    * signatures land in identical buckets), so a DuckDB brute-force
+    * shingle-Jaccard over the (id, id + PlantOffset) domain is an
+    * exact hash-level oracle for the whole pipeline.
+    */
+  def minhashLshPlanted(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(withPlanted(docsTable(spark, dir)))
+      .filter(col("doc_id_2") === col("doc_id_1") + PlantOffset)
 
   /** 64-bit SimHash over token hashes, hamming ≤ 3 near-dup pairs.
     * Output = exactly the hamming≤3 pair set (candidate blocking is
@@ -159,7 +194,7 @@ object Dedup {
     *    quadratic at billions of docs is 512× smaller, at the cost of
     *    C(5,2)=10 keys/doc instead of 4.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhashOn(docs: DataFrame): DataFrame = {
     // lanes: bit b lives in packed sum i = b % 22, lane l = b / 22,
     // at in-long lane offset 21*l (21-bit stride: counts < 2^21 never
     // carry, and 2^21-1 << 42 < 2^63 keeps the top lane ANSI-safe)
@@ -173,7 +208,7 @@ object Dedup {
       val ones = shiftright(col(s"p${b % 22}"), 21 * (b / 22)).bitwiseAND(lit(0x1FFFFFL))
       when(ones * 2 > col("n_toks"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    val docs = tokenStream(spark, dir)
+    val sigDocs = tokenStreamOf(docs)
       .select(col("doc_id"), xxhash64(col("tok")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), packedSums: _*)
@@ -194,7 +229,7 @@ object Dedup {
     val pairs = for (i <- 0 until 5; j <- i + 1 until 5) yield
       struct(lit(i * 5 + j).as("bp"),
         shiftleft(bandOf(i), bandBits(j)).bitwiseOR(bandOf(j)).as("bits"))
-    val banded = docs.select(col("doc_id"), col("simhash"),
+    val banded = sigDocs.select(col("doc_id"), col("simhash"),
       explode(array(pairs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.bp").as("bp"), col("bb.bits").as("bits"))
@@ -207,6 +242,21 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .orderBy("doc_id_1", "doc_id_2")
   }
+
+  /** The natural-corpus form (kept for the hamming spec). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(docsTable(spark, dir))
+
+  /** Registry form: full simhash pipeline over corpus + planted
+    * identical-token copies, restricted to the planted pairs. A copy's
+    * distinct-token set is identical, so its signature is identical —
+    * hamming 0, found through every band pair with recall exactly 1 —
+    * and the oracle is the closed form: one (id, id + PlantOffset, 0)
+    * row per planted doc with ≥1 token.
+    */
+  def simhashPlanted(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(withPlanted(docsTable(spark, dir)))
+      .filter(col("doc_id_2") === col("doc_id_1") + PlantOffset)
 
   val CosineChunks = 8
 
@@ -280,12 +330,19 @@ object Dedup {
     val dot = vec_dot _
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      // The hyperplane arrays are EmbedDim wide and vec_dot silently
+      // truncates to the shorter operand, so a wider corpus would get
+      // signatures over only the first EmbedDim components — degraded
+      // recall with no failure. Make the precondition loud, like the
+      // simhash lane-overflow assert.
+      .filter(assert_true(size(col("v")) === EmbedDim,
+        lit(s"embedCosineLsh: embedding width != $EmbedDim — regenerate hyperplanes")).isNull)
     val aug = e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"),
       col("label"), transform(col("v"), x => x * lit(0.5f)).as("v")))
     val rnd = new scala.util.Random(42) // fixed seed: deterministic planes
     val planes = Array.fill(LshBits, EmbedDim)(rnd.nextGaussian())
     val sig = (0 until LshBits).map { h =>
-      when(dot(col("v"), array(planes(h).map(lit): _*)) >= 0,
+      when(dot(col("v"), array(planes(h).toIndexedSeq.map(lit): _*)) >= 0,
         shiftleft(lit(1L), h)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     val bandBits = LshBits / LshBands
@@ -349,8 +406,39 @@ object Dedup {
         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
-    "dd_minhash_lsh" -> GQuery.rowsOnly(minhashLsh),
-    "dd_simhash" -> GQuery.rowsOnly(simhash),
+    "dd_minhash_lsh" -> GQuery.sql(minhashLshPlanted,
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ' ' || text || chr(9)
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    "dd_simhash" -> GQuery.sql(simhashPlanted,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id AS doc_id_1, doc_id + 1000000 AS doc_id_2,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM toks WHERE doc_id % 4 = 0 AND len(t) >= 1
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "dd_embed_cosine" -> GQuery.sql(embedCosine,
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2, x.label AS label,

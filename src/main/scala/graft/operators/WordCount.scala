@@ -57,28 +57,51 @@ object WordCount {
       "word",
       count(lit(1)).as("cnt"))
 
-  /** Fixed staging root; each scale factor stages into its own
-    * basename-keyed subdirectory so a bench run at sf0.1 can never
-    * clobber the sf0.01 staging the oracle compare reads (the static
-    * oracle SQL globs the sf0.01 subdir — the scale Verify runs at).
+  /** Staging root under the build dir (NOT a world-writable shared
+    * /tmp): only this project writes here, and the driver's DuckDB
+    * oracle can still glob it.
     */
-  val TextStageRoot = "/tmp/graft_text_corpus"
+  val TextStageRoot = "/root/repo/target/graft_text_corpus"
+
+  /** Stage subdir for a source dir, keyed by basename PLUS a hash of
+    * the absolute path — two source dirs sharing a basename (or the
+    * same sf staged from different roots) can never collide on one
+    * staging path, so a bench run can't clobber the staging an oracle
+    * compare is reading.
+    */
+  def stagePathFor(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"$TextStageRoot/${abs.getFileName}_$key"
+  }
 
   /** Stage `documents.text` as raw `.txt` files, idempotent per source
-    * dir (a `_SOURCE` marker records which sfDir is staged; restages
-    * only when it changes, so bench passes don't rewrite).
+    * dir. Commit protocol: write into a fresh temp sibling (with the
+    * `_SOURCE` marker inside), then atomically rename into place — a
+    * concurrent reader sees either the old complete staging or the new
+    * one, never a half-written directory.
     */
-  def stageTextDir(spark: SparkSession, dir: String): String = {
-    val stage = s"$TextStageRoot/${java.nio.file.Paths.get(dir).getFileName}"
-    val marker = java.nio.file.Paths.get(stage, "_SOURCE")
+  def stageTextDir(spark: SparkSession, dir: String): String = synchronized {
+    val stage = stagePathFor(dir)
+    val stagePath = java.nio.file.Paths.get(stage)
     val cur =
-      try new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      try new String(java.nio.file.Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
       catch { case _: Exception => "" }
     if (cur != dir) {
+      val tmp = java.nio.file.Paths.get(s"$stage.tmp-${System.nanoTime()}")
       Tables.documents(spark, dir).select("text")
         .repartition(8)
-        .write.mode("overwrite").text(stage)
-      java.nio.file.Files.write(marker, dir.getBytes("UTF-8"))
+        .write.mode("overwrite").text(tmp.toString)
+      java.nio.file.Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+      if (java.nio.file.Files.exists(stagePath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.move(tmp, stagePath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     stage
   }
@@ -149,7 +172,7 @@ object WordCount {
     "wc_wordcount_text" -> GQuery.sql(wordcountText,
       s"""SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(content, '[[:punct:][:space:]]+')) AS word
-        |      FROM read_text('$TextStageRoot/sf0.01/part-*.txt'))
+        |      FROM read_text('${stagePathFor("/root/testdata/sf0.01")}/part-*.txt'))
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY word""".stripMargin),
     "wc_grep" -> GQuery.sql(grep,
