@@ -304,13 +304,19 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
-  /** Quantile sketches per group (approx percentile + median). */
+  /** Per-group percentiles, exact (interpolated), so the DuckDB
+    * quantile_cont oracle hash-checks them. Exact percentile buffers a
+    * group's values, so at 100 TB the sketch form is the right plan —
+    * swap `percentile` for `percentile_approx` there and accept the
+    * rows-only check (the 5-group demo here is driver-checkable
+    * either way; the sketch error-bound is pinned in RelationalSpec).
+    */
   def relPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(
-        round(expr("percentile_approx(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile_approx(o_totalprice, 0.95)"), 2).as("p95"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy("o_orderpriority")
@@ -736,6 +742,12 @@ object Relational {
         |  FROM lineitem WHERE l_suppkey <= 10)
         |ORDER BY l_suppkey, rn""".stripMargin),
     "rel_approx_distinct" -> GQuery.rowsOnly(relApproxDistinct),
-    "rel_percentiles" -> GQuery.rowsOnly(relPercentiles),
+    "rel_percentiles" -> GQuery.sql(relPercentiles,
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 }

@@ -80,8 +80,10 @@ object TextAnalysis {
       .select(col("doc_id"), md5(Text.normalized(col("text")).cast("binary")).as("md5_hash"))
       .orderBy("doc_id")
 
-  /** Rabin-Karp rolling-hash fingerprint (rows-only; character-fold
-    * semantics have no clean DuckDB equivalent).
+  /** Rabin-Karp rolling-hash fingerprint over the normalized text
+    * (base 131 mod 1e9+7). Oracle-checked: DuckDB reproduces the exact
+    * character fold with list_reduce over per-char codepoints, seeded
+    * by a prepended 0 accumulator.
     */
   def fingerprintFnv(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -177,6 +179,15 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_hash
         |FROM documents ORDER BY doc_id""".stripMargin),
-    "txt_fingerprint_fnv" -> GQuery.rowsOnly(fingerprintFnv),
+    "txt_fingerprint_fnv" -> GQuery.sql(fingerprintFnv,
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS BIGINT))),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS rolling_hash
+        |FROM n ORDER BY doc_id""".stripMargin),
   )
 }

@@ -115,15 +115,43 @@ object WordCount {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
-  /** Inverted index: token → sorted doc list + postings count. */
+  /** Postings shard width: level-1 aggregation buffers hold at most
+    * this many doc ids per (word, shard) — see `invertedIndex`.
+    */
+  val PostingsShardSize = 4096L
+
+  /** Inverted index: token → sorted doc list + postings count.
+    *
+    * Sharded two-level aggregation: a single `collect_list(doc_id)`
+    * per word is the classic inverted-index skew bomb — a
+    * stopword-class token appears in ~every document, so one
+    * aggregation buffer would hold billions of ids at corpus scale.
+    * Instead, level 1 groups by (word, doc_id div shardSize) and
+    * builds per-shard sorted runs (buffer ≤ shardSize ids, whatever
+    * the corpus size); level 2 concatenates the runs in shard order —
+    * its buffers hold one STRING per shard, and the only O(postings)
+    * object is the output value itself, which the word→doc_ids output
+    * contract requires. Output is byte-identical to the single-level
+    * form (shards partition the id space in order), so the oracle SQL
+    * is unchanged.
+    */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexSharded(spark, dir, PostingsShardSize)
+
+  private[graft] def invertedIndexSharded(
+      spark: SparkSession, dir: String, shardSize: Long): DataFrame =
     tokenized(spark, dir)
       .distinct()
+      .groupBy(col("word"), expr(s"doc_id div $shardSize").as("shard"))
+      .agg(
+        count(lit(1)).as("n_shard"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("run"))
       .groupBy("word")
       .agg(
-        count(lit(1)).as("n_docs"),
-        array_join(transform(array_sort(collect_list(col("doc_id"))),
-          d => d.cast("string")), ",").as("doc_ids"))
+        sum(col("n_shard")).as("n_docs"),
+        array_join(transform(array_sort(collect_list(struct(col("shard"), col("run")))),
+          s => s.getField("run")), ",").as("doc_ids"))
       .orderBy("word")
 
   /** Per-token corpus stats (occurrences, doc frequency, id range). */

@@ -64,6 +64,23 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("approx_count_distinct error stays within 3x the configured rsd") {
+    import org.apache.spark.sql.functions._
+    // The sketch is configured at rsd = 0.02; a 3-sigma relative-error
+    // bound of 6% turns the rows-only HLL path into a quantitative
+    // gate instead of an existence check.
+    val approx = Relational.relApproxDistinct(spark, SfDir)
+      .select(col("o_orderpriority"), col("approx_customers"))
+    val exact = Tables.orders(spark, SfDir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    val worst = approx.join(exact, "o_orderpriority")
+      .select((abs(col("approx_customers") - col("exact_customers")).cast("double") /
+        col("exact_customers").cast("double")).as("rel_err"))
+      .agg(max(col("rel_err"))).collect()(0).getDouble(0)
+    assert(worst <= 3 * 0.02, s"worst HLL relative error $worst > 6%")
+  }
+
   test("plan shape: q8 broadcasts the dim sides and never shuffles a cartesian") {
     val plan = Relational.q8MarketShare(spark, SfDir)
       .queryExecution.executedPlan.toString

@@ -38,6 +38,15 @@ class WordCountSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("sharded inverted index is shard-size invariant (no unbounded per-key collect)") {
+    // A tiny shard forces many level-1 runs per word; output must be
+    // byte-identical to an effectively unsharded run — pins that the
+    // bounded-buffer rewrite preserves the contract.
+    val tiny = WordCount.invertedIndexSharded(spark, SfDir, 3L)
+    val one = WordCount.invertedIndexSharded(spark, SfDir, Long.MaxValue / 2)
+    assert(tiny.exceptAll(one).count() == 0 && one.exceptAll(tiny).count() == 0)
+  }
+
   test("ShingleHashes and NGrams match the composed tokenizer pipeline") {
     import spark.implicits._
     val df = Seq("The quick, brown fox! jumps").toDF("text")
