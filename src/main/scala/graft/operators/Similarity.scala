@@ -21,20 +21,35 @@ object Similarity {
 
   val NQueries = 5
   val TopK = 10
+  val SaltBuckets = 64
 
-  /** Exact top-k cosine neighbors for the first NQueries vectors.
-    * The query side is broadcast (tiny); the corpus is scanned once;
-    * per-query top-k via window over the query partition — at scale
-    * swap row_number for a bounded-heap Aggregator, same plan shape.
+  /** Exact top-k cosine neighbors for the first NQueries vectors via
+    * SALTED two-phase windows. A single window partitioned by q_id
+    * alone funnels every scored corpus row into NQueries tasks — the
+    * round-3 scale defect. Phase 1 partitions by (q_id, salt) with
+    * salt = hash(vec_id) mod SaltBuckets, so the corpus-sized sort
+    * spreads over NQueries × SaltBuckets tasks and keeps ≤ k rows per
+    * salt (each true global top-k row is necessarily in its salt's
+    * top-k); phase 2 ranks the ≤ NQueries·SaltBuckets·k survivors —
+    * its tiny-partition window runs over an already-reduced input.
+    * The bounded-heap Aggregator form (`ann_topk_agg`) remains the
+    * preferred 100 TB plan — it never sorts the full scored set —
+    * but this is the window strategy done scale-right, checked
+    * against the identical oracle.
     */
   def bruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos_raw"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(SaltBuckets.toLong)))
+    val w1 = Window.partitionBy("q_id", "salt").orderBy(desc("cos_raw"), asc("vec_id"))
+    val w2 = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("vec_id"))
+    scored
+      .withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= TopK)
+      .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos_raw"), 4).as("cosine"))
       .orderBy("q_id", "rank")
@@ -61,30 +76,29 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  val NCells = 16
-  // Synthetic embeddings are near-uniform (no cluster structure), so
-  // recall tracks NProbe/NCells; real embedding corpora cluster and
-  // reach high recall at much lower probe ratios.
-  val NProbe = 8
-
-  /** IVF-style ANN: deterministic hash-sampled centroids (~NCells of
-    * them, no global ordering of the corpus anywhere), one-time cell
-    * assignment of the corpus via map-side max_by aggregation, and
-    * per-query probing of the NProbe nearest cells only. Recall vs
-    * brute force is checked in SimilaritySpec. Rows-only.
+  /** IVF-style ANN: deterministic hash-sampled centroids (≈ √n of
+    * them — the classic IVF cell count, derived from the corpus count
+    * inside the plan, so the index keeps per-cell size ≈ √n at ANY
+    * corpus scale), one-time cell assignment of the corpus via
+    * map-side max_by aggregation, per-query probing of the nearest
+    * half of the cells (synthetic embeddings are near-uniform, so
+    * recall tracks the probe fraction; clustered real corpora reach
+    * high recall at far lower fractions), and a bounded-heap final
+    * ranking — no query-count-partition window anywhere. Recall vs
+    * brute force is checked in PipelineOpsSpec. Rows-only.
     */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     // Centroids by deterministic hash sampling: keep vec_ids whose
-    // xxhash64 falls in a 1-in-(n/NCells) residue class — a single
-    // scan + scalar count, instead of a single-task global window.
-    // step degrades to 1 (every row a centroid) when n <= NCells.
+    // xxhash64 falls in a 1-in-(n/ceil(sqrt(n))) residue class — a
+    // single scan + scalar count, instead of a single-task global
+    // window. step degrades to 1 (every row a centroid) at tiny n.
     val n = e.agg(count(lit(1)).as("n_vecs"))
     val sampled = e.crossJoin(broadcast(n))
       .filter(pmod(xxhash64(col("vec_id")),
-        greatest(expr(s"n_vecs div $NCells"), lit(1L))) === 0L)
+        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"), lit(1L))) === 0L)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
-    // The sample count is ~Binomial(n, NCells/n): an unlucky draw can
+    // The sample count is ~Binomial(n, sqrt(n)/n): an unlucky draw can
     // come up short (or, pathologically, empty → silently empty
     // result). Union a guaranteed centroid — the min vec_id — so at
     // least one cell always exists; dedup covers the overlap.
@@ -94,7 +108,7 @@ object Similarity {
     val centroids = sampled.unionByName(fallback).dropDuplicates("cell_id")
     // Nearest-centroid assignment as an aggregation, not a window:
     // max_by partials run map-side, so the shuffle carries one row per
-    // (partition, vec_id) — not corpus × NCells. Ties break to the
+    // (partition, vec_id) — not corpus × n_cells. Ties break to the
     // lowest cell_id via the (cos, -cell_id) ordering struct.
     val assigned = e.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("v"), col("cell_id"),
@@ -105,20 +119,30 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cell_id"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // Probe the nearest half of the cells. The crank window is
+    // per-query over the ~√n centroid rows only (already reduced by
+    // the centroid aggregate), never over corpus rows.
+    val nCells = centroids.agg(count(lit(1)).as("n_cells"))
     val qCells = q.join(broadcast(centroids), lit(true))
       .select(col("q_id"), col("qv"), col("cell_id"),
         cosine(col("qv"), col("cv")).as("cell_cos"))
+      .crossJoin(broadcast(nCells))
       .withColumn("crank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cell_cos"), asc("cell_id"))))
-      .filter(col("crank") <= NProbe)
+      .filter(col("crank") <= greatest(expr("n_cells div 2"), lit(1L)))
       .select(col("q_id"), col("qv"), col("cell_id"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("vec_id"))
+    // Final ranking through the bounded-heap Aggregator: each map
+    // partition contributes ≤ k rows to the q_id shuffle, so the
+    // probed-candidate stream never funnels into NQueries sort tasks.
+    val topk = graft.functions.TopK.topKByScore(TopK)
     qCells.join(assigned, Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos_raw"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos_raw"), 4).as("cosine"))
+      .select(col("q_id"), cosine(col("qv"), col("v")).as("score"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), round(col("s.score"), 4).as("cosine"))
       .orderBy("q_id", "rank")
   }
 

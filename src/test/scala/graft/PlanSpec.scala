@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical._
 
@@ -14,9 +15,77 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *     broadcast hint on one side — a shuffled cartesian product is
   *     never acceptable;
   *  3. no Limit may feed a join from below (a collect-limit pattern
-  *     that serializes through the driver).
+  *     that serializes through the driver);
+  *  4. a rank filter over a Window whose EVERY partition key is
+  *     statically bounded to a tiny literal domain (e.g. q_id < 5)
+  *     funnels the window's whole input into that many tasks — only
+  *     legal when the input was already reduced by an aggregation or
+  *     an earlier (salted) window below it.
   */
 class PlanSpec extends SparkTestBase {
+
+  /** Strip casts: `cast(rank as bigint) <= 10` still bounds rank. */
+  private def unwrap(e: Expression): Expression = e match {
+    case c: Cast => unwrap(c.child)
+    case x => x
+  }
+
+  private def isRankFn(e: Expression): Boolean = e.exists {
+    case WindowExpression(f, _) =>
+      f.isInstanceOf[RowNumber] || f.isInstanceOf[Rank] || f.isInstanceOf[DenseRank]
+    case _ => false
+  }
+
+  /** Attribute is statically confined to ≤ ~1024 values by a
+    * propagated constraint (`a < lit`, `a <= lit`, `a = lit`).
+    */
+  private def tinyDomain(a: Attribute, child: LogicalPlan): Boolean =
+    child.constraints.exists {
+      case LessThan(x: AttributeReference, Literal(v: Number, _)) =>
+        x.exprId == a.exprId && v.longValue <= 1024
+      case LessThanOrEqual(x: AttributeReference, Literal(v: Number, _)) =>
+        x.exprId == a.exprId && v.longValue <= 1024
+      case EqualTo(x: AttributeReference, _: Literal) => x.exprId == a.exprId
+      case _ => false
+    }
+
+  /** Rule-4 offenders in one optimized plan. */
+  private def tinyTopkOffenders(plan: LogicalPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreach {
+      case Filter(cond, w: Window) =>
+        val boundedIds: Set[ExprId] = {
+          val ids = scala.collection.mutable.Set.empty[ExprId]
+          cond.foreach {
+            case LessThanOrEqual(l, _: Literal) => unwrap(l) match {
+              case a: AttributeReference => ids += a.exprId
+              case _ =>
+            }
+            case LessThan(l, _: Literal) => unwrap(l) match {
+              case a: AttributeReference => ids += a.exprId
+              case _ =>
+            }
+            case _ =>
+          }
+          ids.toSet
+        }
+        val rankIds = w.windowExpressions.collect {
+          case a: Alias if isRankFn(a.child) => a.exprId
+        }.toSet
+        val isTopkFilter = boundedIds.intersect(rankIds).nonEmpty
+        val allPartitionsTiny = w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+          case a: AttributeReference => tinyDomain(a, w.child)
+          case _ => false
+        }
+        val reduced = w.child.collectFirst {
+          case p if p.isInstanceOf[Aggregate] || p.isInstanceOf[Window] => p
+        }.isDefined
+        if (isTopkFilter && allPartitionsTiny && !reduced)
+          out += "top-k rank filter over a tiny-domain-partition Window on unreduced input"
+      case _ =>
+    }
+    out.toSeq
+  }
 
   test("every registry query plan honors the scale invariants") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -38,7 +107,24 @@ class PlanSpec extends SparkTestBase {
             offenders += s"$name: Limit feeding a join"
         case _ =>
       }
+      tinyTopkOffenders(plan).foreach(o => offenders += s"$name: $o")
     }
     assert(offenders.isEmpty, "scale invariants violated:\n" + offenders.mkString("\n"))
+  }
+
+  test("the tiny-domain top-k window gate actually fires (positive control)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // The round-3 ann_bruteforce_topk shape: rank over partitionBy of a
+    // column constrained to < 5, straight off the scan join.
+    val e = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), element_at(col("embedding"), 1).as("s"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("s"), asc("vec_id"))
+    val bad = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+    assert(tinyTopkOffenders(bad.queryExecution.optimizedPlan).nonEmpty,
+      "gate failed to flag the known-bad tiny-partition top-k window")
   }
 }
