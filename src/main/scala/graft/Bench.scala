@@ -21,13 +21,14 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case _: Throwable => failed += name }
     }
-    // 3 timed passes over the whole registry, interleaved at pass level:
+    // 5 timed passes over the whole registry, interleaved at pass level:
     // host CPU-steal bursts (this VM shows 2-5x swings) hit all queries
     // of a pass roughly equally instead of whichever single query was
-    // running. Min-of-3 per query is the regression number; the spread
-    // (max/min) makes a noisy sample visible instead of silently
-    // absorbed.
-    val Passes = 3
+    // running. Min-of-5 per query is the regression number; the MEDIAN
+    // is the robust central figure (a single steal burst cannot move
+    // it), and spread = median/min flags residual noise without letting
+    // one inflated max paint a 36x outlier into the artifact.
+    val Passes = 5
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to Passes).foreach { _ =>
       queries.foreach { case (name, fn) =>
@@ -43,21 +44,23 @@ object Bench {
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    case class Q(min: Double, median: Double, spread: Double)
     val results = queries.map { case (name, _) =>
-      if (failed.contains(name)) name -> (-1.0, -1.0)
+      if (failed.contains(name)) name -> Q(-1.0, -1.0, -1.0)
       else {
-        val ts = times(name)
-        name -> (ts.min, ts.max / ts.min)
+        val ts = times(name).sorted
+        val med = ts(ts.length / 2)
+        name -> Q(ts.min, med, med / ts.min)
       }
     }
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + fmt(mn) }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, (_, sp)) => s"\"" + k + "\":" + fmt(sp) }
+    def jmap(f: Q => Double) = results
+      .map { case (k, q) => s"\"" + k + "\":" + fmt(f(q)) }
       .mkString("{", ",", "}")
     val fs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    val totalMedian = results.map(_._2.median).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"failed":$fs,"sf":"$sfDir"}"""
     // stdout line for the driver AND a file artifact: round 1's JSON
     // overflowed the driver's stdout tail capture (parsed: null), so
     // persist the per-query regression baseline ourselves.

@@ -73,23 +73,33 @@ object EventsStreaming {
   case class Session(user_id: Long, session_seq: Long,
       session_start_ms: Long, session_end_ms: Long,
       n_events: Long, value_sum: Double)
-  /** Per-user state: the (possibly open) most-recent session. A closed
-    * record (`open = false`) is kept as a tombstone so the session
-    * counter stays monotone across watermark closes and restarts —
-    * state per user stays O(1) at any stream length.
+  /** One not-yet-final session interval. */
+  case class Sess(startMs: Long, endMs: Long, nEvents: Long, valueSum: Double)
+  /** Per-user state: the start-ordered PENDING sessions (none of them
+    * watermark-final yet) plus the next session seq. Bounded: a
+    * session finalizes once the watermark passes end + gap, so at most
+    * ~watermark-delay/gap + 1 sessions are ever pending per user; the
+    * emptied record is kept as a tombstone so seq stays monotone
+    * across closes and restarts — O(1) state per user at any stream
+    * length.
     */
-  case class SessState(seq: Long, startMs: Long, endMs: Long,
-      nEvents: Long, valueSum: Double, open: Boolean)
+  case class SessState(nextSeq: Long, pending: List[Sess])
 
   val GapMs: Long = 30L * 60 * 1000
 
-  /** Stateful gap sessionizer: per-user GroupState carries the OPEN
-    * session across triggers, so a session spanning a micro-batch (or
-    * checkpoint-restart) boundary is emitted exactly once, identical
-    * to the batch `Events.sessionize`. Sessions are emitted only when
-    * they provably closed: either a later event opened the next
-    * session, or the event-time watermark passed `end + gap`
-    * (EventTimeTimeout). Append mode never retracts.
+  /** Stateful gap sessionizer, identical to the batch
+    * `Events.sessionize` for ANY arrival order the watermark admits.
+    * Sessions are buffered in per-user GroupState and emitted ONLY
+    * once the event-time watermark passes `end + gap`
+    * (EventTimeTimeout) — never merely because a later event opened
+    * the next session. Until then a ≤-watermark-late event can still
+    * land between two pending sessions and BRIDGE them (the merge
+    * min-s the start and max-es the end), exactly as batch would have
+    * grouped it; once the watermark passes end + gap no admissible
+    * event (late rows below the watermark are dropped upstream) can
+    * reach the session, so emission is final and append mode never
+    * retracts. Finalizable sessions are always a start-ordered prefix
+    * of the pending list, which keeps session_seq in batch order.
     */
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
@@ -99,35 +109,40 @@ object EventsStreaming {
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          def emit(s: SessState) = Session(userId, s.seq, s.startMs, s.endMs,
-            s.nEvents, math.round(s.valueSum * 100.0) / 100.0)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.update(s.copy(open = false)) // tombstone keeps seq monotone
-            if (s.open) Iterator.single(emit(s)) else Iterator.empty
-          } else {
+          var st = state.getOption.getOrElse(SessState(1L, Nil))
+          if (!state.hasTimedOut) {
+            // fold this batch's events into the pending sessions: an
+            // event within gap of a session's interval joins it, and an
+            // event within gap of TWO sessions bridges them into one
             val sorted = it.toSeq.sortBy(e => (e.ms, e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var st = state.getOption.getOrElse(
-              SessState(0L, 0L, 0L, 0L, 0.0, open = false))
+            var pending = st.pending
             sorted.foreach { e =>
-              if (st.open && e.ms - st.endMs <= GapMs) {
-                st = st.copy(endMs = math.max(st.endMs, e.ms),
-                  nEvents = st.nEvents + 1, valueSum = st.valueSum + e.value)
-              } else {
-                if (st.open) out += emit(st)
-                st = SessState(st.seq + 1, e.ms, e.ms, 1L, e.value, open = true)
+              val (touching, rest) = pending.partition(s =>
+                e.ms >= s.startMs - GapMs && e.ms <= s.endMs + GapMs)
+              val merged = touching.foldLeft(Sess(e.ms, e.ms, 1L, e.value)) {
+                (a, s) => Sess(math.min(a.startMs, s.startMs),
+                  math.max(a.endMs, s.endMs),
+                  a.nEvents + s.nEvents, a.valueSum + s.valueSum)
               }
+              pending = (merged :: rest).sortBy(_.startMs)
             }
-            state.update(st)
-            if (st.open) {
-              // the timeout timestamp must sit above the current
-              // watermark or Spark rejects it
-              state.setTimeoutTimestamp(
-                math.max(st.endMs + GapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
+            st = st.copy(pending = pending)
           }
+          // emit the prefix the watermark has sealed (end + gap below
+          // it); later pending sessions stay buffered for the timeout
+          val wm = state.getCurrentWatermarkMs()
+          val (done, still) = st.pending.span(s => s.endMs + GapMs < wm)
+          val out = done.zipWithIndex.map { case (s, i) =>
+            Session(userId, st.nextSeq + i, s.startMs, s.endMs,
+              s.nEvents, math.round(s.valueSum * 100.0) / 100.0)
+          }
+          state.update(SessState(st.nextSeq + done.length, still))
+          // the timeout timestamp must sit above the current watermark
+          // or Spark rejects it
+          still.headOption.foreach { s =>
+            state.setTimeoutTimestamp(math.max(s.endMs + GapMs, wm + 1))
+          }
+          out.iterator
       }
   }
 

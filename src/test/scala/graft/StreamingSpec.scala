@@ -107,4 +107,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("a late in-watermark event bridges two pending sessions into one") {
+    import spark.implicits._
+    // user 7: events at T and T+40min arrive first (40min > the 30min
+    // gap ⇒ two pending sessions); then an OUT-OF-ORDER event at
+    // T+20min — still above the 2h watermark — arrives and bridges
+    // them. Batch semantics: ONE session [T, T+40min] of 3 events.
+    // Emit-on-next-event would already have split it; emit-on-watermark
+    // must merge.
+    val T = 1000000000000L
+    val min = 60L * 1000
+    def ev(id: Long, ms: Long) =
+      Seq((id, ms)).toDF("event_id", "ms")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          lit(7L).as("user_id"), lit("e").as("event_type"), lit(1.0).as("value"))
+    val watch = java.nio.file.Files.createTempDirectory("graft_bridge").toString
+    val sessions = EventsStreaming.sessionize(spark,
+      spark.readStream.schema(ev(0, T).schema).parquet(watch))
+    val q = sessions.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("bridge").start()
+    try {
+      EventsStreaming.dropFile(ev(1, T).unionAll(ev(2, T + 40 * min)), watch, "a")
+      q.processAllAvailable()
+      EventsStreaming.dropFile(ev(3, T + 20 * min), watch, "late")
+      q.processAllAvailable()
+      EventsStreaming.dropFile(
+        ev(-1, T + 10L * 3600 * 1000).withColumn("user_id", lit(-1L)), watch, "s1")
+      q.processAllAvailable()
+      EventsStreaming.dropFile(
+        ev(-2, T + 20L * 3600 * 1000).withColumn("user_id", lit(-2L)), watch, "s2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bridge").filter(col("user_id") === 7L).collect()
+    assert(got.length == 1, s"expected one bridged session, got ${got.length}")
+    assert(got(0).getAs[Long]("session_start_ms") == T)
+    assert(got(0).getAs[Long]("session_end_ms") == T + 40 * min)
+    assert(got(0).getAs[Long]("n_events") == 3L)
+  }
 }
