@@ -152,7 +152,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  val BenchmarkMaxId = 50L
+
+  /** Benchmark decontamination — the training-pipeline pass that
+    * removes eval-set leakage before training: report every training
+    * doc sharing at least one trigram shingle with the held-out
+    * benchmark (doc_id < BenchmarkMaxId stands in for the eval set),
+    * with its distinct-overlap count. The benchmark's distinct
+    * shingle-hash set is tiny relative to the corpus and is BROADCAST;
+    * the training side streams through the hash equi-join into a
+    * per-doc distinct count — corpus text is scanned once and never
+    * shuffled, the shape a 100 TB decontamination needs. Shingles come
+    * from the one-pass native `ShingleHashes` expression.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("sh"))
+    val benchShingles = sh.filter(col("doc_id") < BenchmarkMaxId)
+      .select("sh").distinct()
+    sh.filter(col("doc_id") >= BenchmarkMaxId)
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_decontaminate" -> GQuery.sql(decontaminate,
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BenchmarkMaxId),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= $BenchmarkMaxId)
+        |SELECT tr.doc_id, count(DISTINCT tr.s) AS n_overlap
+        |FROM tr JOIN b USING (s)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
     "pipe_hash_sample" -> GQuery.sql(hashSample,
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ((doc_id % 999983) * 2654435761) % 100 < 5

@@ -113,7 +113,63 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** Repetition quality signals (the Gopher-rules family): fraction
+    * of a doc's tokens taken by its single most frequent token, and
+    * the same for bigrams — high values mark the repetitive
+    * low-quality text a training pipeline filters out. Two keyed
+    * aggregations over exploded token/bigram streams (map-side
+    * partials, no per-doc arrays), then a broadcast-size join back to
+    * doc ids.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokTop = docs
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+          .as("top_token_frac"))
+    val bgTop = docs
+      .select(col("doc_id"), explode(graft.functions.NGrams.ngrams(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_bigram_frac"))
+    docs.select("doc_id")
+      .join(tokTop, Seq("doc_id"), "left")
+      .join(bgTop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_repetition" -> GQuery.sql(repetition,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac
+        |       FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+        |         i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+        |       FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(ts.n_tokens, 0) AS n_tokens,
+        |  coalesce(ts.top_token_frac, 0.0) AS top_token_frac,
+        |  coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "txt_bigram_lm" -> GQuery.sql(bigramLm,
       """WITH toks AS (
         |  SELECT doc_id,

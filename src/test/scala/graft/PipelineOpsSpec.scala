@@ -111,6 +111,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(cc.filter(col("n_tokens") < 5 || col("n_tokens") > 1000).count() == 0)
   }
 
+  test("repetition fractions are bounded and token totals reconcile") {
+    val rep = TextAnalysis.repetition(spark, SfDir)
+    // each fraction lives in [1/n_tokens, 1] when tokens exist
+    // (epsilon: the 6-dp rounding can land just below the exact bound)
+    val bad = rep.filter(col("n_tokens") > 0 &&
+      (col("top_token_frac") > 1.0 ||
+        col("top_token_frac") < lit(1.0) / col("n_tokens").cast("double") - 1e-6 ||
+        col("top_bigram_frac") > 1.0))
+    assert(bad.count() == 0)
+    val total = rep.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val expected = Tables.documents(spark, SfDir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w")).count()
+    assert(total == expected)
+  }
+
+  test("decontamination reports only training docs, each with real overlap") {
+    val d = Pipeline.decontaminate(spark, SfDir)
+    assert(d.filter(col("doc_id") < Pipeline.BenchmarkMaxId).count() == 0)
+    assert(d.filter(col("n_overlap") < 1).count() == 0)
+    // sanity: this corpus's shared vocabulary makes overlap common
+    assert(d.count() > 0)
+  }
+
   test("langid predicts a language for every doc, deterministically") {
     val l1 = TextAnalysis.langId(spark, SfDir).collect()
     val l2 = TextAnalysis.langId(spark, SfDir).collect()
