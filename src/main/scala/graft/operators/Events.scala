@@ -123,7 +123,42 @@ object Events {
       .orderBy("hour_ms")
   }
 
+  /** Ordered funnel: per user, the first 'view', the first 'click'
+    * strictly after it, and the first 'purchase' strictly after that —
+    * the classic product-analytics sequence query. Each stage is a
+    * keyed min-aggregation joined to the previous stage on user_id,
+    * so all three stages shuffle on the SAME key (co-partitioned
+    * joins, successively smaller frames) and nothing sorts events
+    * per user.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ms") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ms")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ms") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ms")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_funnel" -> GQuery.sql(funnel,
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ms) AS t_click FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ms > t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ms) AS t_purchase FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms > t_click GROUP BY 1)
+        |SELECT s1.user_id, t_view, t_click, t_purchase
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin),
     "ev_asof_join" -> GQuery.sql(asofJoin,
       """SELECT p.event_id, p.user_id,
         |  p.us AS purchase_us,

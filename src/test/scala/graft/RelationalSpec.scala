@@ -64,6 +64,16 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("funnel stages are strictly ordered per user") {
+    import org.apache.spark.sql.functions._
+    val f = graft.operators.Events.funnel(spark, SfDir)
+    assert(f.count() > 0)
+    assert(f.filter(col("t_click").isNotNull && col("t_click") <= col("t_view")).count() == 0)
+    assert(f.filter(col("t_purchase").isNotNull && col("t_purchase") <= col("t_click")).count() == 0)
+    // a later stage implies the earlier one
+    assert(f.filter(col("t_purchase").isNotNull && col("t_click").isNull).count() == 0)
+  }
+
   test("approx_count_distinct error stays within 3x the configured rsd") {
     import org.apache.spark.sql.functions._
     // The sketch is configured at rsd = 0.02; a 3-sigma relative-error
