@@ -134,6 +134,13 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(d.count() > 0)
   }
 
+  test("plan shape: decontamination broadcasts the benchmark shingle set") {
+    val plan = Pipeline.decontaminate(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("langid predicts a language for every doc, deterministically") {
     val l1 = TextAnalysis.langId(spark, SfDir).collect()
     val l2 = TextAnalysis.langId(spark, SfDir).collect()
