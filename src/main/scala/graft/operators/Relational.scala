@@ -479,7 +479,37 @@ object Relational {
         col("g_flag"), col("g_status"), col("sum_qty"), col("n_rows"))
       .orderBy("g_flag", "g_status", "returnflag", "linestatus")
 
+  /** GROUPING SETS — the general multi-aggregate form that rollup and
+    * cube specialize: independent group-bys (per status, per priority,
+    * grand total) computed in ONE pass over the fact table with
+    * map-side partials, instead of N separate scans + a union.
+    */
+  def relGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round2(sum(col("o_totalprice"))).as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("g_status"), col("g_priority"), col("sum_price"), col("n_orders"))
+      .orderBy("g_status", "g_priority", "orderstatus", "orderpriority")
+
   val queries: Map[String, GQuery] = Map(
+    "rel_grouping_sets" -> GQuery.sql(relGroupingSets,
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_priority,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, orderstatus, orderpriority""".stripMargin),
     "q2_min_cost_supplier" -> GQuery.sql(q2MinCostSupplier,
       """WITH costs AS (
         |  SELECT l_partkey, l_suppkey,
