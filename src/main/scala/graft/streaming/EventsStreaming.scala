@@ -64,6 +64,21 @@ object EventsStreaming {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Sliding 1-hour windows advancing every 30 minutes: each event
+    * lands in two overlapping windows, the shape trend dashboards
+    * aggregate on. State is one partial aggregate per open
+    * (window, type) pair, bounded by the watermark exactly like the
+    * tumbling rollup.
+    */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
   // carries the raw `ts` (not a derived long) so the watermark tag on
   // the column survives to the stateful operator — EventTimeTimeout
   // requires a watermarked attribute in its input

@@ -21,6 +21,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming sliding-window rollup equals the batch computation") {
+    val stream = EventsStreaming.slidingRollup(
+      EventsStreaming.readEvents(spark, eventsDir))
+    val got = EventsStreaming.runToMemory(spark, stream, "sliding", "complete")
+      .select("win_ms", "event_type", "n_events", "value_sum")
+    // batch oracle: the identical sliding-window aggregation on the
+    // static table — every event must land in exactly two windows
+    val want = Tables.events(spark, SfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("event_type"), col("n_events"), col("value_sum"))
+    assert(got.count() > 0)
+    assert(got.agg(sum("n_events")).collect()(0).getLong(0) ==
+      2 * Tables.events(spark, SfDir).count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming wordcount over staged text drops equals the batch wordcount") {
     import org.apache.spark.sql.DataFrame
     val watch = java.nio.file.Files.createTempDirectory("graft_wc_stream").toString
