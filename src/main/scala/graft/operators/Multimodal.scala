@@ -104,7 +104,48 @@ object Multimodal {
           col("frame_idx").cast("string"))).as("frame_fingerprint"))
       .orderBy("doc_id", "frame_idx")
 
+  val ChunkBytes = 64
+
+  /** Fixed-size binary chunking — the shard step a multimodal
+    * pipeline runs before upload or batched decode: one row per
+    * ceil(n_bytes / ChunkBytes) chunk with its offset, length, and
+    * content md5. sequence+explode keeps offset generation inside
+    * codegen and each output row materializes only its own
+    * ChunkBytes-sized slice of the payload — no per-doc chunk arrays.
+    * The DuckDB oracle slices the VARCHAR form (char == byte under
+    * the corpus-wide ASCII invariant its ascii_ok guard enforces,
+    * exactly as in mm_batch_features).
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L),
+          expr(s"(length(payload) - 1) div $ChunkBytes"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkBytes).as("byte_offset"),
+        length(expr(s"substring(payload, CAST(chunk_id * $ChunkBytes + 1 AS INT), $ChunkBytes)"))
+          .cast("long").as("chunk_len"),
+        md5(expr(s"substring(payload, CAST(chunk_id * $ChunkBytes + 1 AS INT), $ChunkBytes)"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, GQuery] = Map(
+    "mm_chunk" -> GQuery.sql(chunk,
+      s"""WITH ascii_ok AS (
+        |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok
+        |  FROM documents WHERE octet_length(encode(text)) <> length(text)),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (length(text) - 1) // $ChunkBytes + 1)) AS chunk_id
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * $ChunkBytes AS byte_offset,
+        |  length(substring(text, CAST(chunk_id * $ChunkBytes + 1 AS BIGINT), $ChunkBytes)) AS chunk_len,
+        |  md5(substring(text, CAST(chunk_id * $ChunkBytes + 1 AS BIGINT), $ChunkBytes)) AS chunk_md5
+        |FROM c WHERE (SELECT ok FROM ascii_ok) = 1
+        |ORDER BY doc_id, chunk_id""".stripMargin),
     "mm_frame_sample" -> GQuery.sql(frameSample,
       """WITH f AS (
         |  SELECT doc_id,

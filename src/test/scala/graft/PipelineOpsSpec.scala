@@ -134,6 +134,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(d.count() > 0)
   }
 
+  test("binary chunks tile each payload exactly") {
+    val ch = Multimodal.chunk(spark, SfDir)
+    val sizes = ch.groupBy("doc_id")
+      .agg(sum("chunk_len").as("total"), count(lit(1)).as("n"))
+    val meta = Multimodal.meta(spark, SfDir).select(col("doc_id"), col("n_bytes"))
+    // chunk lengths reassemble the payload byte count
+    assert(sizes.join(meta, "doc_id")
+      .filter(col("total") =!= col("n_bytes")).count() == 0)
+    // every chunk except the last is full-width
+    assert(ch.join(sizes, "doc_id")
+      .filter(col("chunk_id") < col("n") - 1 &&
+        col("chunk_len") =!= Multimodal.ChunkBytes).count() == 0)
+  }
+
   test("plan shape: decontamination broadcasts the benchmark shingle set") {
     val plan = Pipeline.decontaminate(spark, SfDir)
       .queryExecution.executedPlan.toString
