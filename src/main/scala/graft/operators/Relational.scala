@@ -499,7 +499,34 @@ object Relational {
         col("g_status"), col("g_priority"), col("sum_price"), col("n_orders"))
       .orderBy("g_status", "g_priority", "orderstatus", "orderpriority")
 
+  /** Skew-safe join through the explicit salting tool (`plans.Skew`):
+    * lineitem (big side, many rows per supplier) ⋈ supplier with the
+    * big side salted 8 ways — a hot supplier's rows spread over 8
+    * tasks instead of serializing into one, the portable fallback
+    * when AQE skew handling can't apply. The oracle is the PLAIN
+    * join's aggregate: hash equality proves salting is semantically
+    * invisible.
+    */
+  def relSaltedSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Skew.saltedJoin(
+      Tables.lineitem(spark, dir).select(col("l_suppkey"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber")),
+      Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+      "l_suppkey",
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+      8)
+      .groupBy("s_nationkey")
+      .agg(round2(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("s_nationkey")
+
   val queries: Map[String, GQuery] = Map(
+    "rel_salted_skew_join" -> GQuery.sql(relSaltedSkewJoin,
+      """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
     "rel_grouping_sets" -> GQuery.sql(relGroupingSets,
       """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
         |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
