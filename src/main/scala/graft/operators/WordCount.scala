@@ -79,29 +79,37 @@ object WordCount {
 
   /** Stage `documents.text` as raw `.txt` files, idempotent per source
     * dir. Commit protocol: write into a fresh temp sibling (with the
-    * `_SOURCE` marker inside), then atomically rename into place — a
-    * concurrent reader sees either the old complete staging or the new
-    * one, never a half-written directory.
+    * `_SOURCE` marker inside), rename any existing staging ASIDE (a
+    * same-directory rename, atomic on POSIX), then atomically rename
+    * the new one into place — at no instant is the staging path a
+    * half-deleted directory, so a concurrent cross-process reader
+    * (e.g. the DuckDB oracle globbing part-*.txt) sees either the old
+    * complete staging or the new one. The old dir is deleted only
+    * after the swap.
     */
   def stageTextDir(spark: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = stagePathFor(dir)
-    val stagePath = java.nio.file.Paths.get(stage)
+    val stagePath = Paths.get(stage)
     val cur =
-      try new String(java.nio.file.Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
+      try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
       catch { case _: Exception => "" }
     if (cur != dir) {
-      val tmp = java.nio.file.Paths.get(s"$stage.tmp-${System.nanoTime()}")
+      val nonce = System.nanoTime()
+      val tmp = Paths.get(s"$stage.tmp-$nonce")
       Tables.documents(spark, dir).select("text")
         .repartition(8)
         .write.mode("overwrite").text(tmp.toString)
-      java.nio.file.Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-      if (java.nio.file.Files.exists(stagePath)) {
+      Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+      val old = Paths.get(s"$stage.old-$nonce")
+      if (Files.exists(stagePath))
+        Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.delete)
+        Files.walk(old).iterator().asScala.toSeq
+          .reverse.foreach(Files.delete)
       }
-      java.nio.file.Files.move(tmp, stagePath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     stage
   }
