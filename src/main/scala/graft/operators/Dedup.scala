@@ -41,10 +41,19 @@ object Dedup {
     * signature → banding → bucket join → exact verify).
     */
   val PlantOffset = 1000000L
-  private def withPlanted(docs: DataFrame): DataFrame =
-    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+  private def withPlanted(docs: DataFrame): DataFrame = {
+    // Loud precondition (mirrors the EmbedDim assert): every natural
+    // doc_id must sit below PlantOffset, else planted ids collide with
+    // natural ones and the `doc_id_2 == doc_id_1 + PlantOffset`
+    // restriction could silently admit natural pairs into both planted
+    // oracles. A corpus with larger ids needs a larger offset, not a
+    // quietly corrupted oracle.
+    val guarded = docs.filter(assert_true(col("doc_id") < PlantOffset,
+      lit(s"withPlanted: doc_id >= $PlantOffset collides with planted ids — raise PlantOffset")).isNull)
+    guarded.unionByName(guarded.filter(pmod(col("doc_id"), lit(4L)) === 0L)
       .select((col("doc_id") + PlantOffset).as("doc_id"), col("source"),
         concat(lit(" "), col("text"), lit("\t")).as("text")))
+  }
 
   /** Token stream: one row per (doc, position, token). posexplode +
     * a row-level length filter keeps tokenization inside whole-stage
@@ -86,20 +95,23 @@ object Dedup {
     * Jaccard ≥ 0.35. The block join is a shuffle on the key; pair
     * expansion is per-block only.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(docsTable(spark, dir))
+
+  def ngramJaccardOn(docs: DataFrame): DataFrame = {
     // set-similarity join: pairs that share >=1 shingle (equi-join on
     // the shingle itself), |A∩B| by count, |A∪B| = |A|+|B|-|A∩B|.
     // No pair ever materializes both arrays; everything is a
     // codegen'd join + hash aggregate. Pairs sharing nothing are
     // never generated at all (they can't pass any threshold > 0).
-    val r = shingleHashRowsOf(docsTable(spark, dir))
+    val r = shingleHashRowsOf(docs)
     val inter = r.select(col("source"), col("doc_id").as("doc_id_1"), col("sh"))
       .join(r.select(col("source"), col("doc_id").as("doc_id_2"), col("sh")),
         Seq("source", "sh"))
       .filter(col("doc_id_1") < col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = shingleSizesOf(docsTable(spark, dir))
+    val sizes = shingleSizesOf(docs)
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
@@ -108,6 +120,32 @@ object Dedup {
       .filter(col("jaccard_raw") >= 0.35)
       .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** UNBLOCKED exact shingle-Jaccard pairs (any pair sharing ≥1
+    * shingle, no source blocking) — the brute-force ground truth the
+    * parity spec compares `minhashLsh`'s natural output against:
+    * every LSH-reported pair must appear here with the identical
+    * rounded jaccard (exact precision + exact verify math), and LSH
+    * may only MISS pairs (candidate recall is the one probabilistic
+    * degree of freedom). Spec-scale only — at corpus scale use the
+    * blocked/banded forms.
+    */
+  def allPairsJaccardOn(docs: DataFrame): DataFrame = {
+    val r = shingleHashRowsOf(docs).select("doc_id", "sh")
+    val inter = r.withColumnRenamed("doc_id", "doc_id_1")
+      .join(r.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh" -> "sh2")),
+        col("sh") === col("sh2") && col("doc_id_1") < col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingleSizesOf(docs)
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.35)
+      .select("doc_id_1", "doc_id_2", "jaccard")
   }
 
   private val MinhashK = 32 // signature length
@@ -194,7 +232,12 @@ object Dedup {
     *    quadratic at billions of docs is 512× smaller, at the cost of
     *    C(5,2)=10 keys/doc instead of 4.
     */
-  def simhashOn(docs: DataFrame): DataFrame = {
+  /** Per-doc 64-bit SimHash signatures — exposed so the parity spec
+    * can brute-force all-pairs hamming from the SAME signatures and
+    * assert the banded pipeline's output equals it exactly (the
+    * pigeonhole losslessness claim, checked mechanically).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
     // lanes: bit b lives in packed sum i = b % 22, lane l = b / 22,
     // at in-long lane offset 21*l (21-bit stride: counts < 2^21 never
     // carry, and 2^21-1 << 42 < 2^63 keeps the top lane ANSI-safe)
@@ -208,7 +251,7 @@ object Dedup {
       val ones = shiftright(col(s"p${b % 22}"), 21 * (b / 22)).bitwiseAND(lit(0x1FFFFFL))
       when(ones * 2 > col("n_toks"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    val sigDocs = tokenStreamOf(docs)
+    tokenStreamOf(docs)
       .select(col("doc_id"), xxhash64(col("tok")).as("h")).distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), packedSums: _*)
@@ -220,6 +263,10 @@ object Dedup {
       .filter(assert_true(col("n_toks") < (1L << 21),
         lit("simhash lane overflow: doc with >= 2^21 distinct tokens")).isNull)
       .select(col("doc_id"), sigFromSums.as("simhash"))
+  }
+
+  def simhashOn(docs: DataFrame): DataFrame = {
+    val sigDocs = simhashSignatures(docs)
     // 5 bands of (13,13,13,13,12) bits; block on all C(5,2) band pairs
     val bandStarts = Seq(0, 13, 26, 39, 52)
     val bandBits = Seq(13, 13, 13, 13, 12)
@@ -370,7 +417,100 @@ object Dedup {
       .orderBy("vec_id_1", "vec_id_2")
   }
 
+  val MaxLabelRounds = 20
+
+  /** Near-dup CLUSTERING — the step every production dedup needs after
+    * pair generation: turn the pairwise near-dup graph into connected
+    * components so each group keeps one canonical doc. Edges are the
+    * deterministic exact shingle-Jaccard pairs (same semantics as
+    * `dd_ngram_jaccard`) over corpus + planted copies, so the graph has
+    * real multi-node components; components are computed by iterative
+    * min-label propagation: each round is one shuffle join (labels →
+    * neighbors) plus a keyed min-aggregate, converging in O(component
+    * diameter) rounds — near-dup graphs have tiny diameters in
+    * practice, and at adversarial diameters the same two primitives
+    * compose into the large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * with O(log n) rounds. Each round is `localCheckpoint`ed: the loop
+    * would otherwise recompute the full edge derivation every
+    * iteration and grow an unbounded lineage.
+    *
+    * Output: (doc_id, cluster_id = min doc_id in component,
+    * cluster_size) for every doc in at least one pair. The DuckDB
+    * oracle computes the same components with a recursive CTE —
+    * hash-equality proves the distributed propagation reaches the
+    * exact fixpoint.
+    */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardOn(withPlanted(docsTable(spark, dir)))
+      .select(col("doc_id_1"), col("doc_id_2"))
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation to fixpoint over an undirected pair set
+    * (columns doc_id_1, doc_id_2). Returns (id, lbl = component min,
+    * cluster_size) for every node with >= 1 edge. Spec'd separately on
+    * a synthetic path graph whose diameter forces multi-round
+    * propagation (the registry corpus's components are shallow).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .unionByName(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < MaxLabelRounds) {
+      val next = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
+          col("lbl").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select("id", "lbl")
+      rounds += 1
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "dd_cluster" -> GQuery.sql(cluster,
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, ' ' || text || chr(9)
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35),
+        |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+        |cc AS (
+        |  SELECT DISTINCT i AS id, i AS lbl FROM edges
+        |  UNION
+        |  SELECT e.j AS id, cc.lbl FROM cc JOIN edges e ON e.i = cc.id),
+        |asg AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY cluster_id)
+        |SELECT a.id AS doc_id, a.cluster_id, sz.cluster_size
+        |FROM asg a JOIN sz USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin),
     "dd_embed_cosine_lsh" -> GQuery.sql(embedCosineLsh,
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |aug AS (

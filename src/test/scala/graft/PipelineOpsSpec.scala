@@ -33,6 +33,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.forall(_.getAs[Double]("cosine") == 1.0))
   }
 
+  test("minhash LSH natural pairs all appear in brute force with identical jaccard") {
+    // Precision + verify-math parity on NON-identical pairs: every pair
+    // the natural (unplanted) LSH pipeline emits must exist in the
+    // unblocked brute-force jaccard>=0.35 set with the SAME rounded
+    // jaccard — LSH may only MISS pairs (candidate recall), never
+    // invent one or mis-score one. This covers the natural-pair surface
+    // the planted registry oracle deliberately restricts away.
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "source", "text")
+    val bf = Dedup.allPairsJaccardOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLsh(spark, SfDir).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.get(key).contains(r.getDouble(2)),
+        s"LSH pair $key -> ${r.getDouble(2)} not in brute force (${bf.get(key)})")
+    }
+  }
+
+  test("simhash banded pairs equal brute-force hamming<=3 over the same signatures") {
+    // The pigeonhole-losslessness claim, checked mechanically: the
+    // C(5,2) band-pair blocked output must EQUAL the all-pairs hamming
+    // computation from the same signatures — banding loses nothing and
+    // the join-side hamming math is right for non-identical pairs too.
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "source", "text")
+    val sig = Dedup.simhashSignatures(docs)
+    val bf = sig.as("x").crossJoin(sig.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = Dedup.simhash(spark, SfDir)
+    assert(bf.exceptAll(banded).count() == 0 && banded.exceptAll(bf).count() == 0)
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val s = Dedup.simhash(spark, SfDir)
     assert(s.filter(col("doc_id_1") >= col("doc_id_2")).count() == 0)
@@ -153,6 +187,51 @@ class PipelineOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("connected components converge on a path graph deeper than one round") {
+    // a 6-node path (60..10, edges between consecutive) has diameter 5:
+    // min-label 10 must propagate five hops, so any
+    // single-round-and-stop bug fails loudly; plus a disjoint pair.
+    import spark.implicits._
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L), (50L, 60L),
+      (100L, 200L)).toDF("doc_id_1", "doc_id_2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("lbl"), r.getAs[Long]("cluster_size")))
+      .toMap
+    Seq(10L, 20L, 30L, 40L, 50L, 60L).foreach(id => assert(cc(id) == (10L, 6L)))
+    Seq(100L, 200L).foreach(id => assert(cc(id) == (100L, 2L)))
+  }
+
+  test("cluster assigns every planted doc to its original's component") {
+    val c = Dedup.cluster(spark, SfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val planted = c.keys.filter(_ >= Dedup.PlantOffset)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(c(id) == c(id - Dedup.PlantOffset),
+        s"planted $id not clustered with its original")
+    }
+  }
+
+  test("perplexity is positive and covers exactly the multi-token docs") {
+    val p = TextAnalysis.perplexity(spark, SfDir)
+    assert(p.filter(col("avg_nll") <= 0.0).count() == 0)
+    val expected = Tables.documents(spark, SfDir)
+      .filter(size(graft.functions.Text.tokens(lower(col("text")))) >= 2).count()
+    assert(p.count() == expected)
+  }
+
+  test("domain mix keeps at most n_source docs at a clamped positive rate") {
+    val m = Pipeline.domainMix(spark, SfDir).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val frac = r.getAs[Double]("keep_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_source"))
+      // a clamped source keeps everything
+      if (frac == 1.0) assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_source"))
+    }
   }
 
   test("langid predicts a language for every doc, deterministically") {
