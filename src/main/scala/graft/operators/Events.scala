@@ -147,7 +147,56 @@ object Events {
       .orderBy("user_id")
   }
 
+  val AttribWindowMs = 3600000L // 1 h attribution lookback
+
+  /** Range (interval) join — click-to-purchase attribution: for each
+    * purchase, the count and latest timestamp of the same user's
+    * clicks in the preceding hour. A naive inequality join is a
+    * per-user cross product; the scale form is the classic BUCKETED
+    * range join: quantize time into lookback-sized buckets, replicate
+    * each click into its own bucket and the next (a click can only
+    * serve purchases in those two), and equi-join on
+    * (user_id, bucket) with the exact range as a residual predicate —
+    * a plain shuffle join whose per-task width is bounded by bucket
+    * population, never by user history length. The DuckDB oracle runs
+    * the naive inequality join; hash-equality proves the bucketing
+    * rewrite is semantically invisible.
+    */
+  def rangeJoinAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms").as("p_ms"))
+      .withColumn("bkt", expr(s"p_ms div $AttribWindowMs"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms").as("c_ms"))
+      .withColumn("bkt", explode(array(
+        expr(s"c_ms div $AttribWindowMs"),
+        expr(s"c_ms div $AttribWindowMs + 1L"))))
+    purchases.as("p").join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("p.bkt") === col("c.bkt") &&
+          col("c.c_ms") >= col("p.p_ms") - AttribWindowMs &&
+          col("c.c_ms") < col("p.p_ms"),
+        "left")
+      .groupBy(col("p.event_id").as("event_id"), col("p.user_id").as("user_id"),
+        col("p.p_ms").as("p_ms"))
+      .agg(count(col("c.c_ms")).as("n_clicks_1h"),
+        max(col("c.c_ms")).as("last_click_ms"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_range_join" -> GQuery.sql(rangeJoinAttribution,
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |p AS (SELECT event_id, user_id, ms AS p_ms FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ms AS c_ms FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_ms,
+        |  count(c.c_ms) AS n_clicks_1h,
+        |  max(c.c_ms) AS last_click_ms
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.c_ms >= p.p_ms - 3600000 AND c.c_ms < p.p_ms
+        |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin),
     "ev_funnel" -> GQuery.sql(funnel,
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |s1 AS (SELECT user_id, min(ms) AS t_view FROM e

@@ -185,6 +185,32 @@ object EventsStreaming {
       java.nio.file.Paths.get(watchDir, s"$name.parquet"))
   }
 
+  /** Stream-stream interval join — the streaming form of the batch
+    * `ev_range_join`: each purchase joined to the same user's clicks
+    * in the preceding hour, as new events of BOTH kinds arrive.
+    * Both sides carry their own watermark and the join condition
+    * bounds the time skew, so Spark can evict click state older than
+    * purchase-watermark − 1 h and purchase state the click watermark
+    * has passed — bounded state on an unbounded stream, the canonical
+    * watermarked stream-stream join. Inner-join matches emit as soon
+    * as both rows have arrived (no watermark wait), so a drained
+    * finite source yields exactly the batch pair set.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("c_ts")).as("c_ms"))
+  }
+
   /** Watermarked streaming dedup — the exactly-once ingest pattern:
     * duplicate event_ids arriving within the watermark horizon are
     * dropped; state is bounded by the watermark. Returns per-type

@@ -64,6 +64,20 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("range join covers every purchase and only in-window clicks") {
+    val r = operators.Events.rangeJoinAttribution(spark, SfDir)
+    val nPurchases = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "purchase").count()
+    // left join: one output row per purchase, with or without clicks
+    assert(r.count() == nPurchases)
+    // when a last click exists it must sit strictly inside the window
+    assert(r.filter(col("last_click_ms").isNotNull &&
+      (col("last_click_ms") >= col("p_ms") ||
+        col("last_click_ms") < col("p_ms") - operators.Events.AttribWindowMs)).count() == 0)
+    // zero-click purchases report null last_click, and vice versa
+    assert(r.filter((col("n_clicks_1h") === 0) =!= col("last_click_ms").isNull).count() == 0)
+  }
+
   test("funnel stages are strictly ordered per user") {
     import org.apache.spark.sql.functions._
     val f = graft.operators.Events.funnel(spark, SfDir)

@@ -68,6 +68,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("stream-stream interval join emits exactly the batch attribution pairs") {
+    val stream = EventsStreaming.clickAttribution(
+      EventsStreaming.readEvents(spark, eventsDir))
+    val got = EventsStreaming.runToMemory(spark, stream, "attrib", "append")
+      .select("event_id", "user_id", "p_ms", "c_ms")
+    // batch truth: the naive inequality join over the static table
+    val ev = Tables.events(spark, SfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms").as("p_ms"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ms").as("c_ms")),
+        col("user_id") === col("c_user") &&
+          col("c_ms") >= col("p_ms") - 3600000L && col("c_ms") < col("p_ms"))
+      .select("event_id", "user_id", "p_ms", "c_ms")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("sessionizer carries open sessions across micro-batches and equals batch") {
     // split the events table at the median event time: the first file
     // drop ends mid-session for many users, the second continues them.
