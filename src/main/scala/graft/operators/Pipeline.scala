@@ -178,7 +178,58 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  val MixBudgetFrac = 0.9
+
+  /** Domain-mixture sampling — the pretraining-mix pass: given target
+    * weights per source domain, keep a deterministic hash-sample of
+    * each source sized so kept volumes approach the target mixture
+    * under a global budget (MixBudgetFrac of the corpus). Per-source
+    * keep rates derive from one tiny aggregate (rows = #sources,
+    * broadcast back); membership is the same engine-portable Knuth
+    * hash as `pipe_hash_sample`, compared against a per-source integer
+    * cutoff — so the corpus is scanned once, filtered at the scan by a
+    * broadcast map, never shuffled. Rates above 1 clamp (a rare domain
+    * can't be upsampled by filtering — that's a repeat-epochs decision
+    * recorded in keep_frac = 1.0). Target weights here come from the
+    * source's numeric suffix (suffix mod 4 + 1) — a stand-in for the
+    * externally supplied mixture table a real pipeline would join.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .withColumn("w_raw",
+        (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4L + 1L).cast("double"))
+    val tot = bySrc.agg(sum(col("n_source")).as("n_total"), sum(col("w_raw")).as("w_total"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("keep_frac",
+        least(lit(1.0), col("w_raw") / col("w_total") * lit(MixBudgetFrac) *
+          col("n_total").cast("double") / col("n_source").cast("double")))
+      .withColumn("cut", floor(col("keep_frac") * 1000000.0).cast("long"))
+    docs.join(broadcast(rates.select("source", "n_source", "keep_frac", "cut")), Seq("source"))
+      .filter(((col("doc_id") % 999983L) * 2654435761L) % 1000000L < col("cut"))
+      .groupBy(col("source"), col("n_source"), round(col("keep_frac"), 6).as("keep_frac"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_domain_mix" -> GQuery.sql(domainMix,
+      s"""WITH s AS (
+        |  SELECT source, count(*) AS n_source,
+        |    ((CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) + 1)::DOUBLE AS w_raw
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_source) AS BIGINT) AS n_total, sum(w_raw) AS w_total FROM s),
+        |rates AS (
+        |  SELECT source, n_source,
+        |    least(1.0, w_raw / w_total * $MixBudgetFrac * n_total::DOUBLE / n_source::DOUBLE)
+        |      AS keep_frac
+        |  FROM s CROSS JOIN tot)
+        |SELECT r.source AS source, r.n_source AS n_source,
+        |  round(r.keep_frac, 6) AS keep_frac, count(*) AS n_kept
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE ((d.doc_id % 999983) * 2654435761) % 1000000 <
+        |      CAST(floor(r.keep_frac * 1000000.0) AS BIGINT)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
     "pipe_decontaminate" -> GQuery.sql(decontaminate,
       s"""WITH toks AS (
         |  SELECT doc_id,

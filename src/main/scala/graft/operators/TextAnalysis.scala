@@ -113,6 +113,67 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  // ASCII-only patterns with identical semantics in Java regex and
+  // RE2 (the DuckDB engine) — no lookaround, no \b, no unicode classes
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val NumRe = "[0-9]+"
+
+  /** PII scrubbing — the redaction pass a training pipeline runs
+    * before anything else: replace email addresses then digit runs
+    * with placeholder tokens, and report per-doc redaction counts plus
+    * the md5 of the scrubbed text (so the oracle hash-checks the full
+    * rewritten string without shipping it). Pure narrow per-row regex
+    * work — codegen'd, zero shuffle, linear in input splits.
+    * Order matters and is fixed: emails first (they contain digits),
+    * then numbers over the email-scrubbed text.
+    *
+    * The synthetic corpus contains no digits or addresses at all, so
+    * (planted-oracle pattern, as in Dedup) every 3rd doc gets a
+    * deterministic PII suffix derived from its id — the scrub then
+    * redacts real matches on 1/3 of the corpus and provably leaves
+    * the rest byte-identical, and the DuckDB oracle hash-checks both.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(lower(col("text")),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ref "), (col("doc_id") * 37L).cast("string")))
+        .otherwise(lit("")))
+    val emailScrubbed = regexp_replace(t, EmailRe, "<EMAIL>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(emailScrubbed, lit(NumRe)).cast("long").as("n_nums"),
+        md5(regexp_replace(emailScrubbed, NumRe, "<NUM>").cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document bigram-LM perplexity scoring — the CCNet-style
+    * quality signal: train the bigram LM on the corpus (same
+    * estimation as `txt_bigram_lm`), then score every document by the
+    * average negative log-probability of its own bigrams. Two keyed
+    * aggregations (bigram counts, context totals over the
+    * already-reduced counts) and one equi-join of the doc bigram
+    * stream against the LM — the corpus text is scanned once, the LM
+    * join key is the bigram itself, and nothing materializes per-doc
+    * arrays. Self-scoring means no OOV branch: every doc bigram is in
+    * the LM by construction.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.NGrams.ngrams(col("text"), 2)).as("bigram"))
+    val lm = docBigrams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx",
+        sum(col("cnt")).over(Window.partitionBy(split(col("bigram"), " ").getItem(0))))
+      .select(col("bigram"), (col("cnt").cast("double") / col("ctx").cast("double")).as("p"))
+    docBigrams.join(lm, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("p"))), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition quality signals (the Gopher-rules family): fraction
     * of a doc's tokens taken by its single most frequent token, and
     * the same for bigrams — high values mark the repetitive
@@ -147,6 +208,40 @@ object TextAnalysis {
   }
 
   val queries: Map[String, GQuery] = Map(
+    "txt_pii_scrub" -> GQuery.sql(piiScrub,
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    lower(text) || CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || doc_id || '@example.com ref ' || (doc_id * 37)
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |e AS (SELECT doc_id, t,
+        |        regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |                       '<EMAIL>', 'g') AS t1
+        |      FROM s)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t1, '[0-9]+')) AS n_nums,
+        |  md5(regexp_replace(t1, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM e ORDER BY doc_id""".stripMargin),
+    "txt_perplexity" -> GQuery.sql(perplexity,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+        |lm AS (
+        |  SELECT bigram, cnt::DOUBLE /
+        |    CAST(sum(cnt) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS BIGINT) AS p
+        |  FROM counts)
+        |SELECT doc_id, count(*) AS n_bigrams, round(-avg(ln(p)), 4) AS avg_nll
+        |FROM bg JOIN lm USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "txt_repetition" -> GQuery.sql(repetition,
       """WITH toks AS (
         |  SELECT doc_id,

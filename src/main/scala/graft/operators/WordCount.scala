@@ -186,7 +186,49 @@ object WordCount {
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(100)
 
+  /** Term co-occurrence — the classic MapReduce "pairs" job: unordered
+    * token pairs co-occurring within distance ≤ 2, counted corpus-wide,
+    * top 100. Distance-1 and distance-2 pairs both come from the
+    * one-pass native `NGrams` expression (bigram gives (i, i+1),
+    * trigram's outer tokens give (i, i+2)) — no positional self-join,
+    * no per-doc window sort; the pair stream feeds one hash aggregate
+    * exactly like wordcount. least/greatest canonicalizes the
+    * unordered pair (binary collation on both engines).
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def pairsFrom(n: Int, a: Int, b: Int) = docs
+      .select(explode(graft.functions.NGrams.ngrams(col("text"), n)).as("g"))
+      .select(split(col("g"), " ").as("p"))
+      .select(least(col("p").getItem(a), col("p").getItem(b)).as("w1"),
+        greatest(col("p").getItem(a), col("p").getItem(b)).as("w2"))
+    pairsFrom(2, 0, 1).unionByName(pairsFrom(3, 0, 2))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+      .limit(100)
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_cooccurrence" -> GQuery.sql(cooccurrence,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d1 AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |    i -> [t[i], t[i+1]])) AS p
+        |  FROM toks WHERE len(t) >= 2),
+        |d2 AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> [t[i], t[i+2]])) AS p
+        |  FROM toks WHERE len(t) >= 3),
+        |u AS (SELECT least(p[1], p[2]) AS w1, greatest(p[1], p[2]) AS w2 FROM d1
+        |      UNION ALL
+        |      SELECT least(p[1], p[2]) AS w1, greatest(p[1], p[2]) AS w2 FROM d2)
+        |SELECT w1, w2, count(*) AS cnt FROM u
+        |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 100""".stripMargin),
     "wc_bigrams" -> GQuery.sql(bigrams,
       """WITH toks AS (
         |  SELECT doc_id,

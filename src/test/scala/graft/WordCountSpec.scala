@@ -65,6 +65,36 @@ class WordCountSpec extends SparkTestBase {
     assert(ng == Seq("the quick", "quick brown", "brown fox", "fox jumps"))
   }
 
+  test("cooccurrence pairs are canonical and reconcile with the n-gram streams") {
+    val co = operators.WordCount.cooccurrence(spark, SfDir)
+    val rows = co.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // unordered canonical form: w1 <= w2 always
+    assert(rows.forall(r => r.getString(0) <= r.getString(1)))
+    // counts are bounded by the total pair stream (d<=2 skip-grams)
+    val docs = Tables.documents(spark, SfDir)
+    val nPairs =
+      docs.select(explode(graft.functions.NGrams.ngrams(col("text"), 2))).count() +
+        docs.select(explode(graft.functions.NGrams.ngrams(col("text"), 3))).count()
+    assert(rows.map(_.getLong(2)).sum <= nPairs)
+  }
+
+  test("pii scrub redacts exactly the planted PII and leaves clean docs untouched") {
+    val s = operators.TextAnalysis.piiScrub(spark, SfDir)
+    val joined = s.join(Tables.documents(spark, SfDir), "doc_id")
+      .withColumn("plain_md5", md5(lower(col("text")).cast("binary")))
+    // planted docs: exactly one email and one digit run (the ref id)
+    assert(joined.filter(col("doc_id") % 3 === 0 &&
+      (col("n_emails") =!= 1 || col("n_nums") =!= 1)).count() == 0)
+    // the digit-free natural docs scrub to their own lowered text
+    assert(joined.filter(col("doc_id") % 3 =!= 0 &&
+      (col("n_emails") =!= 0 || col("n_nums") =!= 0 ||
+        col("scrubbed_md5") =!= col("plain_md5"))).count() == 0)
+    // and a planted doc's hash must differ from its unscrubbed text
+    assert(joined.filter(col("doc_id") % 3 === 0 &&
+      col("scrubbed_md5") === col("plain_md5")).count() == 0)
+  }
+
   test("registry: every oracle key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.entry(spark).count() > 0)
