@@ -479,7 +479,61 @@ object Dedup {
     labels.join(sizes, Seq("lbl"))
   }
 
+  /** End-to-end near-dedup corpus pass — the composite every training
+    * pipeline actually ships: near-dup pairs → connected components →
+    * keep only each component's canonical (min-id) member. Reported
+    * per source as (docs in, docs kept) so the oracle checks the
+    * drop set exactly without shipping text. Runs over corpus +
+    * planted copies (the copies are what a dedup pass exists to
+    * remove); every non-canonical component member is dropped, so
+    * kept = total − Σ(cluster_size − 1).
+    */
+  def nearDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val aug = withPlanted(docsTable(spark, dir))
+    val dropped = connectedComponents(
+        ngramJaccardOn(aug).select(col("doc_id_1"), col("doc_id_2")))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit(1).as("is_dropped"))
+    aug.join(dropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_dropped").isNull, 1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "dd_near_dedup_corpus" -> GQuery.sql(nearDedupCorpus,
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, ' ' || text || chr(9)
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35),
+        |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+        |cc AS (
+        |  SELECT DISTINCT i AS id, i AS lbl FROM edges
+        |  UNION
+        |  SELECT e.j AS id, cc.lbl FROM cc JOIN edges e ON e.i = cc.id),
+        |asg AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
+        |dropped AS (SELECT id FROM asg WHERE id != cluster_id)
+        |SELECT d.source AS source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE dr.id IS NULL) AS n_kept
+        |FROM docs d LEFT JOIN dropped dr ON d.doc_id = dr.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "dd_cluster" -> GQuery.sql(cluster,
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, source, text FROM documents

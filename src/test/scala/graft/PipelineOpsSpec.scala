@@ -214,6 +214,16 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("near-dedup keeps exactly one doc per component") {
+    val nd = Dedup.nearDedupCorpus(spark, SfDir)
+    val totals = nd.agg(sum("n_docs").as("d"), sum("n_kept").as("k")).collect()(0)
+    // dropped == sum over components of (size - 1): one canonical each
+    val expectedDropped = Dedup.cluster(spark, SfDir)
+      .select("cluster_id", "cluster_size").distinct().collect()
+      .map(_.getAs[Long]("cluster_size") - 1).sum
+    assert(totals.getLong(0) - totals.getLong(1) == expectedDropped)
+  }
+
   test("perplexity is positive and covers exactly the multi-token docs") {
     val p = TextAnalysis.perplexity(spark, SfDir)
     assert(p.filter(col("avg_nll") <= 0.0).count() == 0)

@@ -51,6 +51,38 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"))
   }
 
+  test("bucketed tables join co-located, with no shuffle on the join keys") {
+    // the SURVEY §3 claim demonstrated: pre-bucketing both fact tables
+    // on the join key lets the sort-merge join read buckets in place —
+    // the repeated-join shape (fact ⋈ fact every day at 100 TB) where
+    // paying one bucketed write amortizes away every future shuffle.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, SfDir).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+      Tables.orders(spark, SfDir).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        "bucketed join must not shuffle either side on the join key")
+      val plain = Tables.lineitem(spark, SfDir)
+        .join(Tables.orders(spark, SfDir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      assert(j.exceptAll(plain).count() == 0 && plain.exceptAll(j).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("text source feeds the wordcount pipeline like the reference's file inputs") {
     val out = tmp("text")
     Tables.documents(spark, SfDir).select("text")
