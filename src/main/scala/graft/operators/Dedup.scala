@@ -459,8 +459,14 @@ object Dedup {
     val edges = pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
       .unionByName(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed with least(id, min neighbor) — exactly what a first
+    // propagation round over identity labels would produce, for the
+    // price of the node-dedup aggregate alone; shallow components
+    // (pairs/stars, the near-dup norm) then converge on the first
+    // confirming round
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0

@@ -99,4 +99,19 @@ class WordCountSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("SURVEY.md §2 inventory matches the registry exactly") {
+    // the coverage table and the code can never drift: every `id`
+    // row in SURVEY §2 must be a registry query and vice versa
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+    val section2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val surveyIds = "\\| `([a-z0-9_]+)` \\|".r
+      .findAllMatchIn(section2).map(_.group(1)).toSet
+    val registryIds = SparkEntry.queries.keySet
+    assert(surveyIds == registryIds,
+      s"survey-only: ${surveyIds.diff(registryIds)}; " +
+        s"registry-only: ${registryIds.diff(surveyIds)}")
+  }
 }
