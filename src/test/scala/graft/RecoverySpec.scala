@@ -15,6 +15,52 @@ import graft.streaming.EventsStreaming
   */
 class RecoverySpec extends SparkTestBase {
 
+  test("stream-stream join state survives a stop/restart from checkpoint") {
+    val src = Files.createTempDirectory("graft_join_rec_src")
+    val sink = Files.createTempDirectory("graft_join_rec_sink").toString
+    val ckpt = Files.createTempDirectory("graft_join_rec_ckpt").toString
+
+    // every click arrives BEFORE the failure, every purchase AFTER the
+    // restart: a pair can only match if the click-side join state was
+    // checkpointed and restored — the sharpest possible recovery test
+    // for stream-stream join state.
+    val ev = Tables.events(spark, SfDir)
+    ev.filter(col("event_type") === "click")
+      .write.mode("overwrite").parquet(s"$src/batch_a")
+    ev.filter(col("event_type") === "purchase")
+      .write.mode("overwrite").parquet(s"$src/incoming_b")
+
+    def runOnce(): Unit = {
+      val joined = EventsStreaming.clickAttribution(
+        spark.readStream
+          .schema(spark.read.parquet(s"$src/batch_a").schema)
+          .parquet(s"$src/batch_*"))
+      val q = joined.writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce() // clicks only: all join state, zero output
+    Files.move(Paths.get(s"$src/incoming_b"), Paths.get(s"$src/batch_b"))
+    runOnce() // purchases arrive post-restart and must match held clicks
+
+    val got = spark.read.parquet(sink)
+      .select("event_id", "user_id", "p_ms", "c_ms")
+    val evms = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val want = evms.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms").as("p_ms"))
+      .join(evms.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ms").as("c_ms")),
+        col("user_id") === col("c_user") &&
+          col("c_ms") >= col("p_ms") - 3600000L && col("c_ms") < col("p_ms"))
+      .select("event_id", "user_id", "p_ms", "c_ms")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stateful sessionizer survives a stop/restart from checkpoint") {
     val src = Files.createTempDirectory("graft_recovery_src")
     val sink = Files.createTempDirectory("graft_recovery_sink").toString
