@@ -196,9 +196,13 @@ object Pipeline {
     */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    // a digit-free source name must get the default weight, not a
+    // silent null that drops the source from the mix (Spark) or a
+    // cast error (DuckDB TRY_CAST mirrors the coalesce)
     val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
       .withColumn("w_raw",
-        (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4L + 1L).cast("double"))
+        (coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L))
+          % 4L + 1L).cast("double"))
     val tot = bySrc.agg(sum(col("n_source")).as("n_total"), sum(col("w_raw")).as("w_total"))
     val rates = bySrc.crossJoin(broadcast(tot))
       .withColumn("keep_frac",
@@ -216,7 +220,7 @@ object Pipeline {
     "pipe_domain_mix" -> GQuery.sql(domainMix,
       s"""WITH s AS (
         |  SELECT source, count(*) AS n_source,
-        |    ((CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) + 1)::DOUBLE AS w_raw
+        |    ((coalesce(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4) + 1)::DOUBLE AS w_raw
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(n_source) AS BIGINT) AS n_total, sum(w_raw) AS w_total FROM s),
         |rates AS (

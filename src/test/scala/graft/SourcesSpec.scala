@@ -83,6 +83,29 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("binaryFile source reads staged payloads byte-exact with file metadata") {
+    // the ingestion mode for multimodal corpora: opaque payload files
+    // land in a directory; binaryFile yields (path, length, content)
+    // rows the Multimodal operators consume
+    val out = tmp("bin")
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").filter(col("doc_id") < 5).collect()
+    docs.foreach { r =>
+      Files.write(java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    val bin = spark.read.format("binaryFile").load(s"$out/*.bin")
+      .select(regexp_extract(input_file_name(), "doc_(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("content_md5"))
+    val want = Tables.documents(spark, SfDir).filter(col("doc_id") < 5)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("length"),
+        md5(col("text").cast("binary")).as("content_md5"))
+    assert(bin.count() == 5)
+    assert(bin.exceptAll(want).count() == 0 && want.exceptAll(bin).count() == 0)
+  }
+
   test("text source feeds the wordcount pipeline like the reference's file inputs") {
     val out = tmp("text")
     Tables.documents(spark, SfDir).select("text")
