@@ -142,10 +142,14 @@ object Dedup {
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("sz1") + col("sz2") - col("n_inter")).cast("double"), 4))
-      .filter(col("jaccard") >= 0.35)
-      .select("doc_id_1", "doc_id_2", "jaccard")
+      .withColumn("jaccard_raw", col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+      // filter on the RAW value, then round for display — the
+      // ngramJaccardOn / DuckDB-oracle convention; filtering on the
+      // rounded value would classify raw ∈ [0.34995, 0.35) differently
+      .filter(col("jaccard_raw") >= 0.35)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   private val MinhashK = 32 // signature length
@@ -192,10 +196,12 @@ object Dedup {
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("sz1") + col("sz2") - col("n_inter")).cast("double"), 4))
-      .filter(col("jaccard") >= 0.35)
-      .select("doc_id_1", "doc_id_2", "jaccard")
+      .withColumn("jaccard_raw", col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+      // raw-filter-then-round, matching ngramJaccardOn and the oracle
+      .filter(col("jaccard_raw") >= 0.35)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy("doc_id_1", "doc_id_2")
   }
 
@@ -417,28 +423,26 @@ object Dedup {
       .orderBy("vec_id_1", "vec_id_2")
   }
 
-  val MaxLabelRounds = 20
+  val MaxCcRounds = 30
 
   /** Near-dup CLUSTERING — the step every production dedup needs after
     * pair generation: turn the pairwise near-dup graph into connected
     * components so each group keeps one canonical doc. Edges are the
     * deterministic exact shingle-Jaccard pairs (same semantics as
     * `dd_ngram_jaccard`) over corpus + planted copies, so the graph has
-    * real multi-node components; components are computed by iterative
-    * min-label propagation: each round is one shuffle join (labels →
-    * neighbors) plus a keyed min-aggregate, converging in O(component
-    * diameter) rounds — near-dup graphs have tiny diameters in
-    * practice, and at adversarial diameters the same two primitives
-    * compose into the large-star/small-star algorithm
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    * with O(log n) rounds. Each round is `localCheckpoint`ed: the loop
-    * would otherwise recompute the full edge derivation every
+    * real multi-node components; components are computed by alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which converges in O(log n)
+    * rounds REGARDLESS of component diameter — the property plain
+    * min-label propagation (O(diameter) rounds) lacks on adversarial
+    * chain-shaped components. Each round is `localCheckpoint`ed: the
+    * loop would otherwise recompute the full edge derivation every
     * iteration and grow an unbounded lineage.
     *
     * Output: (doc_id, cluster_id = min doc_id in component,
     * cluster_size) for every doc in at least one pair. The DuckDB
     * oracle computes the same components with a recursive CTE —
-    * hash-equality proves the distributed propagation reaches the
+    * hash-equality proves the distributed contraction reaches the
     * exact fixpoint.
     */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
@@ -449,38 +453,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Min-label propagation to fixpoint over an undirected pair set
-    * (columns doc_id_1, doc_id_2). Returns (id, lbl = component min,
-    * cluster_size) for every node with >= 1 edge. Spec'd separately on
-    * a synthetic path graph whose diameter forces multi-round
-    * propagation (the registry corpus's components are shallow).
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction over an undirected pair set (columns doc_id_1,
+    * doc_id_2); Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (two-phase algorithm). Each phase is one shuffle
+    * (neighborhood min-aggregate + re-emit); the edge set contracts to
+    * a forest of min-rooted stars in O(log n) rounds independent of
+    * component diameter — spec'd on a 201-node path graph that plain
+    * O(diameter) label propagation could not finish within the round
+    * cap. Convergence is verified EXACTLY (count + except emptiness of
+    * canonical edge sets, not a checksum) and failure to converge
+    * within MaxCcRounds throws rather than returning partial labels.
+    * Returns (id, lbl = component min, cluster_size) for every node
+    * with >= 1 edge.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-      .unionByName(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
-      .localCheckpoint()
-    // seed with least(id, min neighbor) — exactly what a first
-    // propagation round over identity labels would produce, for the
-    // price of the node-dedup aggregate alone; shallow components
-    // (pairs/stars, the near-dup norm) then converge on the first
-    // confirming round
-    var labels = edges.groupBy(col("dst").as("id"))
-      .agg(min(col("src")).as("m"))
-      .select(col("id"), least(col("id"), col("m")).as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
+    // canonical undirected form: (lo, hi), lo < hi, distinct
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("lo") =!= col("hi"))
+      .select(least(col("lo"), col("hi")).as("lo"),
+        greatest(col("lo"), col("hi")).as("hi"))
+      .distinct()
+    // large-star: every node n > c in c's neighborhood is re-linked to
+    // m = min(Γ(c) ∪ {c}) — halves the depth of tall subtrees
+    def largeStar(edges: DataFrame): DataFrame = {
+      val nbrs = edges.select(col("lo").as("c"), col("hi").as("n"))
+        .unionByName(edges.select(col("hi").as("c"), col("lo").as("n")))
+      val m = nbrs.groupBy("c").agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      canon(nbrs.join(m, "c").filter(col("n") > col("c"))
+        .select(col("m").as("lo"), col("n").as("hi")))
+    }
+    // small-star: orient each edge toward its larger endpoint; every
+    // smaller neighbor (and the center) is re-linked to the local min
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = edges.groupBy(col("hi").as("c")).agg(min(col("lo")).as("m"))
+      canon(edges.join(m, edges("hi") === m("c"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .unionByName(m.select(col("m").as("lo"), col("c").as("hi"))))
+    }
+    var edges = canon(pairs.select(col("doc_id_1").as("lo"),
+      col("doc_id_2").as("hi"))).localCheckpoint()
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < MaxLabelRounds) {
-      val next = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nbr_lbl"))
-        .join(labels, Seq("id"))
-        .select(col("id"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
-          col("lbl").as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select("id", "lbl")
+    while (!converged && rounds < MaxCcRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact set equality: both sides are distinct canonical sets, so
+      // equal cardinality + empty one-sided difference ⇒ identical
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxCcRounds rounds")
+    // fixpoint = min-rooted star forest: every edge is (root, member)
+    val labels = edges.select(col("hi").as("id"), col("lo").as("lbl"))
+      .unionByName(edges.select(col("lo").as("id"), col("lo").as("lbl")))
+      .distinct()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
   }

@@ -82,10 +82,12 @@ object WordCount {
     * `_SOURCE` marker inside), rename any existing staging ASIDE (a
     * same-directory rename, atomic on POSIX), then atomically rename
     * the new one into place — at no instant is the staging path a
-    * half-deleted directory, so a concurrent cross-process reader
-    * (e.g. the DuckDB oracle globbing part-*.txt) sees either the old
-    * complete staging or the new one. The old dir is deleted only
-    * after the swap.
+    * HALF-DELETED directory: a concurrent cross-process reader (e.g.
+    * the DuckDB oracle globbing part-*.txt) sees the old complete
+    * staging, the new one, or — in the brief window between the two
+    * renames — no directory at all (an ENOENT a reader can simply
+    * retry, unlike a partial listing, which it cannot detect). The
+    * old dir is deleted only after the swap.
     */
   def stageTextDir(spark: SparkSession, dir: String): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}

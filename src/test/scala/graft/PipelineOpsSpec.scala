@@ -203,6 +203,22 @@ class PipelineOpsSpec extends SparkTestBase {
     Seq(100L, 200L).foreach(id => assert(cc(id) == (100L, 2L)))
   }
 
+  test("connected components handle diameter >> round cap (large/small-star)") {
+    // a 201-node path has diameter 200: O(diameter) label propagation
+    // could never finish within MaxCcRounds=30, so this converging at
+    // all proves the O(log n) star-contraction bound, not just
+    // correctness. Ids are descending so the component min (1000) sits
+    // at one END of the chain — the worst case for propagation.
+    import spark.implicits._
+    val ids = (0 to 200).map(i => 3000L - 10L * i) // 3000, 2990, …, 1000
+    val pairs = ids.zip(ids.tail).toDF("doc_id_1", "doc_id_2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("lbl"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(cc.size == 201)
+    ids.foreach(id => assert(cc(id) == (1000L, 201L)))
+  }
+
   test("cluster assigns every planted doc to its original's component") {
     val c = Dedup.cluster(spark, SfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap

@@ -103,8 +103,10 @@ class WordCountSpec extends SparkTestBase {
   test("SURVEY.md §2 inventory matches the registry exactly") {
     // the coverage table and the code can never drift: every `id`
     // row in SURVEY §2 must be a registry query and vice versa
+    // resolved relative to the working directory (sbt runs tests from
+    // the project root) so the spec survives any checkout location
     val survey = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+      java.nio.file.Paths.get("SURVEY.md").toAbsolutePath), "UTF-8")
     val section2 = survey.substring(survey.indexOf("## §2"),
       survey.indexOf("## §3"))
     val surveyIds = "\\| `([a-z0-9_]+)` \\|".r
