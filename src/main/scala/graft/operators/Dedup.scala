@@ -498,10 +498,15 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < MaxCcRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // exact set equality: both sides are distinct canonical sets, so
-      // equal cardinality + empty one-sided difference ⇒ identical
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // exact set equality in ONE job: both sides are distinct
+      // canonical sets, so tagging each side and grouping on the edge
+      // leaves every agreeing edge with tag-sum 3; any edge present on
+      // only one side surfaces as 1 or 2. take(1)-style isEmpty stops
+      // at the first divergence instead of paying two counts + except.
+      converged = next.withColumn("s", lit(1))
+        .unionByName(edges.withColumn("s", lit(2)))
+        .groupBy("lo", "hi").agg(sum(col("s")).as("t"))
+        .filter(col("t") =!= 3).isEmpty
       edges = next
       rounds += 1
     }
@@ -538,7 +543,73 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Span length (tokens) for duplicate-span accounting. 5 keeps the
+    * synthetic corpus non-vacuous (real repeated runs exist at 5+
+    * tokens) while modelling C4's three-sentence span at token
+    * granularity.
+    */
+  val SpanTokens = 5
+
+  /** C4-style duplicate-span accounting: slide a K-token window over
+    * every document, keep the single FIRST occurrence (min (doc_id,
+    * pos)) of each span, and count every other occurrence as a
+    * duplicate — the "remove all but one occurrence of any
+    * three-sentence span" rule of C4/RefinedWeb, at token granularity
+    * (the corpus has no sentence punctuation). Output is the per-doc
+    * accounting (n_spans, n_dup_spans, dup_ratio) a cleaning pass
+    * uses to cut or rewrite documents.
+    *
+    * Scale shape: one shuffle keyed on the span string (groupBy min —
+    * map-side partial agg, unlike a row_number window) plus the
+    * join-back on the same key, then a per-doc rollup. First
+    * occurrence is ordered by the single long doc_id·2²⁰ + pos —
+    * identical to (doc_id, pos) lexicographic order while staying
+    * partial-agg friendly on both engines; the in-doc position is
+    * loudly asserted below 2²⁰. At 100 TB the span strings would be
+    * xxhash64-folded before the shuffle (8× narrower rows, same
+    * grouping); the string form is kept here so the DuckDB oracle can
+    * reproduce the pipeline verbatim.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.NGrams.ngrams(col("text"), SpanTokens))
+          .as(Seq("pos", "span")))
+      // loud precondition: the packed order key needs pos < 2^20
+      .filter(assert_true(col("pos") < 1048576L,
+        lit("spanDedup: in-doc span position >= 2^20 breaks the packed order key")).isNull)
+      .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
+    val first = occ.groupBy("span").agg(min(col("k")).as("fk"))
+    occ.join(first, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("k") =!= col("fk"), 1)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "dd_span_dedup" -> GQuery.sql(spanDedup,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+        |    i -> struct_pack(pos := i - 1,
+        |                     span := array_to_string(t[i:i+4], ' ')))) AS s
+        |  FROM toks),
+        |occ AS (SELECT doc_id, doc_id * 1048576 + s.pos AS k, s.span AS span FROM o),
+        |f AS (SELECT span, min(k) AS fk FROM occ GROUP BY span)
+        |SELECT occ.doc_id, count(*) AS n_spans,
+        |  count(*) FILTER (WHERE k <> fk) AS n_dup_spans,
+        |  round((count(*) FILTER (WHERE k <> fk))::DOUBLE / count(*), 6) AS dup_ratio
+        |FROM occ JOIN f USING (span)
+        |GROUP BY occ.doc_id
+        |ORDER BY doc_id""".stripMargin),
     "dd_near_dedup_corpus" -> GQuery.sql(nearDedupCorpus,
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, source, text FROM documents

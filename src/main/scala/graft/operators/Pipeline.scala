@@ -216,7 +216,57 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Number of export shards for the range-sharded corpus manifest. */
+  val ExportShards = 8
+
+  /** Range-sharded export manifest — the last step of a training-data
+    * pipeline: pack the corpus into key-ordered shards and emit the
+    * manifest (per shard: doc count, char budget, key range) that the
+    * trainer's data loader consumes. Documents are keyed by
+    * (n_chars, doc_id) packed into one long (doc_id loudly asserted
+    * < 2²⁰, mirroring `Dedup.spanDedup`'s order key), and the key
+    * space is split into `ExportShards` EQUAL-WIDTH ranges computed
+    * from the exact global min/max — fixed-width bounds are exact
+    * integer arithmetic on both engines, where sampled (Spark
+    * RangePartitioner) or interpolated-quantile bounds would be
+    * nondeterministic or float-fragile under the oracle's hash
+    * compare. A production export at 100 TB swaps the bound rule for
+    * the sampled range partitioner and follows with
+    * `repartitionByRange(shard_id).sortWithinPartitions(k).write`;
+    * the manifest aggregation below is unchanged.
+    *
+    * Plan shape: one scalar min/max aggregate broadcast back over the
+    * scan (no second pass materialization), then a single groupBy on
+    * shard_id — two narrow scans + one tiny shuffle regardless of
+    * corpus size.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(assert_true(col("doc_id") < 1048576L,
+        lit("shardManifest: doc_id >= 2^20 breaks the packed shard key")).isNull)
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") * lit(1048576L) + col("doc_id")).as("k"))
+    val ext = docs.agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    docs.crossJoin(broadcast(ext))
+      .withColumn("shard_id",
+        expr(s"((k - mn) * $ExportShards) div (mx - mn + 1)"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_shard_manifest" -> GQuery.sql(shardManifest,
+      s"""WITH d AS (
+        |  SELECT doc_id, n_chars, n_chars * 1048576 + doc_id AS k FROM documents),
+        |e AS (SELECT min(k) AS mn, max(k) AS mx FROM d)
+        |SELECT CAST(((k - mn) * $ExportShards) // (mx - mn + 1) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM d CROSS JOIN e
+        |GROUP BY 1 ORDER BY shard_id""".stripMargin),
     "pipe_domain_mix" -> GQuery.sql(domainMix,
       s"""WITH s AS (
         |  SELECT source, count(*) AS n_source,

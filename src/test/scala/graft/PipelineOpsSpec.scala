@@ -219,6 +219,39 @@ class PipelineOpsSpec extends SparkTestBase {
     ids.foreach(id => assert(cc(id) == (1000L, 201L)))
   }
 
+  test("span dedup: exactly one non-dup occurrence per distinct span") {
+    // every distinct span has exactly one kept (first) occurrence, so
+    // Σ n_spans − Σ n_dup_spans must equal the number of distinct
+    // spans in the corpus — and only docs with ≥ SpanTokens tokens
+    // appear
+    val d = Dedup.spanDedup(spark, SfDir)
+    val (tot, dup) = {
+      val r = d.agg(sum("n_spans"), sum("n_dup_spans")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val distinctSpans = Tables.documents(spark, SfDir)
+      .select(explode(graft.functions.NGrams.ngrams(col("text"), Dedup.SpanTokens)).as("s"))
+      .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+    assert(tot - dup == distinctSpans)
+    assert(d.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).isEmpty)
+  }
+
+  test("shard manifest partitions the corpus into disjoint ordered ranges") {
+    val m = Pipeline.shardManifest(spark, SfDir).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, SfDir).count())
+    val ids = m.map(_.getAs[Long]("shard_id"))
+    assert(ids.forall(i => i >= 0 && i < Pipeline.ExportShards))
+    assert(ids.sameElements(ids.sorted))
+    // shards are key-disjoint and ordered: each shard's min exceeds
+    // the previous shard's max
+    m.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("min_key") > a.getAs[Long]("max_key"))
+      case _ =>
+    }
+  }
+
   test("cluster assigns every planted doc to its original's component") {
     val c = Dedup.cluster(spark, SfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
