@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       GraftFunctions.vecDotBuilder))
+    // whole-operator extension: plans AsOfJoinPlan as AsOfJoinExec
+    e.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftshim.AsOfJoinStrategy)
   }
 }

@@ -106,6 +106,35 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** The same purchases-to-latest-signup attribution as `asofJoin`,
+    * through the NATIVE as-of join operator
+    * (`org.apache.spark.sql.graftshim.AsOfJoinExec` — custom
+    * LogicalPlan + SparkStrategy + SparkPlan): hash-cluster each side
+    * on user_id, sort by (user_id, time) within partitions, one-pass
+    * streaming merge. No union of the two streams and no window —
+    * the composed form's per-partition window sort over purchases ∪
+    * signups is replaced by two smaller sorts and a merge, the same
+    * plan shape Spark gives SortMergeJoin. Hash-checked against
+    * DuckDB's built-in ASOF JOIN (same oracle as `ev_asof_join`).
+    */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"),
+        col("user_id").as("s_user_id"), col("us").as("signup_us"))
+    org.apache.spark.sql.graftshim.AsOfJoinShim.asof(
+        purchases, signups,
+        purchases("user_id"), signups("s_user_id"),
+        purchases("purchase_us"), signups("signup_us"))
+      .select("event_id", "user_id", "purchase_us",
+        "signup_event_id", "signup_us")
+      .orderBy("event_id")
+  }
+
   /** Hour-over-hour cohort retention: users active in hour h who are
     * also active in h+1.
     */
@@ -208,6 +237,17 @@ object Events {
         |SELECT s1.user_id, t_view, t_click, t_purchase
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin),
+    "ev_asof_join_native" -> GQuery.sql(asofJoinNative,
+      """SELECT p.event_id, p.user_id,
+        |  p.us AS purchase_us,
+        |  s.event_id AS signup_event_id,
+        |  s.us AS signup_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.us >= s.us
+        |ORDER BY p.event_id""".stripMargin),
     "ev_asof_join" -> GQuery.sql(asofJoin,
       """SELECT p.event_id, p.user_id,
         |  p.us AS purchase_us,

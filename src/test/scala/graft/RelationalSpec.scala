@@ -36,6 +36,16 @@ class RelationalSpec extends SparkTestBase {
       .filter(col("m") =!= 1).count() == 0)
   }
 
+  test("native as-of join equals the composed window form, without union or window") {
+    val composed = Events.asofJoin(spark, SfDir).collect().toSeq
+    val native = Events.asofJoinNative(spark, SfDir)
+    assert(native.collect().toSeq == composed)
+    val exec = native.queryExecution.executedPlan.toString
+    assert(exec.contains("AsOfJoin"), exec)
+    assert(!exec.contains("Window"), "native as-of must not fall back to a window")
+    assert(!exec.contains("Union"), "native as-of must not union the two sides")
+  }
+
   test("plan shape: q5 broadcasts dims and pushes date filter to scan") {
     val plan = Relational.q5Multijoin(spark, SfDir)
       .queryExecution.executedPlan.toString
