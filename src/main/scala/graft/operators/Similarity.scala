@@ -89,6 +89,42 @@ object Similarity {
     */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
+    ivfTopkFrom(e,
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+  }
+
+  /** Planted-copy offset for the oracle-checked IVF variant (distinct
+    * ids from the natural corpus, same convention as
+    * `Dedup.PlantOffset`).
+    */
+  val QueryOffset = 1000000L
+
+  /** The oracle-checkable IVF run (the `dd_minhash_lsh` planted-copy
+    * construction applied to ANN): queries are EXACT copies of every
+    * 8th corpus vector at `vec_id + QueryOffset`. A copy's
+    * nearest-centroid cell is its source's assigned cell (identical
+    * vector, identical tie-break: max cell_cos then min cell_id on
+    * both the assignment max_by and the probe ranking), the probe set
+    * always includes the rank-1 cell, and cosine(copy, source) = 1.0
+    * beats every natural pair — so the pipeline's top-1 for every
+    * planted query is its source, deterministically, regardless of
+    * which centroids the hash sample drew. Restricting the output to
+    * rank 1 therefore makes the ENTIRE IVF pipeline (sampling →
+    * assignment → probing → bounded-heap ranking) hash-checkable
+    * against a closed-form DuckDB oracle.
+    */
+  def ivfTopkPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
+      .select((col("vec_id") + QueryOffset).as("q_id"), col("v").as("qv"))
+    ivfTopkFrom(e, q)
+      .filter(col("rank") === 1L)
+      .orderBy("q_id")
+  }
+
+  /** IVF pipeline over corpus `e` for query set `q` (q_id, qv). */
+  private def ivfTopkFrom(e: DataFrame, q: DataFrame): DataFrame = {
     // Centroids by deterministic hash sampling: keep vec_ids whose
     // xxhash64 falls in a 1-in-(n/ceil(sqrt(n))) residue class — a
     // single scan + scalar count, instead of a single-task global
@@ -117,8 +153,6 @@ object Similarity {
       .agg(max_by(col("cell_id"), struct(col("cell_cos"), -col("cell_id"))).as("cell_id"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cell_id"))
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     // Probe the nearest half of the cells. The crank window is
     // per-query over the ~√n centroid rows only (already reduced by
     // the centroid aggregate), never over corpus rows.
@@ -190,7 +224,11 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cosine
         |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
-    "ann_ivf_topk" -> GQuery.rowsOnly(ivfTopk),
+    "ann_ivf_topk" -> GQuery.sql(ivfTopkPlanted,
+      s"""SELECT vec_id + $QueryOffset AS q_id, CAST(1 AS BIGINT) AS rank,
+        |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 8 = 0
+        |ORDER BY q_id""".stripMargin),
     "vec_norm_stats" -> GQuery.sql(normStats,
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, count(*) AS n_vecs,
