@@ -180,6 +180,110 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * broadcast-centroid shape (the plan Spark MLlib's KMeans uses):
+    * each iteration collects the k×dim centroid matrix to the driver
+    * (k·dim doubles — constant-size, never corpus-size), embeds it as
+    * LITERALS in a single codegen'd projection, and assigns every
+    * vector to its nearest centroid with zero joins and zero shuffles;
+    * the centroid update is one map-side-combinable groupBy on
+    * (cluster, dim) whose key space is k×dim regardless of corpus
+    * size. Determinism that makes the fixpoint oracle-checkable:
+    * init = the first k vectors by id; squared distances are computed
+    * in the identical expression shape as DuckDB's
+    * `list_inner_product` chain and ROUNDED to 6 before the argmin
+    * (ulp-level summation-order differences cannot flip an
+    * assignment); means are rounded to 6 before the next iteration,
+    * so both engines iterate over bit-identical centroids.
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+
+    def toDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+      r.getSeq[Any](i).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+
+    // Nearest-centroid id as a pure projection over centroid literals:
+    // argmin (round(dist2, 6), cid) via array_min over structs.
+    def assign(cents: Array[(Long, Array[Double])]): Column = {
+      val cands = cents.map { case (cid, c) =>
+        // ||c||² accumulated in ascending index order — the same
+        // order DuckDB's list_inner_product(c, c) uses.
+        var cc = 0.0
+        var i = 0
+        while (i < c.length) { cc += c(i) * c(i); i += 1 }
+        val d2 = round(
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedLit(c.toSeq)) + lit(cc), 6)
+        struct(d2.as("d"), lit(cid).as("cid"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).getField("cid")
+    }
+
+    var cents: Array[(Long, Array[Double])] =
+      e.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), toDoubles(r, 1)))
+    for (_ <- 1 to KmeansIters) {
+      cents = e.select(assign(cents).as("cid"), col("v"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("val")), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("c"))
+        .orderBy("cid").collect()
+        .map(r => (r.getLong(0), toDoubles(r, 1)))
+    }
+
+    import spark.implicits._
+    val cdf = cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cluster_id", "centroid")
+    e.select(assign(cents).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(cdf), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_vecs"), col("centroid"))
+      .orderBy("cluster_id")
+  }
+
+  /** 3 Lloyd iterations + final assignment, replicated CTE-for-CTE in
+    * DuckDB — both engines round distances and means to 6, so the
+    * entire iterative fixpoint is hash-comparable.
+    */
+  private def kmeansOracle: String = {
+    def iter(i: Int): String = s""",
+a$i AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round(list_inner_product(e.v, e.v) - 2.0*list_inner_product(e.v, c.c)
+              + list_inner_product(c.c, c.c), 6), c.cid) AS rn
+    FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+c$i AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, round(avg(val), 6) AS m FROM (
+      SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a$i)
+    GROUP BY cid, pos) GROUP BY cid)"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $KmeansK)""" +
+      (1 to KmeansIters).map(iter).mkString +
+      s""",
+afin AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round(list_inner_product(e.v, e.v) - 2.0*list_inner_product(e.v, c.c)
+              + list_inner_product(c.c, c.c), 6), c.cid) AS rn
+    FROM e CROSS JOIN c$KmeansIters c) WHERE rn = 1)
+SELECT a.cid AS cluster_id, count(*) AS n_vecs, any_value(c.c) AS centroid
+FROM afin a JOIN c$KmeansIters c ON a.cid = c.cid
+GROUP BY a.cid ORDER BY cluster_id"""
+  }
+
   /** Per-label vector stats via codegen'd higher-order functions —
     * no UDFs: L2 norms and first-component spread.
     */
@@ -229,6 +333,7 @@ object Similarity {
         |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 8 = 0
         |ORDER BY q_id""".stripMargin),
+    "ann_kmeans" -> GQuery.sql(kmeans, kmeansOracle),
     "vec_norm_stats" -> GQuery.sql(normStats,
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, count(*) AS n_vecs,
