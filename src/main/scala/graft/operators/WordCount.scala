@@ -211,7 +211,74 @@ object WordCount {
       .limit(100)
   }
 
+  val PageRankIters = 5
+
+  /** Node-id offset that puts suppliers in a disjoint id space from
+    * customers in the bipartite purchase graph.
+    */
+  val PageRankSuppOffset = 1000000L
+
+  /** PageRank over the customer↔supplier purchase graph — THE classic
+    * iterative MapReduce job (each iteration is exactly one
+    * map-the-edges / reduce-by-destination round). Edges are the
+    * distinct (customer, supplier) purchase pairs, made bidirectional
+    * so no node dangles; 5 iterations of
+    * pr' = 0.15 + 0.85·Σ pr(u)/deg(u), ranks rounded to 8 each
+    * iteration so both engines iterate bit-identical values
+    * (summation order is the only divergence and it lives below the
+    * rounding). Each iteration is one keyed shuffle (contribs by dst);
+    * the edge relation is scanned per iteration and co-keyed with the
+    * rank shuffle — at cluster scale you'd persist edges partitioned
+    * by src and checkpoint ranks every few rounds, which changes
+    * none of the per-iteration plan shapes. Top-100 by (pr, node) —
+    * tie-broken, so the cut is deterministic.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    val eall = eraw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+    val deg = eall.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = eall.join(deg, "src")
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to PageRankIters) {
+      val contribs = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("m"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0)), 8).as("pr"))
+    }
+    ranks.orderBy(desc("pr"), asc("node")).limit(100)
+  }
+
+  private def pagerankOracle: String = {
+    def iter(i: Int): String = s""",
+r$i AS (
+  SELECT d.node, round(0.15 + 0.85 * coalesce(s.m, 0), 8) AS pr
+  FROM nodes d LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / e.deg) AS m
+    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+    GROUP BY e.dst) s USING (node))"""
+    s"""WITH eraw AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+edges AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM eall),
+nodes AS (SELECT DISTINCT src AS node FROM eall),
+r0 AS (SELECT node, 1.0 AS pr FROM nodes)""" +
+      (1 to PageRankIters).map(iter).mkString +
+      s"""
+SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_pagerank" -> GQuery.sql(pagerank, pagerankOracle),
     "wc_cooccurrence" -> GQuery.sql(cooccurrence,
       """WITH toks AS (
         |  SELECT doc_id,
