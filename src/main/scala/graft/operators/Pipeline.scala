@@ -178,6 +178,62 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  val BloomBits = 1 << 18
+  val BloomK = 5
+
+  /** The same decontamination through a distributed BLOOM FILTER —
+    * the shape that wins when the eval set is too large to broadcast
+    * raw: its shingle set is folded into a constant-size bitmap
+    * (2^18 bits = 32 KB here; size m to ~10·n_keys bits for ~1% FP at
+    * any eval-set scale) by a map-side-combinable Aggregator, the
+    * bitmap broadcasts as ONE row, and a codegen'd `might_contain`
+    * pre-filter drops the overwhelming majority of training shingles
+    * inside the scan's whole-stage pipeline — only Bloom-positive
+    * candidates reach the exact verification join that removes false
+    * positives. Output is therefore EXACTLY `pipe_decontaminate`'s
+    * (Bloom has no false negatives), checked against the identical
+    * DuckDB oracle — hash equality proves the probabilistic pre-filter
+    * is semantically invisible.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bloom
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("sh"))
+    val benchShingles = sh.filter(col("doc_id") < BenchmarkMaxId)
+      .select("sh").distinct()
+    val bloom = benchShingles.agg(
+      Bloom.bloomAgg(BloomBits, BloomK)(col("sh")).as("bloom"))
+    sh.filter(col("doc_id") >= BenchmarkMaxId)
+      .crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("sh"), col("bloom"), BloomK))
+      .select("doc_id", "sh")
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared by the exact and Bloom-pre-filtered decontamination forms
+    * — identical output contract, so one oracle proves both.
+    */
+  private def decontaminateOracle: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BenchmarkMaxId),
+      |tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= $BenchmarkMaxId)
+      |SELECT tr.doc_id, count(DISTINCT tr.s) AS n_overlap
+      |FROM tr JOIN b USING (s)
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
   val MixBudgetFrac = 0.9
 
   /** Domain-mixture sampling — the pretraining-mix pass: given target
@@ -257,7 +313,47 @@ object Pipeline {
       .orderBy("shard_id")
   }
 
+  /** Columns profiled by `pipe_schema_profile` (the orders table). */
+  val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Per-column data profiling — the ingest-time QA pass: row count,
+    * null count and exact distinct count for every column in one
+    * unpivoted stream. Values are compared only within each engine
+    * (distinct counting over each engine's own injective string
+    * cast), so heterogeneous column types never touch cross-engine
+    * formatting. The unpivot multiplies rows by n_cols before a
+    * low-cardinality aggregate — the standard profiling trade; at
+    * cluster scale you'd swap countDistinct for the HLL sketch
+    * (`rel_approx_distinct` is that path).
+    */
+  def schemaProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(ProfileCols.map(c => col(c).cast("string").as(c)): _*)
+    o.selectExpr(
+        s"stack(${ProfileCols.length}, " +
+          ProfileCols.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, val)")
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("val"))).as("n_nulls"),
+        countDistinct(col("val")).as("n_distinct"))
+      .orderBy("col_name")
+  }
+
+  private def schemaProfileOracle: String = {
+    val branches = ProfileCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM orders")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+  $branches)
+SELECT col_name, count(*) AS n_rows,
+  count(*) - count(val) AS n_nulls,
+  count(DISTINCT val) AS n_distinct
+FROM s GROUP BY col_name ORDER BY col_name"""
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_schema_profile" -> GQuery.sql(schemaProfile, schemaProfileOracle),
     "pipe_shard_manifest" -> GQuery.sql(shardManifest,
       s"""WITH d AS (
         |  SELECT doc_id, n_chars, n_chars * 1048576 + doc_id AS k FROM documents),
@@ -284,22 +380,8 @@ object Pipeline {
         |WHERE ((d.doc_id % 999983) * 2654435761) % 1000000 <
         |      CAST(floor(r.keep_frac * 1000000.0) AS BIGINT)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
-    "pipe_decontaminate" -> GQuery.sql(decontaminate,
-      s"""WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
-        |                x -> len(x) > 0) AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BenchmarkMaxId),
-        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= $BenchmarkMaxId)
-        |SELECT tr.doc_id, count(DISTINCT tr.s) AS n_overlap
-        |FROM tr JOIN b USING (s)
-        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
+    "pipe_decontaminate" -> GQuery.sql(decontaminate, decontaminateOracle),
+    "pipe_bloom_decontaminate" -> GQuery.sql(bloomDecontaminate, decontaminateOracle),
     "pipe_hash_sample" -> GQuery.sql(hashSample,
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ((doc_id % 999983) * 2654435761) % 100 < 5
