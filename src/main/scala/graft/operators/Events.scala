@@ -215,7 +215,41 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Per-user hourly-volume anomaly detection: flag hours whose event
+    * count exceeds that user's mean + 3σ across their active hours —
+    * the z-score outlier pass of a monitoring pipeline. Two keyed
+    * aggregations plus an equi-join back on user_id (broadcastable at
+    * any scale: one row per user). The threshold is rounded to 6 on
+    * both engines BEFORE the comparison, so an ulp of
+    * variance-accumulation difference can't flip a row across the
+    * cut; users with a single active hour have NULL stddev and
+    * surface nothing on either engine.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("user_id")
+      .agg(round(avg(col("cnt")) + lit(3.0) * stddev_samp(col("cnt")), 6).as("thr"))
+    hourly.join(stats, Seq("user_id"))
+      .filter(col("cnt").cast("double") > col("thr"))
+      .select(col("user_id"), unix_millis(col("hr")).as("hour_ms"),
+        col("cnt"), col("thr"))
+      .orderBy("user_id", "hour_ms")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_anomaly" -> GQuery.sql(anomaly,
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id, round(avg(cnt) + 3.0 * stddev_samp(cnt), 6) AS thr
+        |  FROM hourly GROUP BY user_id)
+        |SELECT h.user_id, epoch_ms(h.hr) AS hour_ms, h.cnt AS cnt, s.thr AS thr
+        |FROM hourly h JOIN stats s USING (user_id)
+        |WHERE CAST(h.cnt AS DOUBLE) > s.thr
+        |ORDER BY user_id, hour_ms""".stripMargin),
     "ev_range_join" -> GQuery.sql(rangeJoinAttribution,
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |p AS (SELECT event_id, user_id, ms AS p_ms FROM e WHERE event_type = 'purchase'),

@@ -207,7 +207,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-level Shannon entropy per doc — the classic
+    * low-entropy / boilerplate quality gate. Two keyed aggregations
+    * ((doc, char) counts, then per-doc fold); entropy computed as
+    * log2(n) − Σc·log2(c)/n so both engines evaluate the identical
+    * expression tree, rounded to 6 against summation-order ulps.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_chars"),
+        sum(col("cnt").cast("double") * log2(col("cnt").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log2(col("n_chars").cast("double")) -
+          col("s") / col("n_chars").cast("double"), 6).as("entropy"))
+      .orderBy("doc_id")
+
   val queries: Map[String, GQuery] = Map(
+    "txt_entropy" -> GQuery.sql(charEntropy,
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |  round(log2(CAST(sum(cnt) AS DOUBLE)) -
+        |        sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) /
+        |        CAST(sum(cnt) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "txt_pii_scrub" -> GQuery.sql(piiScrub,
       """WITH s AS (
         |  SELECT doc_id,

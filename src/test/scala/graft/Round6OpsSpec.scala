@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-6 operators beyond their DuckDB oracles:
+  * the properties that must hold at ANY corpus size, checked on
+  * sf0.001.
+  */
+class Round6OpsSpec extends SparkTestBase {
+
+  test("kmeans clusters partition the corpus and centroids have full dim") {
+    val out = operators.Similarity.kmeans(spark, SfDir).collect()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(out.map(_.getLong(1)).sum === n)
+    assert(out.forall(_.getSeq[Double](2).length == 64))
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+  }
+
+  test("pagerank conserves rank mass on the dangle-free graph") {
+    val out = operators.WordCount.pagerank(spark, SfDir).collect()
+    assert(out.length === 100)
+    // pr = 0.15 + 0.85·(received mass); with bidirectional edges every
+    // node emits its full mass, so every rank sits in [0.15, ∞) and
+    // the top node's rank is strictly above the floor.
+    assert(out.forall(_.getDouble(1) >= 0.15))
+    assert(out.head.getDouble(1) > 1.0)
+  }
+
+  test("bloom pre-filter equals exact decontamination and actually prunes") {
+    import graft.functions.Bloom
+    val exact = operators.Pipeline.decontaminate(spark, SfDir).collect()
+    val bloomed = operators.Pipeline.bloomDecontaminate(spark, SfDir).collect()
+    assert(bloomed.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      exact.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // the pre-filter must reject a real fraction of training shingles —
+    // if it passes everything, the bitmap is saturated (m too small)
+    val sh = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("sh"))
+    val bench = sh.filter(col("doc_id") < operators.Pipeline.BenchmarkMaxId)
+      .select("sh").distinct()
+    val bloom = bench.agg(
+      Bloom.bloomAgg(operators.Pipeline.BloomBits, operators.Pipeline.BloomK)(col("sh"))
+        .as("bloom"))
+    val train = sh.filter(col("doc_id") >= operators.Pipeline.BenchmarkMaxId)
+    val total = train.count()
+    val positives = train.crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("sh"), col("bloom"), operators.Pipeline.BloomK))
+      .count()
+    assert(positives < total,
+      s"bloom passed all $total shingles — saturated filter")
+  }
+
+  test("char entropy is bounded by log2 of the per-doc alphabet") {
+    val ent = operators.TextAnalysis.charEntropy(spark, SfDir)
+    val alpha = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("doc_id").agg(countDistinct(col("ch")).as("n_alpha"))
+    val joined = ent.join(alpha, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getDouble(2)
+      val bound = math.log(r.getLong(3).toDouble) / math.log(2.0)
+      assert(e >= 0.0 && e <= bound + 1e-6,
+        s"doc ${r.getLong(0)}: entropy $e outside [0, $bound]")
+    }
+  }
+
+  test("every anomaly row exceeds its user's recomputed threshold") {
+    val out = operators.Events.anomaly(spark, SfDir).collect()
+    val hourly = Tables.events(spark, SfDir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("user_id")
+      .agg(avg(col("cnt")).as("mu"), stddev_samp(col("cnt")).as("sd"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (mu, sd) = stats(r.getLong(0))
+      assert(r.getLong(2).toDouble > mu + 3 * sd - 1e-6)
+    }
+  }
+
+  test("schema profile counts are consistent") {
+    val rows = operators.Pipeline.schemaProfile(spark, SfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === operators.Pipeline.ProfileCols.toSet)
+    val n = Tables.orders(spark, SfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= n)
+      assert(r.getLong(3) <= n - r.getLong(2))
+    }
+  }
+}
