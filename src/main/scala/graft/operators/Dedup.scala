@@ -98,6 +98,36 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOn(docsTable(spark, dir))
 
+  /** Shingle CONTAINMENT ≥ 0.3 pairs — the asymmetric companion to
+    * Jaccard: containment(a→b) = |A∩B| / |A| flags a document mostly
+    * embedded in another even when the size imbalance keeps Jaccard
+    * low (the quote-of-a-long-doc / eval-subset-of-training-doc case
+    * Jaccard structurally misses). Same set-similarity equi-join
+    * shape as `ngramJaccardOn` (shared-shingle pairs only, no arrays
+    * per pair, raw-filter-then-round), but ordered pairs: both
+    * directions can fire independently.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val r = shingleHashRowsOf(docs)
+    val inter = r.select(col("source"), col("doc_id").as("doc_id_a"), col("sh"))
+      .join(r.select(col("source"), col("doc_id").as("doc_id_b"), col("sh")),
+        Seq("source", "sh"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingleSizesOf(docs)
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_a", "sh_size" -> "sz_a")),
+        Seq("doc_id_a"))
+      .withColumn("containment_raw",
+        col("n_inter").cast("double") / col("sz_a").cast("double"))
+      .filter(col("containment_raw") >= 0.3)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("containment_raw"), 4).as("containment"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   def ngramJaccardOn(docs: DataFrame): DataFrame = {
     // set-similarity join: pairs that share >=1 shingle (equi-join on
     // the shingle itself), |A∩B| by count, |A∪B| = |A|+|B|-|A∩B|.
@@ -690,6 +720,24 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_hash,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY md5_hash""".stripMargin),
+    "dd_containment" -> GQuery.sql(containment,
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(a.shingles), 4) AS containment
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      len(a.shingles) >= 0.3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin),
     "dd_ngram_jaccard" -> GQuery.sql(ngramJaccard,
       """WITH toks AS (
         |  SELECT doc_id, source,
