@@ -227,6 +227,13 @@ object Similarity {
     var cents: Array[(Long, Array[Double])] =
       e.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), toDoubles(r, 1)))
+    // No seed vectors (empty corpus, or ids all >= K): both engines
+    // agree the result is empty — don't build an empty literal argmin.
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Seq[Double])]
+        .toDF("cluster_id", "n_vecs", "centroid")
+    }
     for (_ <- 1 to KmeansIters) {
       cents = e.select(assign(cents).as("cid"), col("v"))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
