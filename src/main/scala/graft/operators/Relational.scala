@@ -521,7 +521,92 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("s_nationkey")
 
+  /** Buckets per group for the distributed rank decomposition. Fixed
+    * here for oracle determinism; at 100 TB size it ~√(rows/group)
+    * (driver conf), exactly like the IVF cell count.
+    */
+  val RankBuckets = 64
+
+  /** Full per-group rank analytics — rank, percent_rank, cume_dist,
+    * ntile(4) — WITHOUT a per-group corpus sort. `Window.partitionBy
+    * (nation)` alone would funnel each nation's entire customer set
+    * into one task forever (25 tasks at any scale — the round-3
+    * ANN-window defect in relational form). Instead, the classic
+    * distributed-CDF decomposition:
+    *   1. bucket the order key into RankBuckets equi-width cells from
+    *      a broadcast per-nation (min, max) aggregate (equi-depth
+    *      percentile boundaries are the drop-in swap when value skew
+    *      matters — same shape as `pipe_shard_manifest`);
+    *   2. count rows per (nation, bucket) and prefix-sum the counts
+    *      with a window over that TINY aggregate (≤ 25·64 rows);
+    *   3. join the offsets back (broadcast) so the only per-row
+    *      window partitions by (nation, bucket) — per-partition work
+    *      is n/(groups·buckets), bounded by the bucket knob.
+    * rank = bucket offset + intra-bucket row_number; the order key
+    * (c_acctbal, c_custkey) is unique, so there are no peer groups
+    * and percent_rank = (rank−1)/(n−1), cume_dist = rank/n, and
+    * ntile(4) follows the SQL first-(n mod 4)-buckets-get-the-extra
+    * rule in closed form. The DuckDB oracle computes all four with
+    * its NATIVE window functions — hash equality proves the
+    * decomposition implements textbook semantics exactly.
+    */
+  def relDistributedRank(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val bounds = c.groupBy("c_nationkey")
+      .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+    val bucketed = c.join(broadcast(bounds), Seq("c_nationkey"))
+      .withColumn("bucket",
+        least(greatest(
+          floor((col("c_acctbal") - col("lo")) * RankBuckets /
+            greatest(col("hi") - col("lo"), lit(1e-9))), lit(0L)),
+          lit(RankBuckets - 1L)))
+      .drop("lo", "hi")
+    val counts = bucketed.groupBy("c_nationkey", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val byNation = Window.partitionBy("c_nationkey")
+    val offsets = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        byNation.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("offset", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byNation))
+      .select("c_nationkey", "bucket", "offset", "n")
+    val inBucket = Window.partitionBy("c_nationkey", "bucket")
+      .orderBy("c_acctbal", "c_custkey")
+    def idiv(a: Column, b: Column): Column = floor(a.cast("double") / b).cast("long")
+    val small = idiv(col("n"), lit(4))
+    val rmd = col("n") % 4
+    val ranked = bucketed.join(broadcast(offsets), Seq("c_nationkey", "bucket"))
+      .withColumn("rnk", col("offset") + row_number().over(inBucket))
+      .withColumn("pct_rank",
+        round(when(col("n") > 1,
+          (col("rnk") - 1).cast("double") / (col("n") - 1)).otherwise(0.0), 6))
+      .withColumn("cume", round(col("rnk").cast("double") / col("n"), 6))
+      // first (n mod 4) tiles get ceil(n/4) rows; the otherwise branch is
+      // unreachable when small == 0 (it needs rnk > n), so the greatest()
+      // guard only shields the not-taken division.
+      .withColumn("quartile",
+        when(col("rnk") <= rmd * (small + 1),
+          idiv(col("rnk") - 1, small + 1) + 1)
+          .otherwise(rmd + idiv(col("rnk") - 1 - rmd * (small + 1),
+            greatest(small, lit(1L))) + 1))
+    ranked.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+      col("rnk"), col("pct_rank"), col("cume"), col("quartile"))
+      .orderBy("c_nationkey", "rnk")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_distributed_rank" -> GQuery.sql(relDistributedRank,
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  row_number() OVER w AS rnk,
+        |  round(CASE WHEN count(*) OVER (PARTITION BY c_nationkey) > 1
+        |    THEN percent_rank() OVER w ELSE 0.0 END, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, rnk""".stripMargin),
     "rel_salted_skew_join" -> GQuery.sql(relSaltedSkewJoin,
       """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_rows

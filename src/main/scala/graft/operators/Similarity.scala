@@ -306,7 +306,44 @@ GROUP BY a.cid ORDER BY cluster_id"""
         round(avg(col("d0")), 6).as("avg_d0"))
       .orderBy("label")
 
+  val RangeTau = 0.3
+
+  /** Range search — the fixed-radius dual of top-k: for each query,
+    * count (and summarize) ALL corpus neighbors with cosine ≥ τ.
+    * Broadcast query set × one corpus scan; the τ filter runs inside
+    * the scan's codegen pipeline, so only in-range rows reach the
+    * tiny per-query aggregate (≤ NQueries groups, map-side partials).
+    * No window, no per-pair materialization — the shape that survives
+    * any corpus size.
+    */
+  def rangeCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("qv"), col("v")).as("cos_raw"))
+      .filter(col("cos_raw") >= RangeTau)
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        round(avg(col("cos_raw")), 6).as("avg_cos"),
+        round(max(col("cos_raw")), 6).as("max_cos"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ann_range_count" -> GQuery.sql(rangeCount,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+        |scored AS (
+        |  SELECT q.q_id,
+        |    list_inner_product(q.qv, e.v) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+        |  FROM q JOIN e ON e.vec_id <> q.q_id)
+        |SELECT q_id, count(*) AS n_neighbors,
+        |  round(avg(cos_raw), 6) AS avg_cos,
+        |  round(max(cos_raw), 6) AS max_cos
+        |FROM scored WHERE cos_raw >= $RangeTau
+        |GROUP BY q_id ORDER BY q_id""".stripMargin),
     "ann_bruteforce_topk" -> GQuery.sql(bruteforceTopk,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),

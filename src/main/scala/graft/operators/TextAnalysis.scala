@@ -226,7 +226,70 @@ object TextAnalysis {
           col("s") / col("n_chars").cast("double"), 6).as("entropy"))
       .orderBy("doc_id")
 
+  val CollocMinCount = 5L
+  val CollocTopK = 100
+
+  /** PMI-scored collocations — the classic MapReduce co-occurrence
+    * statistic: pmi(w1,w2) = log2((c12/M) / ((c1/N)·(c2/N))) over
+    * bigram counts c12 (one pass via the native `NGrams` expression)
+    * and unigram counts c1/c2, with N = total tokens, M = total
+    * bigrams. Two keyed aggregations + two vocabulary equi-joins —
+    * the unigram table is NOT broadcast (at 100 TB the vocabulary is
+    * itself large; AQE may still choose broadcast when it is small).
+    * Both engines evaluate the identical double expression tree
+    * (c12·N·N)/(M·c1·c2) before one log2, so ordering by the rounded
+    * score is engine-stable; ties break on the bigram text.
+    */
+  def collocation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs
+      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tokens"))
+    val bg = docs
+      .select(explode(graft.functions.NGrams.ngrams(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val mBig = bg.agg(sum(col("c12")).as("m_bigrams"))
+    bg.filter(col("c12") >= CollocMinCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.withColumnsRenamed(Map("w" -> "w1", "c" -> "c1")), Seq("w1"))
+      .join(uni.withColumnsRenamed(Map("w" -> "w2", "c" -> "c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(mBig))
+      .withColumn("pmi", round(log2(
+        (col("c12").cast("double") * col("n_tokens").cast("double") *
+          col("n_tokens").cast("double")) /
+          (col("m_bigrams").cast("double") * col("c1").cast("double") *
+            col("c2").cast("double"))), 6))
+      .select(col("bigram"), col("c12"), col("pmi"))
+      .orderBy(desc("pmi"), asc("bigram"))
+      .limit(CollocTopK)
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_collocation" -> GQuery.sql(collocation,
+      s"""WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text),
+        |    '[[:punct:][:space:]]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT unnest(t) AS w FROM toks),
+        |u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |bgs AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT bigram, count(*) AS c12 FROM bgs GROUP BY bigram),
+        |tot AS (SELECT (SELECT sum(c) FROM u) AS n_tokens,
+        |               (SELECT sum(c12) FROM bg) AS m_bigrams)
+        |SELECT bigram, c12,
+        |  round(log2((c12::DOUBLE * n_tokens::DOUBLE * n_tokens::DOUBLE) /
+        |    (m_bigrams::DOUBLE * u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+        |FROM bg CROSS JOIN tot
+        |JOIN u u1 ON u1.w = split_part(bigram, ' ', 1)
+        |JOIN u u2 ON u2.w = split_part(bigram, ' ', 2)
+        |WHERE c12 >= $CollocMinCount
+        |ORDER BY pmi DESC, bigram LIMIT $CollocTopK""".stripMargin),
     "txt_entropy" -> GQuery.sql(charEntropy,
       """WITH ch AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
