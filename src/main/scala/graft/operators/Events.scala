@@ -238,7 +238,154 @@ object Events {
       .orderBy("user_id", "hour_ms")
   }
 
+  val PathTopK = 50
+
+  /** Session path mining: the most frequent event-type journeys.
+    * Sessions are assigned exactly as `sessionize` (lag → flag →
+    * cumulative sum, one shuffle on user_id); each session's path is
+    * then folded with collect_list + array_sort — the per-session
+    * buffer is bounded by the 30-minute inactivity gap, never by the
+    * corpus, so unlike an inverted-index collect this cannot OOM a
+    * hot key. The path histogram is one more map-side-combinable
+    * aggregate; top-k via TakeOrdered (no global sort materialized).
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 30L * 60 * 1000, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "session_seq")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ms"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(PathTopK)
+  }
+
+  /** Per-user activity-gap profile over distinct active hours: how
+    * continuous is each user's hourly presence? One distinct + one
+    * per-user window over the user's OWN active hours (bounded by the
+    * time span, not the event volume) + one keyed aggregate. All gap
+    * arithmetic stays in exact integer-valued doubles (epoch ms are
+    * multiples of 3600000), so both engines compute identical values.
+    */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("hour_ms")
+    hours
+      .withColumn("gap_h",
+        ((col("hour_ms") - lag(col("hour_ms"), 1).over(byUser)) / 3600000L).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_active_hours"),
+        (((max(col("hour_ms")) - min(col("hour_ms"))) / 3600000L).cast("long") + 1)
+          .as("span_hours"),
+        count(when(col("gap_h") > 1, 1)).as("n_gaps"),
+        coalesce(max(col("gap_h") - 1), lit(0L)).as("max_skip_hours"))
+      .withColumn("missing_hours", col("span_hours") - col("n_active_hours"))
+      .select("user_id", "n_active_hours", "span_hours", "missing_hours",
+        "n_gaps", "max_skip_hours")
+      .orderBy("user_id")
+  }
+
+  val ResampleUsers = 5
+
+  /** Time-series resampling to a dense hourly grid with forward fill
+    * — the gap-repair step before any ML over regular series. Each
+    * tracked user's grid is `sequence(first_hour, last_hour)` exploded
+    * (bounded by the user's SPAN, not event volume), left-joined to
+    * the hourly aggregate, and missing hours carry the last observed
+    * value forward via a running last-ignoring-nulls window (the
+    * `ev_asof_join` primitive). Per-user windows over span-bounded
+    * grids — no corpus-sized sort anywhere. Restricted to
+    * ResampleUsers users to keep the verified output small; the plan
+    * is user-count-independent.
+    */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("user_id") < ResampleUsers)
+      .groupBy(col("user_id"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("vs"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+    val fill = Window.partitionBy("user_id").orderBy("hour_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour_ms"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_value", last(col("vs"), ignoreNulls = true).over(fill))
+      .select("user_id", "hour_ms", "n_events", "filled_value")
+      .orderBy("user_id", "hour_ms")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_resample_ffill" -> GQuery.sql(resampleFfill,
+      s"""WITH hourly AS (
+        |  SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |    count(*) AS n, round(sum(value), 2) AS vs
+        |  FROM events WHERE user_id < $ResampleUsers GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(hour_ms) AS lo, max(hour_ms) AS hi
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1, 3600000)) AS hour_ms
+        |  FROM bounds)
+        |SELECT g.user_id, g.hour_ms, coalesce(h.n, 0) AS n_events,
+        |  last_value(h.vs IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON h.user_id = g.user_id AND h.hour_ms = g.hour_ms
+        |ORDER BY g.user_id, g.hour_ms""".stripMargin),
+    "ev_session_paths" -> GQuery.sql(sessionPaths,
+      s"""WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30*60*1000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, event_type, ms,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY ms, event_id) AS path
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM paths
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin),
+    "ev_gap_stats" -> GQuery.sql(gapStats,
+      """WITH hours AS (
+        |  SELECT DISTINCT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms
+        |  FROM events),
+        |gapped AS (
+        |  SELECT user_id, hour_ms,
+        |    CAST((hour_ms - lag(hour_ms) OVER (PARTITION BY user_id ORDER BY hour_ms))
+        |      / 3600000 AS BIGINT) AS gap_h
+        |  FROM hours)
+        |SELECT user_id,
+        |  count(*) AS n_active_hours,
+        |  CAST((max(hour_ms) - min(hour_ms)) / 3600000 AS BIGINT) + 1 AS span_hours,
+        |  CAST((max(hour_ms) - min(hour_ms)) / 3600000 AS BIGINT) + 1 - count(*)
+        |    AS missing_hours,
+        |  count(*) FILTER (WHERE gap_h > 1) AS n_gaps,
+        |  coalesce(max(gap_h - 1), 0) AS max_skip_hours
+        |FROM gapped GROUP BY user_id ORDER BY user_id""".stripMargin),
     "ev_anomaly" -> GQuery.sql(anomaly,
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS cnt

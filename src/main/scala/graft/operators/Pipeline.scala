@@ -352,7 +352,37 @@ SELECT col_name, count(*) AS n_rows,
 FROM s GROUP BY col_name ORDER BY col_name"""
   }
 
+  val WeightedK = 50
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws a deterministic pseudo-uniform u ∈ (0, 1] from the
+    * same overflow-safe multiplicative hash as `hashSample`, and the
+    * k docs with the largest u^(1/w) — equivalently ln(u)/w — win.
+    * Heavier docs (w = n_chars) thus win proportionally more often,
+    * the standard quality-/length-weighted selection a curriculum
+    * pipeline uses. Deterministic (no rand()), engine-portable, and
+    * the top-k runs as TakeOrdered — no global sort, no shuffle of
+    * the corpus. Both engines evaluate the identical ln expression on
+    * identical integers, so ranking by the raw key is stable.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        (((col("doc_id") % 999983L) * 2654435761L) % 1000000L + 1L) / 1000000.0)
+      .withColumn("es_key", round(log(col("u")) / col("n_chars"), 9))
+      .select("doc_id", "source", "n_chars", "es_key")
+      .orderBy(desc("es_key"), asc("doc_id"))
+      .limit(WeightedK)
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_weighted_sample" -> GQuery.sql(weightedSample,
+      s"""WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((((doc_id % 999983) * 2654435761) % 1000000 + 1) / 1000000.0)
+        |      / n_chars, 9) AS es_key
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, es_key FROM keyed
+        |ORDER BY es_key DESC, doc_id LIMIT $WeightedK""".stripMargin),
     "pipe_schema_profile" -> GQuery.sql(schemaProfile, schemaProfileOracle),
     "pipe_shard_manifest" -> GQuery.sql(shardManifest,
       s"""WITH d AS (

@@ -277,7 +277,83 @@ r0 AS (SELECT node, 1.0 AS pr FROM nodes)""" +
 SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
   }
 
+  /** Minimum co-purchase orders for a part-graph edge. */
+  val TriMinOrders = 2L
+
+  /** Triangle counting — the classic MapReduce graph statistic — over
+    * the part co-purchase graph (parts appearing in the same order,
+    * edge kept when they co-occur in ≥ TriMinOrders orders). The
+    * Spark plan is the degree-ordered (compact-forward) algorithm:
+    * orient every edge from its lower-(degree, id) endpoint to the
+    * higher, enumerate wedges only from each apex's out-edges (out-
+    * degree is O(√m) under this orientation, so the wedge set cannot
+    * blow up on a hub the way id-ordered orientation can), and close
+    * wedges with a semi-join back against the oriented edge set.
+    * The DuckDB oracle counts triangles by the straightforward
+    * id-ordered 3-way self-join — a genuinely different construction,
+    * so the match verifies the orientation rewrite, not just the
+    * arithmetic. All reported stats (nodes, edges, triangles, wedges
+    * = Σ C(deg,2), clustering = 3T/W) are orientation-invariant.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinOrders)
+      .select("u", "v")
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.withColumnsRenamed(Map("x" -> "u", "d" -> "du")), Seq("u"))
+      .join(deg.withColumnsRenamed(Map("x" -> "v", "d" -> "dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"),
+        greatest(col("du"), col("dv")).as("dt"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    val tri = wedges
+      .join(oriented.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum((col("d") * (col("d") - 1) / 2).cast("long")).as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("clustering"))
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_triangle_count" -> GQuery.sql(triangleCount,
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinOrders),
+        |deg AS (
+        |  SELECT x, count(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles,
+        |  (SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  (SELECT round(n_triangles * 3.0 / (SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) FROM deg), 6) FROM tri)
+        |    AS clustering""".stripMargin),
     "wc_pagerank" -> GQuery.sql(pagerank, pagerankOracle),
     "wc_cooccurrence" -> GQuery.sql(cooccurrence,
       """WITH toks AS (

@@ -91,4 +91,63 @@ class Round6OpsSpec extends SparkTestBase {
       assert(r.getLong(3) <= n - r.getLong(2))
     }
   }
+
+  test("distributed rank is a per-nation permutation with balanced quartiles") {
+    val rows = operators.Relational.relDistributedRank(spark, SfDir).collect()
+      .map(r => (r.getAs[Number](1).longValue, r.getLong(3), r.getLong(6))) // nation, rnk, quartile
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ranks = g.map(_._2).sorted
+      assert(ranks === (1L to g.length.toLong).toArray)
+      val sizes = g.groupBy(_._3).values.map(_.length).toSeq
+      assert(sizes.max - sizes.min <= 1, s"unbalanced ntile: $sizes")
+    }
+  }
+
+  test("triangle stats are internally consistent") {
+    val r = operators.WordCount.triangleCount(spark, SfDir).collect().head
+    val (nodes, edges, tris, wedges) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nodes > 0 && edges > 0)
+    assert(wedges * 1L >= 3 * tris) // every triangle closes 3 wedges
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("gap stats reconcile: span = active + missing, skips within span") {
+    operators.Events.gapStats(spark, SfDir).collect().foreach { r =>
+      val (active, span, missing, skip) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(span === active + missing)
+      assert(skip <= missing)
+    }
+  }
+
+  test("resampled grids are dense per user and fill is monotone-defined") {
+    val byUser = operators.Events.resampleFfill(spark, SfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (_, rows) =>
+      val hours = rows.map(_.getLong(1))
+      assert(hours.max - hours.min === (hours.length - 1) * 3600000L)
+      // once a value appears, every later row is non-null
+      val defined = rows.sortBy(_.getLong(1)).map(!_.isNullAt(3))
+      assert(defined.dropWhile(!_).forall(identity))
+    }
+  }
+
+  test("weighted-sample keys are valid A-ES keys and heavy docs dominate") {
+    val rows = operators.Pipeline.weightedSample(spark, SfDir).collect()
+    assert(rows.length === operators.Pipeline.WeightedK)
+    assert(rows.forall(_.getDouble(3) <= 0.0)) // ln(u)/w with u ≤ 1
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = Tables.documents(spark, SfDir)
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean, "length-weighted sample should skew long")
+  }
+
+  test("session paths cover no more sessions than exist") {
+    val paths = operators.Events.sessionPaths(spark, SfDir).collect()
+    val total = operators.Events.sessionize(spark, SfDir).count()
+    assert(paths.map(_.getLong(1)).sum <= total)
+    assert(paths.forall(_.getString(0).nonEmpty))
+  }
 }
