@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev micro-bench: time ONE registry query (warmup + N passes) so a
+  * plan change can be measured without a full Bench sweep.
+  * Usage: BenchOne <name> [passes]; same env knobs as Bench.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
+    val ts = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"$name%s min=${ts.min}%.3f median=${ts(ts.length / 2)}%.3f max=${ts.max}%.3f sec")
+    spark.stop()
+  }
+}

@@ -243,8 +243,15 @@ object WordCount {
     val eall = eraw.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
     val deg = eall.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edges = eall.join(deg, "src")
-    val nodes = deg.select(col("src").as("node"))
+    // Materialize the loop-invariant relations once and truncate each
+    // round's lineage (same discipline as dd_cluster's contraction
+    // loop): without this, iteration k's plan nests the edge build and
+    // every previous round k-deep, and the optimizer re-derives and
+    // re-executes the whole tower per round. On a cluster this is
+    // persist + periodic reliable checkpoint; the plan shapes per
+    // round are identical.
+    val edges = eall.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nodes = deg.select(col("src").as("node")).localCheckpoint()
     var ranks = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to PageRankIters) {
       val contribs = edges.join(ranks, edges("src") === ranks("node"))
@@ -253,6 +260,7 @@ object WordCount {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           round(lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0)), 8).as("pr"))
+        .localCheckpoint()
     }
     ranks.orderBy(desc("pr"), asc("node")).limit(100)
   }
