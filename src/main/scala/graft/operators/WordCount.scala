@@ -285,6 +285,33 @@ r0 AS (SELECT node, 1.0 AS pr FROM nodes)""" +
 SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
   }
 
+  val HeavyHitterCap = 16
+  val HeavyHitterK = 10
+
+  /** Heavy hitters via the mergeable SpaceSaving summary — word count
+    * with BOUNDED memory (functions/SpaceSaving.scala). Exact counting
+    * shuffles one row per distinct token; at 100 TB the near-unique
+    * tail dominates that exchange even though only the head matters.
+    * Here every map partition reduces to a fixed `cap`-entry summary
+    * before the exchange, so shuffle volume is cap·partitions,
+    * independent of corpus AND vocabulary size. Capacity 16 is chosen
+    * BELOW this corpus's 31-token vocabulary so eviction genuinely
+    * exercises the sketch (rows-only by design — the result carries
+    * [ub−err, ub] bounds, not exact counts; Round6OpsSpec pins the
+    * bound guarantees and the cap ≥ vocab ⇒ exact degeneration).
+    */
+  def heavyHittersWith(cap: Int)(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(graft.functions.SpaceSaving.spaceSaving(cap)(col("word")).as("summary"))
+      .select(explode(col("summary")).as("e"))
+      .select(col("e.token").as("token"), col("e.ub").as("count_ub"),
+        col("e.err").as("err"))
+      .orderBy(desc("count_ub"), asc("token"))
+      .limit(HeavyHitterK)
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersWith(HeavyHitterCap)(spark, dir)
+
   /** Minimum co-purchase orders for a part-graph edge. */
   val TriMinOrders = 2L
 
@@ -342,6 +369,7 @@ SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
   }
 
   val queries: Map[String, GQuery] = Map(
+    "wc_heavy_hitters" -> GQuery.rowsOnly(heavyHitters),
     "wc_triangle_count" -> GQuery.sql(triangleCount,
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (

@@ -144,6 +144,30 @@ class Round6OpsSpec extends SparkTestBase {
     assert(sampleMean > corpusMean, "length-weighted sample should skew long")
   }
 
+  test("space-saving bounds bracket the exact counts and eviction really ran") {
+    val exact = operators.WordCount.wordcount(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size > operators.WordCount.HeavyHitterCap,
+      "corpus vocab must exceed capacity for this test to bite")
+    val approx = operators.WordCount.heavyHitters(spark, SfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (tok, ub, err) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val t = exact.getOrElse(tok, 0L)
+      assert(t <= ub, s"$tok: true $t above upper bound $ub")
+      assert(t >= ub - err, s"$tok: true $t below lower bound ${ub - err}")
+    }
+    // capacity ≥ vocabulary ⇒ no eviction ⇒ the sketch degenerates to
+    // exact counting: equality with the exact top-k pins the plumbing
+    val wide = operators.WordCount
+      .heavyHittersWith(exact.size + 1)(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(operators.WordCount.HeavyHitterK)
+      .map { case (t, c) => (t, c, 0L) }
+    assert(wide.toSeq === top)
+  }
+
   test("session paths cover no more sessions than exist") {
     val paths = operators.Events.sessionPaths(spark, SfDir).collect()
     val total = operators.Events.sessionize(spark, SfDir).count()
