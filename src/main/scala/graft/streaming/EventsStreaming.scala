@@ -174,6 +174,24 @@ object EventsStreaming {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming heavy hitters — streaming word count with BOUNDED
+    * state. The complete-mode `wordcount` above keeps one state row
+    * per distinct word forever; on an unbounded vocabulary that state
+    * grows without limit. Here the stream folds into a single
+    * mergeable SpaceSaving summary (functions/SpaceSaving.scala): each
+    * micro-batch reduces map-side to capacity-entry partials, and the
+    * stateful global aggregate merges them into ONE fixed-size
+    * summary — state is `cap` entries regardless of vocabulary, the
+    * sketch analogue of the watermark bound on windowed state. Counts
+    * carry [ub−err, ub] brackets; with cap ≥ vocabulary the sketch
+    * degenerates to exact streaming word count (pinned by spec).
+    */
+  def heavyHitters(spark: SparkSession, textDir: String, cap: Int): DataFrame =
+    spark.readStream.text(textDir)
+      .select(explode(graft.functions.Text.tokens(col("value"))).as("word"))
+      .groupBy()
+      .agg(graft.functions.SpaceSaving.spaceSaving(cap)(col("word")).as("summary"))
+
   /** Test/staging helper: write `df` as a single parquet file dropped
     * atomically into `watchDir` — one streaming-source "file arrival".
     */

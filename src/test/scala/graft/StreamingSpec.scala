@@ -68,6 +68,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming space-saving summary brackets batch counts; wide cap is exact") {
+    import org.apache.spark.sql.DataFrame
+    val watch = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
+    def dropText(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_drophh")
+      df.coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(watch, s"$name.txt"))
+    }
+    val docs = Tables.documents(spark, SfDir)
+    val half = docs.count() / 2
+    val exact = graft.operators.WordCount.wordcount(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run(cap: Int, name: String): Array[(String, Long, Long)] = {
+      val q = EventsStreaming.heavyHitters(spark, watch, cap)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+        .select(explode(col("summary")).as("e"))
+        .select(col("e.token"), col("e.ub"), col("e.err")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    dropText(docs.filter(col("doc_id") < half).select("text"), "a")
+    dropText(docs.filter(col("doc_id") >= half).select("text"), "b")
+    // narrow cap: eviction ran, every surviving entry brackets truth
+    val narrow = run(graft.operators.WordCount.HeavyHitterCap, "hh_narrow")
+    assert(narrow.length === graft.operators.WordCount.HeavyHitterCap)
+    narrow.foreach { case (tok, ub, err) =>
+      val t = exact.getOrElse(tok, 0L)
+      assert(t <= ub && t >= ub - err, s"$tok: $t outside [${ub - err}, $ub]")
+    }
+    // wide cap: no eviction — the streaming sketch IS exact wordcount
+    val wide = run(exact.size + 8, "hh_wide")
+    assert(wide.map { case (t, u, _) => t -> u }.toMap === exact)
+    assert(wide.forall(_._3 == 0L))
+  }
+
   test("stream-stream interval join emits exactly the batch attribution pairs") {
     val stream = EventsStreaming.clickAttribution(
       EventsStreaming.readEvents(spark, eventsDir))
