@@ -183,6 +183,176 @@ object Similarity {
   val KmeansK = 8
   val KmeansIters = 3
 
+  val PqM = 8        // subspaces
+  val PqSub = 8      // dims per subspace (PqM * PqSub = 64)
+  val PqNCent = 16   // codebook entries per subspace
+  val PqSeedMod = 31 // deterministic codebook seed rule: vec_id % mod == 0
+  val PqShortlist = 64 // ADC candidates kept per query for exact re-rank
+
+  /** Product-quantization ANN — the third member of the ANN ladder
+    * (brute force → IVF cells → PQ codes). The 64-dim corpus is split
+    * into PqM subspaces; each subvector is quantized to its nearest of
+    * PqNCent codebook entries (codebooks = hash-rule-sampled corpus
+    * vectors, the same deterministic seeding as IVF/k-means), so every
+    * vector compresses to PqM small codes. A query then scores the
+    * ENTIRE corpus through a PqM × PqNCent lookup table of
+    * query·codebook partial products (asymmetric distance computation)
+    * — per-vector work is PqM table lookups + adds instead of a 64-dim
+    * dot product, and the compressed corpus is 64/8 = 8× smaller than
+    * the raw vectors, which is the whole point at 100 TB. The ADC scan
+    * keeps a PqShortlist-deep candidate list per query; only those few
+    * raw vectors are fetched and re-ranked by the TRUE inner product —
+    * the standard two-stage compressed-scan + exact-re-rank serving
+    * architecture (quantization error affects which candidates
+    * surface, never the reported scores).
+    *
+    * Everything is a zero-join codegen projection over codebook
+    * LITERALS (the k-means broadcast shape): encoding uses the
+    * identical xx − 2·xs + ss expression tree as DuckDB's
+    * list_inner_product chain, and both the encoding argmin key and
+    * the LUT entries are SCALED-INTEGER (×10⁶, round-to-long), so ADC
+    * scores are exact integer sums — no FP summation-order slack
+    * anywhere, which is what lets a brute-force DuckDB replay
+    * hash-verify the whole quantize→encode→LUT→scan pipeline.
+    * Final per-query top-k via the bounded-heap Aggregator.
+    */
+  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+
+    def toDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+      r.getSeq[Any](i).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+
+    val seeds: Array[Array[Double]] =
+      e.filter(col("vec_id") % PqSeedMod === 0).orderBy("vec_id")
+        .limit(PqNCent).collect().map(toDoubles(_, 1))
+    val queries: Array[(Long, Array[Double])] =
+      e.filter(col("vec_id") < NQueries).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), toDoubles(r, 1)))
+    if (seeds.isEmpty || queries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "rank", "vec_id", "score_e6")
+    }
+
+    def subvec(a: Array[Double], m: Int): Array[Double] =
+      a.slice(m * PqSub, (m + 1) * PqSub)
+    // ascending-index accumulation — the list_inner_product order
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+
+    // code_m = argmin_c of the scaled-integer quantization distance
+    val withCodes = (0 until PqM).foldLeft(e) { (df, m) =>
+      val xv = slice(col("v"), m * PqSub + 1, PqSub)
+      val cands = seeds.zipWithIndex.map { case (s, c) =>
+        val sv = subvec(s, m)
+        val d2 = dot(xv, xv) - lit(2.0) * dot(xv, typedLit(sv.toSeq)) + lit(ddot(sv, sv))
+        struct(round(d2 * 1e6).cast("long").as("d"), lit(c).as("c"))
+      }
+      df.withColumn(s"code_$m",
+        array_min(array(cands.toIndexedSeq: _*)).getField("c"))
+    }
+
+    // lut(q)(m)(c) = round(q_m · c_m × 10⁶) — exact integers, so the
+    // ADC sum below is order-free
+    // HALF_UP == away-from-zero for negatives too — matches Spark's
+    // round() and DuckDB's round(); Math.round would round -2.5 to -2.
+    def roundE6(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val lut: Map[Long, Array[Array[Long]]] = queries.map { case (qid, qv) =>
+      qid -> Array.tabulate(PqM) { m =>
+        seeds.map(s => roundE6(ddot(subvec(qv, m), subvec(s, m))))
+      }
+    }.toMap
+
+    val scoredWide = queries.foldLeft(withCodes) { case (df, (qid, _)) =>
+      val score = (0 until PqM).map { m =>
+        element_at(typedLit(lut(qid)(m).toSeq), (col(s"code_$m") + 1).cast("int"))
+      }.reduce(_ + _)
+      df.withColumn(s"score_q$qid", score)
+    }
+    val stackArgs = queries.map { case (qid, _) => s"${qid}L, score_q$qid" }
+      .mkString(", ")
+    val shortlist = graft.functions.TopK.topKByScore(PqShortlist)
+    val topk = graft.functions.TopK.topKByScore(TopK)
+    // Stage 1: ADC shortlist — the compressed scan ranks everything,
+    // only PqShortlist ids per query survive.
+    val candidates = scoredWide
+      .selectExpr("vec_id",
+        s"stack(${queries.length}, $stackArgs) as (q_id, score_e6)")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id")
+      .agg(shortlist(col("score_e6").cast("double"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.id").as("vec_id"))
+    // Stage 2: exact re-rank — fetch the shortlist's RAW vectors
+    // (PqShortlist·NQueries rows, not the corpus) and rank by the true
+    // inner product, scaled-integer like everything else.
+    val qlits = map(queries.flatMap { case (qid, qv) =>
+      Seq(lit(qid), typedLit(qv.toSeq))
+    }.toIndexedSeq: _*)
+    candidates.join(e, Seq("vec_id"))
+      .withColumn("exact_e6",
+        round(dot(element_at(qlits, col("q_id")), col("v")) * 1e6).cast("long"))
+      .groupBy("q_id")
+      .agg(topk(col("exact_e6").cast("double"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), col("s.score").cast("long").as("score_e6"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def pqOracle: String = {
+    val sl = s"sub.m*$PqSub+1 : sub.m*$PqSub+$PqSub"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $PqSeedMod = 0
+      |        ORDER BY vec_id LIMIT $PqNCent)),
+      |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+      |sub AS (SELECT s.c, ms.m, s.v[ms.m*$PqSub+1 : ms.m*$PqSub+$PqSub] AS sv
+      |        FROM seeds s CROSS JOIN ms),
+      |codes AS (
+      |  SELECT vec_id, m, c FROM (
+      |    SELECT e.vec_id, sub.m, sub.c,
+      |      row_number() OVER (PARTITION BY e.vec_id, sub.m ORDER BY
+      |        CAST(round((list_inner_product(e.v[$sl], e.v[$sl])
+      |          - 2.0*list_inner_product(e.v[$sl], sub.sv)
+      |          + list_inner_product(sub.sv, sub.sv)) * 1e6, 0) AS BIGINT),
+      |        sub.c) AS rn
+      |    FROM e CROSS JOIN sub) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+      |lut AS (
+      |  SELECT q.q_id, sub.m, sub.c,
+      |    CAST(round(list_inner_product(q.qv[$sl], sub.sv) * 1e6, 0) AS BIGINT) AS p
+      |  FROM q CROSS JOIN sub),
+      |scored AS (
+      |  SELECT l.q_id, cd.vec_id, CAST(sum(l.p) AS BIGINT) AS adc_e6
+      |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
+      |  WHERE cd.vec_id <> l.q_id
+      |  GROUP BY l.q_id, cd.vec_id),
+      |shortlist AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY adc_e6 DESC, vec_id) AS rn
+      |    FROM scored) WHERE rn <= $PqShortlist),
+      |rer AS (
+      |  SELECT s.q_id, s.vec_id,
+      |    CAST(round(list_inner_product(q.qv, e.v) * 1e6, 0) AS BIGINT) AS score_e6
+      |  FROM shortlist s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
+      |SELECT q_id, rank, vec_id, score_e6 FROM (
+      |  SELECT q_id, vec_id, score_e6,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score_e6 DESC, vec_id) AS BIGINT) AS rank
+      |  FROM rer) WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Distributed Lloyd's k-means over the embedding corpus — the
     * broadcast-centroid shape (the plan Spark MLlib's KMeans uses):
     * each iteration collects the k×dim centroid matrix to the driver
@@ -378,6 +548,7 @@ GROUP BY a.cid ORDER BY cluster_id"""
         |FROM embeddings WHERE vec_id % 8 = 0
         |ORDER BY q_id""".stripMargin),
     "ann_kmeans" -> GQuery.sql(kmeans, kmeansOracle),
+    "ann_pq_topk" -> GQuery.sql(pqTopk, pqOracle),
     "vec_norm_stats" -> GQuery.sql(normStats,
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, count(*) AS n_vecs,

@@ -168,6 +168,37 @@ class Round6OpsSpec extends SparkTestBase {
     assert(wide.toSeq === top)
   }
 
+  test("pq top-k is well-formed and overlaps the exact dot-product ranking") {
+    import graft.functions.VectorFunctions.vec_dot
+    val pq = operators.Similarity.pqTopk(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qs = pq.map(_._1).distinct
+    assert(qs.length === operators.Similarity.NQueries)
+    qs.foreach { q =>
+      val ranks = pq.filter(_._1 == q).map(_._2).sorted
+      assert(ranks === (1L to operators.Similarity.TopK.toLong).toArray)
+    }
+    // exact (uncompressed) inner-product top-k for the same queries
+    val e = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < operators.Similarity.NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), vec_dot(col("qv"), col("v")).as("dp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (qid, rows) =>
+        qid -> rows.sortBy(t => (-t._3, t._2))
+          .take(operators.Similarity.TopK).map(_._2).toSet
+      }
+    val overlaps = qs.map { qid =>
+      val got = pq.filter(_._1 == qid).map(_._3).toSet
+      (got & exact(qid)).size
+    }
+    // quantization is lossy, but 16-entry codebooks over this corpus
+    // must keep a real fraction of the true neighbors in every list
+    assert(overlaps.forall(_ >= 2), s"pq recall collapsed: $overlaps")
+  }
+
   test("session paths cover no more sessions than exist") {
     val paths = operators.Events.sessionPaths(spark, SfDir).collect()
     val total = operators.Events.sessionize(spark, SfDir).count()
