@@ -245,17 +245,20 @@ object Similarity {
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
 
-    // code_m = argmin_c of the scaled-integer quantization distance
+    // code_m = argmin_c of the scaled-integer quantization distance,
+    // via the native PqEncode expression — the composed form (array_min
+    // over 16 inlined struct candidates) blew janino's method budget
+    // and silently fell back to interpreted execution. The encoded
+    // table is materialized once (localCheckpoint) — it IS the PQ index
+    // a serving system persists; every query batch then scans only the
+    // 8-codes-per-vector table, never the raw vectors (those are
+    // fetched solely for the shortlist re-rank below).
+    val seedSubs: Int => Array[Array[Double]] = m => seeds.map(subvec(_, m))
     val withCodes = (0 until PqM).foldLeft(e) { (df, m) =>
-      val xv = slice(col("v"), m * PqSub + 1, PqSub)
-      val cands = seeds.zipWithIndex.map { case (s, c) =>
-        val sv = subvec(s, m)
-        val d2 = dot(xv, xv) - lit(2.0) * dot(xv, typedLit(sv.toSeq)) + lit(ddot(sv, sv))
-        struct(round(d2 * 1e6).cast("long").as("d"), lit(c).as("c"))
-      }
       df.withColumn(s"code_$m",
-        array_min(array(cands.toIndexedSeq: _*)).getField("c"))
-    }
+        graft.functions.PqFunctions.pq_encode(col("v"), seedSubs(m), m, PqSub))
+    }.select(col("vec_id") +: (0 until PqM).map(m => col(s"code_$m")): _*)
+      .localCheckpoint()
 
     // lut(q)(m)(c) = round(q_m · c_m × 10⁶) — exact integers, so the
     // ADC sum below is order-free
