@@ -374,7 +374,54 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy(desc("es_key"), asc("doc_id"))
       .limit(WeightedK)
 
+  /** Token→id encoding — the vocabulary step every training pipeline
+    * runs before packing: build a frequency-ranked vocabulary (dense
+    * ids, most frequent = 0) and rewrite each document as its id
+    * sequence. The ranking window is global but runs over the VOCAB
+    * AGGREGATE, not the token stream (at trillion-token scale the
+    * vocab is still the reduced relation; shard the rank two-level as
+    * in pack_sequences if it ever isn't). The rewrite join is a plain
+    * vocab equi-join — NOT broadcast by hint, since a real vocabulary
+    * scales with the corpus (AQE may still broadcast a small one);
+    * per-doc sequences reassemble with the bounded per-doc
+    * collect + sort, emitted as a space-joined string so the oracle
+    * hash is format-stable.
+    */
+  def tokenizeToIds(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("id",
+        (row_number().over(Window.orderBy(desc("cnt"), asc("w"))) - 1).cast("long"))
+      .select("w", "id")
+    toks.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast("string")), " ").as("ids"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_tokenize_to_ids" -> GQuery.sql(tokenizeToIds,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+        |  FROM toks),
+        |vocab AS (SELECT w, count(*) AS cnt FROM pt GROUP BY w),
+        |vid AS (
+        |  SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1 AS BIGINT) AS id
+        |  FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  string_agg(id::VARCHAR, ' ' ORDER BY pos) AS ids
+        |FROM pt JOIN vid USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "pipe_weighted_sample" -> GQuery.sql(weightedSample,
       s"""WITH keyed AS (
         |  SELECT doc_id, source, n_chars,

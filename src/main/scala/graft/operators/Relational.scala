@@ -596,7 +596,65 @@ object Relational {
       .orderBy("c_nationkey", "rnk")
   }
 
+  /** MERGE / upsert — the warehouse maintenance primitive (Delta/
+    * Iceberg MERGE INTO semantics) expressed as one full-outer join on
+    * the key: matched+update rows take the change's values,
+    * matched+delete rows drop, unmatched change rows insert, the rest
+    * carry over. One key-partitioned shuffle of base and changes, no
+    * driver involvement — the shape that rewrites a 100 TB table's
+    * changed partitions. The change feed is derived deterministically
+    * from the base table (updates for key%7=0, deletes for key%11=0,
+    * inserts above the key space for key%13=0) so the oracle replays
+    * the identical MERGE in SQL.
+    */
+  def relMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val changes = base
+      .withColumn("op",
+        when(col("c_custkey") % 7 === 0, lit("update"))
+          .when(col("c_custkey") % 11 === 0, lit("delete")))
+      .filter(col("op").isNotNull)
+      .select(col("c_custkey").as("k"),
+        col("op"),
+        (col("c_acctbal") + 50.0).as("new_bal"),
+        col("c_nationkey").as("new_nation"))
+      .unionByName(base.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          lit("insert").as("op"),
+          lit(100.0).as("new_bal"),
+          col("c_nationkey").as("new_nation")))
+    base.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("new_nation"), col("c_nationkey")).as("nationkey"),
+        when(col("op").isin("update", "insert"), col("new_bal"))
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        coalesce(col("op"), lit("keep")).as("op"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_merge_upsert" -> GQuery.sql(relMergeUpsert,
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'update' ELSE 'delete' END AS op,
+        |    c_acctbal + 50.0 AS new_bal, c_nationkey AS new_nation
+        |  FROM base WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, 'insert' AS op,
+        |    100.0 AS new_bal, c_nationkey AS new_nation
+        |  FROM base WHERE c_custkey % 13 = 0)
+        |SELECT coalesce(b.c_custkey, c.k) AS custkey,
+        |  coalesce(c.new_nation, b.c_nationkey) AS nationkey,
+        |  CASE WHEN c.op IN ('update', 'insert') THEN c.new_bal
+        |       ELSE b.c_acctbal END AS acctbal,
+        |  coalesce(c.op, 'keep') AS op
+        |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.k
+        |WHERE coalesce(c.op, 'keep') <> 'delete'
+        |ORDER BY custkey""".stripMargin),
     "rel_distributed_rank" -> GQuery.sql(relDistributedRank,
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  row_number() OVER w AS rnk,
