@@ -299,6 +299,31 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Sessionization through Spark's NATIVE `session_window` aggregate
+    * — the built-in operator the manual lag→flag→cumsum pipeline
+    * (`sessionize`) hand-rolls. One gap-merging aggregation, no
+    * window-function pass at all; at scale this is a single shuffle
+    * on user_id with Spark's session-merge exec doing the per-key
+    * work (and it is the exact construct the STREAMING sessionizer
+    * generalizes). The oracle is the manual lag-cumsum CTE — two
+    * genuinely different constructions, so hash equality proves the
+    * built-in's gap semantics equal the textbook definition.
+    * Same 30-minute gap; sessions keyed by their start instead of a
+    * per-user sequence (the numbering is the only thing the native
+    * form doesn't define).
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"),
+        min(unix_millis(col("ts"))).as("session_start_ms"),
+        max(unix_millis(col("ts"))).as("session_end_ms"))
+      .select("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "value_sum")
+      .orderBy("user_id", "session_start_ms")
+
   val ResampleUsers = 5
 
   /** Time-series resampling to a dense hourly grid with forward fill
@@ -332,6 +357,28 @@ object Events {
   }
 
   val queries: Map[String, GQuery] = Map(
+    // NB: session_window starts a NEW session at diff == gap (window is
+    // [start, last+gap)), so the replay splits on >=, not > (the manual
+    // `sessionize` keeps the > convention — both are valid gap
+    // definitions; each is pinned against its own oracle).
+    "ev_session_window_native" -> GQuery.sql(sessionWindowNative,
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 30*60*1000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, value, ms,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start_ms""".stripMargin),
     "ev_resample_ffill" -> GQuery.sql(resampleFfill,
       s"""WITH hourly AS (
         |  SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
