@@ -635,7 +635,64 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** Output every TerasortStride-th rank so the verified result stays
+    * small while still pinning positions across the whole range.
+    */
+  val TerasortStride = 997L
+
+  /** Total-order global rank — the TeraSort shape. A naive
+    * `row_number() OVER (ORDER BY …)` funnels the entire table through
+    * ONE sort task; the distributed form is: range-repartition on the
+    * sort key (Spark samples split points, so partitions stay balanced
+    * under any distribution), sort within partitions, then turn local
+    * positions into global ranks by adding per-partition offsets. The
+    * offsets come from one count-per-partition pass (numPartitions
+    * integers to the driver — conf-sized, never data-sized), and rank
+    * assignment is a single mapPartitionsWithIndex sweep over the
+    * already-sorted partitions: no window exchange, no global sort
+    * task, two narrow passes total. (This is the one operator family
+    * where per-partition imperative code is the honest tool — a window
+    * partitioned by spark_partition_id would re-shuffle the sorted
+    * table just to number it.) The oracle is DuckDB's global
+    * row_number over the same unique key — hash equality proves the
+    * offset arithmetic implements exactly the single-task semantics.
+    */
+  def relTerasort(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sortCols = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val sorted = Tables.lineitem(spark, dir)
+      .select("l_extendedprice", "l_orderkey", "l_linenumber")
+      .repartitionByRange(32, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val sizes = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val stride = TerasortStride
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.flatMap { row =>
+        r += 1
+        if (r % stride == 1L) Some(Row.fromSeq(row.toSeq :+ r)) else None
+      }
+    }
+    spark.createDataFrame(ranked,
+      StructType(sorted.schema.fields :+ StructField("rank", LongType)))
+      .select(col("rank"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_terasort" -> GQuery.sql(relTerasort,
+      s"""SELECT rank, l_extendedprice, l_orderkey, l_linenumber FROM (
+        |  SELECT l_extendedprice, l_orderkey, l_linenumber,
+        |    row_number() OVER (ORDER BY l_extendedprice DESC,
+        |      l_orderkey, l_linenumber) AS rank
+        |  FROM lineitem)
+        |WHERE rank % $TerasortStride = 1 ORDER BY rank""".stripMargin),
     "rel_merge_upsert" -> GQuery.sql(relMergeUpsert,
       """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
         |changes AS (
