@@ -199,6 +199,17 @@ class Round6OpsSpec extends SparkTestBase {
     assert(overlaps.forall(_ >= 2), s"pq recall collapsed: $overlaps")
   }
 
+  test("terasort ranks land on stride positions in strict key order") {
+    val rows = operators.Relational.relTerasort(spark, SfDir).collect()
+    val n = Tables.lineitem(spark, SfDir).count()
+    assert(rows.length === (n + operators.Relational.TerasortStride - 1) /
+      operators.Relational.TerasortStride)
+    assert(rows.forall(_.getLong(0) % operators.Relational.TerasortStride == 1L))
+    val keys = rows.map(r => (-r.getDouble(1),
+      r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+    assert(keys.toSeq === keys.sorted.toSeq, "stride rows out of global order")
+  }
+
   test("session paths cover no more sessions than exist") {
     val paths = operators.Events.sessionPaths(spark, SfDir).collect()
     val total = operators.Events.sessionize(spark, SfDir).count()
