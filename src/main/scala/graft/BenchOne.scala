@@ -26,7 +26,9 @@ object BenchOne {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }.sorted
-    println(f"$name%s min=${ts.min}%.3f median=${ts(ts.length / 2)}%.3f max=${ts.max}%.3f sec")
+    val med = if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
+    println(f"$name%s min=${ts.min}%.3f median=$med%.3f max=${ts.max}%.3f sec")
     spark.stop()
   }
 }

@@ -91,11 +91,12 @@ case class PqEncode(child: Expression, seeds: Array[Array[Double]],
       val key = ctx.freshName("key")
       val best = ctx.freshName("best")
       val bestC = ctx.freshName("bestC")
+      val x = ctx.freshName("x")
       s"""
          |double $xx = 0.0;
          |for (int $j = 0; $j < $sub; $j++) {
-         |  double x = (double) $v.getFloat(${m * sub} + $j);
-         |  $xx += x * x;
+         |  double $x = (double) $v.getFloat(${m * sub} + $j);
+         |  $xx += $x * $x;
          |}
          |long $best = Long.MAX_VALUE;
          |int $bestC = -1;

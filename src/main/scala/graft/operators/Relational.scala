@@ -619,8 +619,13 @@ object Relational {
         col("op"),
         (col("c_acctbal") + 50.0).as("new_bal"),
         col("c_nationkey").as("new_nation"))
+      // insert keys ride ABOVE the true max key (broadcast scalar), so
+      // they can never collide with a real customer at any scale —
+      // key + fixed_offset would silently merge-over real rows once
+      // custkeys reach the offset
       .unionByName(base.filter(col("c_custkey") % 13 === 0)
-        .select((col("c_custkey") + 1000000L).as("k"),
+        .crossJoin(broadcast(base.agg(max(col("c_custkey")).as("max_k"))))
+        .select((col("max_k") + col("c_custkey") + 1).as("k"),
           lit("insert").as("op"),
           lit(100.0).as("new_bal"),
           col("c_nationkey").as("new_nation")))
@@ -662,12 +667,17 @@ object Relational {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val sortCols = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
       col("l_linenumber").asc)
+    // Materialize the range-partitioned sort ONCE: the sizes pass and
+    // the rank pass are separate jobs, and without the checkpoint each
+    // would re-execute the shuffle + per-partition sort.
     val sorted = Tables.lineitem(spark, dir)
       .select("l_extendedprice", "l_orderkey", "l_linenumber")
       .repartitionByRange(32, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
     val sizes = sorted.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((n, _) => n + 1)))) // Long count — .size is Int
       .collect().sortBy(_._1).map(_._2)
     val offsets = sizes.scanLeft(0L)(_ + _)
     val stride = TerasortStride
@@ -701,7 +711,7 @@ object Relational {
         |    c_acctbal + 50.0 AS new_bal, c_nationkey AS new_nation
         |  FROM base WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000 AS k, 'insert' AS op,
+        |  SELECT (SELECT max(c_custkey) FROM base) + c_custkey + 1 AS k, 'insert' AS op,
         |    100.0 AS new_bal, c_nationkey AS new_nation
         |  FROM base WHERE c_custkey % 13 = 0)
         |SELECT coalesce(b.c_custkey, c.k) AS custkey,

@@ -262,13 +262,13 @@ object Similarity {
 
     // lut(q)(m)(c) = round(q_m · c_m × 10⁶) — exact integers, so the
     // ADC sum below is order-free
-    // HALF_UP == away-from-zero for negatives too — matches Spark's
-    // round() and DuckDB's round(); Math.round would round -2.5 to -2.
-    def roundE6(x: Double): Long =
-      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // One shared rounding rule (decimal HALF_UP, ×10⁶) for the LUT and
+    // the PqEncode argmin keys — two hand-kept copies of this contract
+    // would be an oracle-hash time bomb.
     val lut: Map[Long, Array[Array[Long]]] = queries.map { case (qid, qv) =>
       qid -> Array.tabulate(PqM) { m =>
-        seeds.map(s => roundE6(ddot(subvec(qv, m), subvec(s, m))))
+        seeds.map(s =>
+          graft.functions.PqEncode.roundKey(ddot(subvec(qv, m), subvec(s, m))))
       }
     }.toMap
 

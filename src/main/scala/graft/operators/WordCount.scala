@@ -333,6 +333,11 @@ SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // NOTE: the edge set feeds four plan subtrees, but do NOT
+    // localCheckpoint it: within one plan Spark's ReusedExchange
+    // already dedupes the identical shuffle subtrees, and forcing a
+    // materialization boundary here breaks cross-subtree pruning
+    // (measured: 2.8 s -> 5.6 s at sf0.1 with e+oriented checkpointed).
     val e = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
