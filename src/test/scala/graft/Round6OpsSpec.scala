@@ -210,6 +210,42 @@ class Round6OpsSpec extends SparkTestBase {
     assert(keys.toSeq === keys.sorted.toSeq, "stride rows out of global order")
   }
 
+  test("merge upsert reconciles op counts against the base table") {
+    val base = Tables.customer(spark, SfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val out = operators.Relational.relMergeUpsert(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val expectUpdates = base.count(_ % 7 == 0)
+    val expectDeletes = base.count(k => k % 11 == 0 && k % 7 != 0)
+    val expectInserts = base.count(_ % 13 == 0)
+    assert(out.count(_._2 == "update") === expectUpdates)
+    assert(out.count(_._2 == "insert") === expectInserts)
+    assert(out.length === base.length - expectDeletes + expectInserts)
+    // inserts must live strictly above the base key space (collision-free)
+    val maxBase = base.max
+    assert(out.filter(_._2 == "insert").forall(_._1 > maxBase))
+    assert(out.map(_._1).distinct.length === out.length, "duplicate keys")
+  }
+
+  test("token-id encoding round-trips through the vocabulary") {
+    import graft.functions.Text
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), Text.tokens(lower(col("text"))).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val enc = operators.Pipeline.tokenizeToIds(spark, SfDir).collect()
+    // rebuild the vocab exactly as the operator defines it
+    val freq = docs.values.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size }
+    val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }
+      .zipWithIndex.map { case ((w, _), i) => w -> i.toLong }.toMap
+    enc.foreach { r =>
+      val (id, n, ids) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val want = docs(id).map(vocab)
+      assert(n === want.length.toLong)
+      assert(ids === want.mkString(" "), s"doc $id id sequence mismatch")
+    }
+    assert(enc.length === docs.count(_._2.nonEmpty))
+  }
+
   test("session paths cover no more sessions than exist") {
     val paths = operators.Events.sessionPaths(spark, SfDir).collect()
     val total = operators.Events.sessionize(spark, SfDir).count()
