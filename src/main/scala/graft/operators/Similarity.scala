@@ -180,6 +180,31 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  val GramDim = 64
+
+  /** Distributed Gram matrix G = Σ v·vᵀ over the embedding corpus —
+    * the canonical distributed linear-algebra reduction (covariance /
+    * PCA precursor; MLlib computeGramian's plan). One bounded-buffer
+    * Aggregator pass: each partition folds its vectors into a single
+    * dim×dim upper-triangle buffer, so the shuffle carries
+    * partitions × dim(dim+1)/2 doubles regardless of row count — vs
+    * the naive dim²-explode that multiplies the corpus by 4096 before
+    * aggregating. Triangle indices decode through a broadcast 2080-row
+    * literal map; cells round to 6 like every FP aggregate here.
+    */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = vecs(spark, dir)
+      .select(graft.functions.Gram.gram(GramDim)(col("v")).as("g"))
+    val idx = (for { i <- 0 until GramDim; j <- i until GramDim }
+      yield (i * GramDim - i * (i - 1) / 2 + (j - i), i.toLong, j.toLong))
+      .toDF("k", "i", "j")
+    g.select(posexplode(col("g")).as(Seq("k", "gv")))
+      .join(broadcast(idx), Seq("k"))
+      .select(col("i"), col("j"), round(col("gv"), 6).as("g"))
+      .orderBy("i", "j")
+  }
+
   val KmeansK = 8
   val KmeansIters = 3
 
@@ -552,6 +577,13 @@ GROUP BY a.cid ORDER BY cluster_id"""
         |ORDER BY q_id""".stripMargin),
     "ann_kmeans" -> GQuery.sql(kmeans, kmeansOracle),
     "ann_pq_topk" -> GQuery.sql(pqTopk, pqOracle),
+    "vec_gram_matrix" -> GQuery.sql(gramMatrix,
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |ii AS (SELECT unnest(range(0, $GramDim)) AS i),
+        |jj AS (SELECT unnest(range(0, $GramDim)) AS j),
+        |ij AS (SELECT i, j FROM ii CROSS JOIN jj WHERE j >= i)
+        |SELECT i, j, round(sum(v[i + 1] * v[j + 1]), 6) AS g
+        |FROM e CROSS JOIN ij GROUP BY i, j ORDER BY i, j""".stripMargin),
     "vec_norm_stats" -> GQuery.sql(normStats,
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, count(*) AS n_vecs,

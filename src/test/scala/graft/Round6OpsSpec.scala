@@ -246,6 +246,23 @@ class Round6OpsSpec extends SparkTestBase {
     assert(enc.length === docs.count(_._2.nonEmpty))
   }
 
+  test("gram matrix diagonal matches summed squared norms and is Cauchy-Schwarz-consistent") {
+    import graft.functions.VectorFunctions.vec_dot
+    val g = operators.Similarity.gramMatrix(spark, SfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(g.size === operators.Similarity.GramDim * (operators.Similarity.GramDim + 1) / 2)
+    val sumSq = Tables.embeddings(spark, SfDir)
+      .select(vec_dot(col("embedding"), col("embedding")).as("d"))
+      .agg(sum(col("d"))).collect().head.getDouble(0)
+    val diag = (0 until operators.Similarity.GramDim)
+      .map(i => g((i.toLong, i.toLong))).sum
+    assert(math.abs(diag - sumSq) < 1e-2, s"trace $diag vs $sumSq")
+    g.foreach { case ((i, j), v) =>
+      val bound = math.sqrt(g((i, i)) * g((j, j))) + 1e-6
+      assert(math.abs(v) <= bound, s"G($i,$j)=$v violates Cauchy-Schwarz $bound")
+    }
+  }
+
   test("session paths cover no more sessions than exist") {
     val paths = operators.Events.sessionPaths(spark, SfDir).collect()
     val total = operators.Events.sessionize(spark, SfDir).count()
