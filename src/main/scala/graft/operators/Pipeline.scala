@@ -374,26 +374,76 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy(desc("es_key"), asc("doc_id"))
       .limit(WeightedK)
 
+  /** Vocabulary cap: tokens ranked past the cap map to the single OOV
+    * id (= the cap) — real tokenizers ship a fixed-size vocab, not one
+    * that grows with the corpus.
+    */
+  val VocabCap = 24L
+
+  /** Distributed frequency rank of a (w, cnt) vocabulary — the
+    * `rel_distributed_rank` bucket-offset decomposition applied to a
+    * zipf-shaped relation, replacing the former GLOBAL unpartitioned
+    * window (a one-task scale cliff: a 100 TB corpus has hundreds of
+    * millions of distinct tokens). Bucket key = (band, sub):
+    *   - band is a cnt-MONOTONE integer, so bands strictly order by
+    *     frequency: exact bands for the zipf tail (cnt ≤ 16 — where
+    *     most of the vocabulary lives and rank order within a band is
+    *     purely lexicographic), log₂ bands for the head (few tokens).
+    *     log₂ is computed integer-exactly as length(bin(cnt)) — no FP
+    *     log that could flip at a power-of-two boundary between
+    *     engines;
+    *   - sub splits the huge single-cnt tail bands by first character
+    *     (UTF-8 byte order == code-point order, so prefix order is
+    *     consistent with full-string order); deepen the prefix to 2-3
+    *     chars if a tail band still overflows a task.
+    * Per-(band, sub) counts turn into offsets by a broadcast theta-join
+    * prefix sum over that TINY aggregate (≤ ~80 bands × first-char
+    * alphabet — conf-bounded): offset(bucket) = Σ bcnt of strictly
+    * earlier buckets. No unpartitioned window ANYWHERE — not even over
+    * the totals; final rank = offset + per-bucket row_number, so no
+    * window sees more than one bucket of the vocabulary.
+    */
+  def rankVocab(vocab: DataFrame): DataFrame = {
+    val b = vocab
+      .withColumn("band",
+        when(col("cnt") <= 16, col("cnt"))
+          .otherwise(lit(15L) + length(bin(col("cnt")))).cast("long"))
+      .withColumn("sub",
+        when(col("cnt") <= 16, substring(col("w"), 1, 1)).otherwise(lit("")))
+    val counts = b.groupBy("band", "sub").agg(count(lit(1)).as("bcnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        col("b.band") > col("a.band") ||
+          (col("b.band") === col("a.band") && col("b.sub") < col("a.sub")),
+        "left")
+      .groupBy(col("a.band").as("band"), col("a.sub").as("sub"))
+      .agg(coalesce(sum(col("b.bcnt")), lit(0L)).as("offset"))
+    val inBucket = Window.partitionBy("band", "sub")
+      .orderBy(desc("cnt"), asc("w"))
+    b.join(broadcast(offsets), Seq("band", "sub"))
+      .withColumn("rank", col("offset") + row_number().over(inBucket))
+      .select(col("w"), col("cnt"), col("rank"))
+  }
+
   /** Token→id encoding — the vocabulary step every training pipeline
     * runs before packing: build a frequency-ranked vocabulary (dense
-    * ids, most frequent = 0) and rewrite each document as its id
-    * sequence. The ranking window is global but runs over the VOCAB
-    * AGGREGATE, not the token stream (at trillion-token scale the
-    * vocab is still the reduced relation; shard the rank two-level as
-    * in pack_sequences if it ever isn't). The rewrite join is a plain
-    * vocab equi-join — NOT broadcast by hint, since a real vocabulary
-    * scales with the corpus (AQE may still broadcast a small one);
-    * per-doc sequences reassemble with the bounded per-doc
-    * collect + sort, emitted as a space-joined string so the oracle
-    * hash is format-stable.
+    * ids, most frequent = 0, ranks past `VocabCap` collapse to the OOV
+    * id) and rewrite each document as its id sequence. The ranking is
+    * the two-level `rankVocab` decomposition — no corpus-scaled window
+    * anywhere. The rewrite join is a plain vocab equi-join — NOT
+    * broadcast by hint, since a real vocabulary scales with the corpus
+    * (AQE may still broadcast a small one); per-doc sequences
+    * reassemble with the bounded per-doc collect + sort, emitted as a
+    * space-joined string so the oracle hash is format-stable.
     */
   def tokenizeToIds(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val vocab = rankVocab(toks.groupBy("w").agg(count(lit(1)).as("cnt")))
       .withColumn("id",
-        (row_number().over(Window.orderBy(desc("cnt"), asc("w"))) - 1).cast("long"))
+        when(col("rank") <= VocabCap, col("rank") - 1)
+          .otherwise(lit(VocabCap)).cast("long"))
       .select("w", "id")
     toks.join(vocab, Seq("w"))
       .groupBy("doc_id")
@@ -406,7 +456,7 @@ FROM s GROUP BY col_name ORDER BY col_name"""
 
   val queries: Map[String, GQuery] = Map(
     "pipe_tokenize_to_ids" -> GQuery.sql(tokenizeToIds,
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
         |                x -> len(x) > 0) AS t
@@ -416,8 +466,9 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |  FROM toks),
         |vocab AS (SELECT w, count(*) AS cnt FROM pt GROUP BY w),
         |vid AS (
-        |  SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1 AS BIGINT) AS id
-        |  FROM vocab)
+        |  SELECT w, CAST(CASE WHEN rn <= $VocabCap THEN rn - 1 ELSE $VocabCap END
+        |              AS BIGINT) AS id
+        |  FROM (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM vocab))
         |SELECT doc_id, count(*) AS n_tokens,
         |  string_agg(id::VARCHAR, ' ' ORDER BY pos) AS ids
         |FROM pt JOIN vid USING (w)

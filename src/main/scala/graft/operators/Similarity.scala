@@ -429,7 +429,7 @@ object Similarity {
     // agree the result is empty — don't build an empty literal argmin.
     if (cents.isEmpty) {
       import spark.implicits._
-      return Seq.empty[(Long, Long, Seq[Double])]
+      return Seq.empty[(Long, Long, String)]
         .toDF("cluster_id", "n_vecs", "centroid")
     }
     for (_ <- 1 to KmeansIters) {
@@ -445,8 +445,14 @@ object Similarity {
     }
 
     import spark.implicits._
-    val cdf = cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
-      .toDF("cluster_id", "centroid")
+    // The centroid rides as a SPACE-JOINED SCALED-INT STRING, not an
+    // array<double>: the driver's oracle harness canonicalizes with
+    // pandas sort_values, which cannot hash an ndarray cell. Each
+    // component is already round(·, 6), so ×1e6 is integer-exact on
+    // both engines (the §4 scaled-integer strategy).
+    val cdf = cents.toSeq.map { case (cid, c) =>
+      (cid, c.map(x => math.round(x * 1e6)).mkString(" "))
+    }.toDF("cluster_id", "centroid")
     e.select(assign(cents).as("cluster_id"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_vecs"))
@@ -484,7 +490,10 @@ afin AS (
         round(list_inner_product(e.v, e.v) - 2.0*list_inner_product(e.v, c.c)
               + list_inner_product(c.c, c.c), 6), c.cid) AS rn
     FROM e CROSS JOIN c$KmeansIters c) WHERE rn = 1)
-SELECT a.cid AS cluster_id, count(*) AS n_vecs, any_value(c.c) AS centroid
+SELECT a.cid AS cluster_id, count(*) AS n_vecs,
+  array_to_string(
+    list_transform(any_value(c.c),
+      x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), ' ') AS centroid
 FROM afin a JOIN c$KmeansIters c ON a.cid = c.cid
 GROUP BY a.cid ORDER BY cluster_id"""
   }
@@ -520,7 +529,10 @@ GROUP BY a.cid ORDER BY cluster_id"""
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), cosine(col("qv"), col("v")).as("cos_raw"))
-      .filter(col("cos_raw") >= RangeTau)
+      // τ cut on the ROUNDED cosine (the ev_anomaly rule): a boundary
+      // row can then only flip if both engines' rounded values differ,
+      // which the 6-decimal round precludes at ulp scale
+      .filter(round(col("cos_raw"), 6) >= RangeTau)
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_neighbors"),
         round(avg(col("cos_raw")), 6).as("avg_cos"),
@@ -540,7 +552,7 @@ GROUP BY a.cid ORDER BY cluster_id"""
         |SELECT q_id, count(*) AS n_neighbors,
         |  round(avg(cos_raw), 6) AS avg_cos,
         |  round(max(cos_raw), 6) AS max_cos
-        |FROM scored WHERE cos_raw >= $RangeTau
+        |FROM scored WHERE round(cos_raw, 6) >= $RangeTau
         |GROUP BY q_id ORDER BY q_id""".stripMargin),
     "ann_bruteforce_topk" -> GQuery.sql(bruteforceTopk,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -12,7 +12,9 @@ class Round6OpsSpec extends SparkTestBase {
     val out = operators.Similarity.kmeans(spark, SfDir).collect()
     val n = Tables.embeddings(spark, SfDir).count()
     assert(out.map(_.getLong(1)).sum === n)
-    assert(out.forall(_.getSeq[Double](2).length == 64))
+    // centroid is a space-joined ×1e6 scaled-int string (harness-hashable)
+    assert(out.forall(_.getString(2).split(" ").length == 64))
+    assert(out.forall(_.getString(2).split(" ").forall(s => s.matches("-?\\d+"))))
     assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 
@@ -233,10 +235,14 @@ class Round6OpsSpec extends SparkTestBase {
       .select(col("doc_id"), Text.tokens(lower(col("text"))).as("t")).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     val enc = operators.Pipeline.tokenizeToIds(spark, SfDir).collect()
-    // rebuild the vocab exactly as the operator defines it
+    // rebuild the vocab exactly as the operator defines it: dense ids
+    // for the top VocabCap ranks, everything past the cap → OOV id
     val freq = docs.values.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size }
     val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }
-      .zipWithIndex.map { case ((w, _), i) => w -> i.toLong }.toMap
+      .zipWithIndex.map { case ((w, _), i) =>
+        w -> math.min(i.toLong, operators.Pipeline.VocabCap) }.toMap
+    assert(vocab.values.exists(_ == operators.Pipeline.VocabCap),
+      "cap must bite at this SF or the OOV path is untested")
     enc.foreach { r =>
       val (id, n, ids) = (r.getLong(0), r.getLong(1), r.getString(2))
       val want = docs(id).map(vocab)
