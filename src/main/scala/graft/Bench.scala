@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CodegenGuard.install()
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Pass 0 (untimed): warms JIT, codegen caches, and file listings for
@@ -59,8 +60,12 @@ object Bench {
     val fs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.min).filter(_ >= 0).sum
     val totalMedian = results.map(_._2.median).filter(_ >= 0).sum
+    // Non-zero means a stage silently dropped out of whole-stage
+    // codegen during the sweep — a perf regression the timings alone
+    // can hide behind noise.
+    val cgf = CodegenGuard.count
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"failed":$fs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of output, so the
     // full 82-query map (~6 KB) can never parse from stdout (rounds
     // 1-5 all show parsed:null). Print a COMPACT line — total + a
@@ -80,7 +85,7 @@ object Bench {
     val maxSpread = results.map(_._2.spread).filter(_ >= 0)
       .foldLeft(0.0)(math.max)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"queries":$hq,"n_queries":${results.size},"max_spread":${fmt(maxSpread)},"failed":$fs,"sf":"$sfDir","detail":"bench.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"codegen_fallbacks":$cgf,"queries":$hq,"n_queries":${results.size},"max_spread":${fmt(maxSpread)},"failed":$fs,"sf":"$sfDir","detail":"bench.json"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CodegenGuard.install()
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
     val ts = (1 to passes).map { _ =>
@@ -28,7 +29,8 @@ object BenchOne {
     }.sorted
     val med = if (ts.length % 2 == 1) ts(ts.length / 2)
       else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
-    println(f"$name%s min=${ts.min}%.3f median=$med%.3f max=${ts.max}%.3f sec")
+    println(f"$name%s min=${ts.min}%.3f median=$med%.3f max=${ts.max}%.3f sec" +
+      s" codegen_fallbacks=${CodegenGuard.count}")
     spark.stop()
   }
 }

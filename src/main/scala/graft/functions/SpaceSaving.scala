@@ -24,6 +24,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * construction, error bounds add. All entries keep
   * true ≤ ub ≤ true + Σ floors, so any key with true count above the
   * summed floor is guaranteed present.
+  *
+  * NONDETERMINISM NOTE: merge is commutative but not associative once
+  * pruning kicks in, and Spark's final no-key aggregate combines
+  * partials in shuffle-fetch order — so ub/err values (and, near the
+  * cutoff, the top-k composition) may vary run to run. Every
+  * guarantee above holds for ANY merge order; consumers must treat
+  * the output as a bound-carrying summary, not a stable artifact:
+  * specs assert only order-invariant facts (bound brackets,
+  * exact-degeneration), the registry row is rows-only by design, and
+  * its outputs must never be diffed byte-for-byte across runs.
   */
 case class SSEntry(token: String, ub: Long, err: Long)
 case class SSBuf(entries: Seq[SSEntry], evicted: Boolean)

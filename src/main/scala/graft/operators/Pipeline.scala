@@ -67,10 +67,11 @@ object Pipeline {
     * no task ever sees the whole corpus: (1) a partitioned running sum
     * within doc_id-range shards, (2) per-shard exclusive prefix
     * offsets from a tiny shard-totals aggregate (n_docs/ShardDocs
-    * rows; its ordering window runs over that aggregate, not the
-    * corpus), broadcast back. Because shards are doc_id ranges,
-    * offset + local running sum == the global prefix sum exactly, so
-    * semantics are identical to a single global window.
+    * rows) via a broadcast theta-join prefix sum — no global window
+    * even over the totals, so the plan emits zero single-partition
+    * WindowExec stages. Because shards are doc_id ranges, offset +
+    * local running sum == the global prefix sum exactly, so semantics
+    * are identical to a single global window.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -78,11 +79,11 @@ object Pipeline {
       .withColumn("shard", expr(s"doc_id div $ShardDocs"))
     val wLocal = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wShard = Window.orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy("shard").agg(sum(col("n_tokens")).as("shard_total"))
-      .withColumn("offset", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
-      .select("shard", "offset")
+    val totals = toks.groupBy("shard").agg(sum(col("n_tokens")).as("shard_total"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.shard_total")), lit(0L)).as("offset"))
     toks
       .withColumn("local_incl", sum(col("n_tokens")).over(wLocal))
       .join(broadcast(offsets), Seq("shard"))
@@ -364,6 +365,10 @@ FROM s GROUP BY col_name ORDER BY col_name"""
     * the top-k runs as TakeOrdered — no global sort, no shuffle of
     * the corpus. Both engines evaluate the identical ln expression on
     * identical integers, so ranking by the raw key is stable.
+    * Residual risk (accepted): Math.log vs DuckDB's std::log are each
+    * only 1-ulp-accurate, so a divergence at a 5e-10 round boundary
+    * could in principle flip a key; if this ever flakes, derive the
+    * key as a scaled integer over the 1e6 possible u values (§4).
     */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -87,6 +87,18 @@ class PlanSpec extends SparkTestBase {
     out.toSeq
   }
 
+  /** Queries allowed an unpartitioned Window, each required to sit
+    * over an aggregate whose grouping key is CONF-bounded (a knob, not
+    * data): an aggregate alone is NOT enough — a vocabulary groupBy is
+    * also an aggregate, yet scales with the corpus (the round-6
+    * tokenize_to_ids hole this gate now closes). Currently EMPTY: the
+    * two former holders (pack_sequences shard totals, tokenize vocab
+    * bands) both compute their prefix sums as broadcast theta-joins
+    * over the tiny totals instead, so no registry plan carries a
+    * single-partition WindowExec at all.
+    */
+  private val BoundedGlobalWindows: Set[String] = Set.empty
+
   test("every registry query plan honors the scale invariants") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -94,8 +106,10 @@ class PlanSpec extends SparkTestBase {
       plan.foreach {
         case w: Window if w.partitionSpec.isEmpty =>
           val reduced = w.child.collectFirst { case a: Aggregate => a }.isDefined
-          if (!reduced)
-            offenders += s"$name: unpartitioned Window over non-aggregated input"
+          if (!BoundedGlobalWindows.contains(name))
+            offenders += s"$name: unpartitioned Window (not in the bounded whitelist)"
+          else if (!reduced)
+            offenders += s"$name: whitelisted global window lost its aggregate input"
         case j: Join =>
           if (j.condition.isEmpty || j.joinType == Cross) {
             val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||

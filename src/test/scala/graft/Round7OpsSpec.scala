@@ -42,6 +42,26 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("codegen guard counts CodeGenerator errors and the risky queries stay clean") {
+    CodegenGuard.install()
+    CodegenGuard.reset()
+    // positive control: the counter must see an ERROR routed through the
+    // same logger Spark's codegen compiler uses
+    org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .error("synthetic codegen failure (guard positive control)")
+    assert(CodegenGuard.count === 1L, "guard missed a CodeGenerator ERROR")
+    CodegenGuard.reset()
+    // the expression-heaviest queries — the ones that have previously
+    // flirted with janino's budget — must compile cleanly end to end
+    Seq("ann_pq_topk", "dd_simhash", "dd_minhash_lsh", "mm_chunk",
+      "txt_fingerprint", "pipe_tokenize_to_ids").foreach { q =>
+      SparkEntry.queries(q)(spark, SfDir).count()
+    }
+    assert(CodegenGuard.count === 0L,
+      "a stage silently fell out of whole-stage codegen")
+  }
+
   test("kmeans centroid strings decode to in-range scaled components") {
     val out = operators.Similarity.kmeans(spark, SfDir).collect()
     // embeddings are unit-scale floats: every ×1e6 component must stay
