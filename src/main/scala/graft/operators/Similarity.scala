@@ -397,41 +397,40 @@ object Similarity {
     * assignment); means are rounded to 6 before the next iteration,
     * so both engines iterate over bit-identical centroids.
     */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+  private def toDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray
 
-    def toDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
-      r.getSeq[Any](i).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray
-
-    // Nearest-centroid id as a pure projection over centroid literals:
-    // argmin (round(dist2, 6), cid) via array_min over structs.
-    def assign(cents: Array[(Long, Array[Double])]): Column = {
-      val cands = cents.map { case (cid, c) =>
-        // ||c||² accumulated in ascending index order — the same
-        // order DuckDB's list_inner_product(c, c) uses.
-        var cc = 0.0
-        var i = 0
-        while (i < c.length) { cc += c(i) * c(i); i += 1 }
-        val d2 = round(
-          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedLit(c.toSeq)) + lit(cc), 6)
-        struct(d2.as("d"), lit(cid).as("cid"))
-      }
-      array_min(array(cands.toIndexedSeq: _*)).getField("cid")
+  /** Nearest-centroid id as a pure projection over centroid literals:
+    * argmin (round(dist2, 6), cid) via array_min over structs.
+    */
+  private def assign(cents: Array[(Long, Array[Double])]): Column = {
+    val cands = cents.map { case (cid, c) =>
+      // ||c||² accumulated in ascending index order — the same
+      // order DuckDB's list_inner_product(c, c) uses.
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      val d2 = round(
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedLit(c.toSeq)) + lit(cc), 6)
+      struct(d2.as("d"), lit(cid).as("cid"))
     }
+    array_min(array(cands.toIndexedSeq: _*)).getField("cid")
+  }
 
+  /** The Lloyd fixpoint over any (vec_id, v) relation: seeds = first
+    * KmeansK vectors by id, KmeansIters broadcast-assign + keyed-mean
+    * rounds, means rounded to 6 so both engines iterate bit-identical
+    * centroids. Returns the final k×dim matrix (constant driver
+    * traffic). Empty when no seed ids < KmeansK exist.
+    */
+  private def lloydCentroids(e: DataFrame): Array[(Long, Array[Double])] = {
     var cents: Array[(Long, Array[Double])] =
       e.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), toDoubles(r, 1)))
-    // No seed vectors (empty corpus, or ids all >= K): both engines
-    // agree the result is empty — don't build an empty literal argmin.
-    if (cents.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(Long, Long, String)]
-        .toDF("cluster_id", "n_vecs", "centroid")
-    }
+    if (cents.isEmpty) return cents
     for (_ <- 1 to KmeansIters) {
       cents = e.select(assign(cents).as("cid"), col("v"))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
@@ -442,6 +441,19 @@ object Similarity {
         .select(col("cid"), expr("transform(pm, x -> x.m)").as("c"))
         .orderBy("cid").collect()
         .map(r => (r.getLong(0), toDoubles(r, 1)))
+    }
+    cents
+  }
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val cents = lloydCentroids(e)
+    // No seed vectors (empty corpus, or ids all >= K): both engines
+    // agree the result is empty — don't build an empty literal argmin.
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, String)]
+        .toDF("cluster_id", "n_vecs", "centroid")
     }
 
     import spark.implicits._
@@ -461,12 +473,7 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
-  /** 3 Lloyd iterations + final assignment, replicated CTE-for-CTE in
-    * DuckDB — both engines round distances and means to 6, so the
-    * entire iterative fixpoint is hash-comparable.
-    */
-  private def kmeansOracle: String = {
-    def iter(i: Int): String = s""",
+  private def lloydIterCte(i: Int): String = s""",
 a$i AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
@@ -479,9 +486,16 @@ c$i AS (
     SELECT cid, pos, round(avg(val), 6) AS m FROM (
       SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a$i)
     GROUP BY cid, pos) GROUP BY cid)"""
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+
+  /** WITH-prefix shared by the k-means-family oracles: caller supplies
+    * the `e` CTE body (the (vec_id, v) relation), this appends the
+    * seed CTE, KmeansIters Lloyd rounds, and the final assignment
+    * `afin(vec_id, cid)`.
+    */
+  private def lloydCtesOracle(eCte: String): String =
+    s"""WITH e AS ($eCte),
 c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $KmeansK)""" +
-      (1 to KmeansIters).map(iter).mkString +
+      (1 to KmeansIters).map(lloydIterCte).mkString +
       s""",
 afin AS (
   SELECT vec_id, cid FROM (
@@ -489,14 +503,109 @@ afin AS (
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
         round(list_inner_product(e.v, e.v) - 2.0*list_inner_product(e.v, c.c)
               + list_inner_product(c.c, c.c), 6), c.cid) AS rn
-    FROM e CROSS JOIN c$KmeansIters c) WHERE rn = 1)
+    FROM e CROSS JOIN c$KmeansIters c) WHERE rn = 1)"""
+
+  /** 3 Lloyd iterations + final assignment, replicated CTE-for-CTE in
+    * DuckDB — both engines round distances and means to 6, so the
+    * entire iterative fixpoint is hash-comparable.
+    */
+  private def kmeansOracle: String =
+    lloydCtesOracle("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings") +
+      s"""
 SELECT a.cid AS cluster_id, count(*) AS n_vecs,
   array_to_string(
     list_transform(any_value(c.c),
       x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), ' ') AS centroid
 FROM afin a JOIN c$KmeansIters c ON a.cid = c.cid
 GROUP BY a.cid ORDER BY cluster_id"""
+
+  val SemTau = 0.95
+  val SemPlantOffset = 1000000L
+  val SemChunks = 8
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023) — the
+    * modern embedding-space pruning pass a training pipeline runs
+    * after exact/MinHash dedup: spherical k-means over NORMALIZED
+    * embeddings (the Lloyd fixpoint above, reused verbatim on
+    * u = v/‖v‖), then within each cluster drop every vector that has
+    * a lower-id neighbor with cosine ≥ τ. 100 TB shape: clustering is
+    * the broadcast-centroid plan (k scales as corpus/target-cluster-
+    * size, still only k×dim driver traffic); the pairwise stage is
+    * CLUSTER-BLOCKED and chunk-sharded exactly like `embedCosine`
+    * (x side hashed into SemChunks, y side replicated), so per-task
+    * memory is |cluster|/SemChunks and no task ever sees the corpus.
+    *
+    * The synthetic corpus has no natural pairs above cosine 0.48, so
+    * the query PLANTS a 0.5-scaled copy of every 4th vector
+    * (vec_id + SemPlantOffset): scaling by a power of two is FP-exact,
+    * normalization maps copy and original to bit-identical unit
+    * vectors on both engines (×0.5 and /0.5·s commute exactly with
+    * IEEE rounding), so each copy lands in its original's cluster
+    * with cosine ≈ 1 — recall of the planted set is exactly 1 and the
+    * whole pipeline (normalize → 3 Lloyd rounds → assignment →
+    * blocked pairwise → keep-lowest-id) is hash-checked end to end.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val base = raw.union(
+      raw.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + SemPlantOffset).as("vec_id"),
+          transform(col("v"), x => x * lit(0.5f)).as("v")))
+    val e = base.select(col("vec_id"),
+      transform(col("v"),
+        x => x.cast("double") / sqrt(dot(col("v"), col("v")))).as("v"))
+    val cents = lloydCentroids(e)
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("vec_id", "cluster_id", "is_dup")
+    }
+    val assigned = e.select(col("vec_id"), col("v"), assign(cents).as("cluster_id"))
+    val x = assigned
+      .select(col("cluster_id"), col("vec_id").as("i_id"), col("v").as("iv"))
+      .withColumn("chunk", pmod(xxhash64(col("i_id")), lit(SemChunks.toLong)))
+    val y = assigned
+      .select(col("cluster_id").as("y_cluster"), col("vec_id").as("j_id"),
+        col("v").as("jv"))
+      .withColumn("chunk",
+        explode(array((0 until SemChunks).map(k => lit(k.toLong)): _*)))
+    val dup = x.join(y,
+        col("cluster_id") === col("y_cluster") &&
+          x("chunk") === y("chunk") && col("i_id") < col("j_id"))
+      .filter(round(cosine(col("iv"), col("jv")), 6) >= SemTau)
+      .select(col("j_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    assigned
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("dropped"), lit(0L)).as("is_dup"))
+      .orderBy("vec_id")
   }
+
+  private def semanticDedupOracle: String =
+    lloydCtesOracle(
+      s"""WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + $SemPlantOffset,
+      list_transform(embedding::DOUBLE[], x -> x * 0.5)
+    FROM embeddings WHERE vec_id % 4 = 0)
+  SELECT vec_id,
+    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+  FROM base""") +
+      s""",
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_inner_product(ea.v, eb.v) /
+        (sqrt(list_inner_product(ea.v, ea.v)) *
+         sqrt(list_inner_product(eb.v, eb.v))), 6) >= $SemTau)
+SELECT f.vec_id, f.cid AS cluster_id,
+  CAST(d.vec_id IS NOT NULL AS BIGINT) AS is_dup
+FROM afin f LEFT JOIN dup d ON d.vec_id = f.vec_id
+ORDER BY f.vec_id"""
 
   /** Per-label vector stats via codegen'd higher-order functions —
     * no UDFs: L2 norms and first-component spread.
@@ -588,6 +697,7 @@ GROUP BY a.cid ORDER BY cluster_id"""
         |FROM embeddings WHERE vec_id % 8 = 0
         |ORDER BY q_id""".stripMargin),
     "ann_kmeans" -> GQuery.sql(kmeans, kmeansOracle),
+    "dd_semantic_dedup" -> GQuery.sql(semanticDedup, semanticDedupOracle),
     "ann_pq_topk" -> GQuery.sql(pqTopk, pqOracle),
     "vec_gram_matrix" -> GQuery.sql(gramMatrix,
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

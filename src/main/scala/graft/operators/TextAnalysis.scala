@@ -266,7 +266,49 @@ object TextAnalysis {
       .limit(CollocTopK)
   }
 
+  /** Zipf power-law fit of the corpus token-frequency distribution —
+    * the vocabulary-health diagnostic a data pipeline runs to spot
+    * boilerplate contamination (slope far from −1) or truncated
+    * crawls: OLS of ln(cnt) on ln(rank) via the built-in `regr_*`
+    * aggregates over the DISTRIBUTED frequency rank
+    * (`Pipeline.rankVocab` — bucket-offset decomposition, no global
+    * window), so the fit costs one keyed agg + one reduce regardless
+    * of vocabulary size. Fit stats rounded to 6 (§4 rule: the two
+    * engines accumulate the regression sums in different orders;
+    * ulp-scale differences cannot move the 6th decimal here).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+    Pipeline.rankVocab(toks.groupBy("w").agg(count(lit(1)).as("cnt")))
+      .select(col("cnt"), col("rank"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("cnt")).as("n_tokens"),
+        round(expr("regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"),
+          6).as("zipf_slope"),
+        round(expr("regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"),
+          6).as("zipf_intercept"),
+        round(expr("regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"),
+          6).as("fit_r2"))
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_zipf_fit" -> GQuery.sql(zipfFit,
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text),
+        |    '[[:punct:][:space:]]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pt AS (SELECT unnest(t) AS w FROM toks),
+        |vocab AS (SELECT w, count(*) AS cnt FROM pt GROUP BY w),
+        |vid AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+        |  FROM vocab)
+        |SELECT count(*) AS n_vocab, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  round(regr_slope(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 6) AS zipf_slope,
+        |  round(regr_intercept(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 6) AS zipf_intercept,
+        |  round(regr_r2(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 6) AS fit_r2
+        |FROM vid""".stripMargin),
     "txt_collocation" -> GQuery.sql(collocation,
       s"""WITH toks AS (
         |  SELECT list_filter(regexp_split_to_array(lower(text),

@@ -62,6 +62,46 @@ class Round7OpsSpec extends SparkTestBase {
       "a stage silently fell out of whole-stage codegen")
   }
 
+  test("semantic dedup drops exactly the planted copies and keeps originals") {
+    val out = operators.Similarity.semanticDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, SfDir).count()
+    val planted = out.filter(_._1 >= operators.Similarity.SemPlantOffset)
+    assert(out.length === n + planted.length)
+    assert(planted.nonEmpty, "no planted copies — the recall check is vacuous")
+    // every planted copy has its lower-id original at cosine ~1 in the
+    // same cluster, so ALL planted rows are dups and NO original is
+    // (the synthetic corpus has no natural pair above cosine 0.48)
+    assert(planted.forall(_._3 == 1L))
+    assert(out.filter(_._1 < operators.Similarity.SemPlantOffset).forall(_._3 == 0L))
+    // and each planted copy shares its original's cluster
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    planted.foreach { case (id, cid, _) =>
+      assert(cluster(id - operators.Similarity.SemPlantOffset) === cid,
+        s"planted $id strayed from its original's cluster")
+    }
+  }
+
+  test("zipf fit is an exact OLS over the vocabulary's log-log points") {
+    val r = operators.TextAnalysis.zipfFit(spark, SfDir).collect().head
+    val (nv, nt) = (r.getLong(0), r.getLong(1))
+    // recompute the OLS in plain Scala from the exact frequency table
+    val freq = Tables.documents(spark, SfDir)
+      .select(explode(graft.functions.Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(nv === freq.length.toLong)
+    assert(nt === freq.map(_._2).sum)
+    val pts = freq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((_, c), i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+    val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    assert(math.abs(r.getDouble(2) - sxy / sxx) < 1e-5,
+      s"slope ${r.getDouble(2)} vs recomputed ${sxy / sxx}")
+  }
+
   test("kmeans centroid strings decode to in-range scaled components") {
     val out = operators.Similarity.kmeans(spark, SfDir).collect()
     // embeddings are unit-scale floats: every ×1e6 component must stay
