@@ -27,6 +27,43 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour_ms", "event_type")
 
+  /** Incremental aggregate maintenance (the materialized-view /
+    * Delta-table pattern): yesterday's rollup STATE plus today's
+    * DELTA merge into the refreshed rollup by re-aggregating the
+    * PARTIALS — history is never rescanned, which is the only viable
+    * refresh at 100 TB (the delta is days, the state is years). The
+    * split is deterministic (event_id % 10 = 0 is "today"); every
+    * published stat is algebraic-mergeable (counts and sums add,
+    * min/max combine, avg derives from merged sums AT THE END — never
+    * merge averages). The oracle is the ONE-SHOT rollup over all
+    * events: hash equality proves the merge decomposition exact.
+    * Sums rounded 2 / avg rounded 4 (§4: partial-sum grouping changes
+    * the FP accumulation order vs the one-shot scan).
+    */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+        col("value"), (col("event_id") % 10 === 0).as("is_delta"))
+    def partial(df: DataFrame) = df.groupBy("event_type", "hour_ms")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    partial(ev.filter(!col("is_delta")))
+      .union(partial(ev.filter(col("is_delta"))))
+      .groupBy("event_type", "hour_ms")
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("sv")), 2).as("value_sum"),
+        // avg from the ROUNDED sum: raw-sum/count lands exactly on
+        // round-4 half boundaries (2-decimal inputs / small counts),
+        // where the engines' different accumulation orders fall on
+        // opposite sides; rounding first makes the division the same
+        // double on both engines (§4)
+        round(round(sum(col("sv")), 2) / sum(col("n")), 4).as("value_avg"),
+        min(col("mn")).as("value_min"),
+        max(col("mx")).as("value_max"))
+      .orderBy("event_type", "hour_ms")
+  }
+
   /** Per-user activity profile. */
   def userActivity(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -495,6 +532,15 @@ object Events {
         |FROM active a JOIN active b
         |  ON a.user_id = b.user_id AND b.hour_ms = a.hour_ms + 3600000
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ev_incremental_rollup" -> GQuery.sql(incrementalRollup,
+      """SELECT event_type,
+        |  epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS value_sum,
+        |  round(round(sum(value), 2) / count(*), 4) AS value_avg,
+        |  min(value) AS value_min,
+        |  max(value) AS value_max
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_ms""".stripMargin),
     "ev_hourly_rollup" -> GQuery.sql(hourlyRollup,
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n_events,

@@ -430,6 +430,41 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .select(col("w"), col("cnt"), col("rank"))
   }
 
+  val ShuffleShards = 16L
+  val ShuffleBuckets = 64L
+  val HashMod = 1000000L
+
+  /** Deterministic global shuffle — the reproducible pseudorandom
+    * training order (position + round-robin shard) every run needs
+    * WITHOUT a seed file: sort key = the repo's overflow-safe
+    * multiplicative hash of doc_id, so the permutation is stable
+    * across engines and runs. The global rank over (skey, doc_id)
+    * uses the bucket-offset decomposition a third time — and here the
+    * bucketing is trivial: the hash key is uniform by construction,
+    * so fixed equal-width ranges of skey ARE balanced buckets (no
+    * sampling pass, unlike terasort's arbitrary keys). Bucket counts
+    * are ShuffleBuckets rows; offsets via the broadcast theta-join
+    * prefix sum; per-bucket row_number. No global window, no task
+    * sees more than n/ShuffleBuckets rows.
+    */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (((col("doc_id") % 999983L) * 2654435761L) % HashMod).as("skey"))
+      .withColumn("bucket", floor(col("skey") / (HashMod / ShuffleBuckets)))
+    val counts = d.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.bcnt")), lit(0L)).as("offset"))
+    val inBucket = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos", col("offset") + row_number().over(inBucket))
+      .select(col("doc_id"), col("pos"),
+        ((col("pos") - 1) % ShuffleShards).as("shard"))
+      .orderBy("doc_id")
+  }
+
   /** Token→id encoding — the vocabulary step every training pipeline
     * runs before packing: build a frequency-ranked vocabulary (dense
     * ids, most frequent = 0, ranks past `VocabCap` collapse to the OOV
@@ -486,6 +521,16 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |  FROM documents)
         |SELECT doc_id, source, n_chars, es_key FROM keyed
         |ORDER BY es_key DESC, doc_id LIMIT $WeightedK""".stripMargin),
+    "pipe_global_shuffle" -> GQuery.sql(globalShuffle,
+      s"""WITH k AS (
+        |  SELECT doc_id, ((doc_id % 999983) * 2654435761) % $HashMod AS skey
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS pos
+        |  FROM k)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST((pos - 1) % $ShuffleShards AS BIGINT) AS shard
+        |FROM p ORDER BY doc_id""".stripMargin),
     "pipe_schema_profile" -> GQuery.sql(schemaProfile, schemaProfileOracle),
     "pipe_shard_manifest" -> GQuery.sql(shardManifest,
       s"""WITH d AS (

@@ -521,6 +521,43 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("s_nationkey")
 
+  val BloomJoinNation = 7
+  val BloomJoinBits = 8192 // 1 KiB bitmap — constant size at ANY dim cardinality
+  val BloomJoinK = 5
+
+  /** Runtime-filter (sideways-information-passing) join — the manual
+    * form of the Bloom pre-filter a warehouse engine pushes into a
+    * big-fact ⋈ selective-dim join: build a CONSTANT-size Bloom bitmap
+    * over the dim side's join keys (suppliers of one nation, ~4% of
+    * suppliers), broadcast it, and probe INSIDE the fact scan's
+    * codegen pipeline so Bloom-negative rows die before the exchange.
+    * False positives are removed by the exact join that follows, so
+    * the rewrite is semantically invisible — the oracle is the PLAIN
+    * join (hash equality proves invisibility, the salted_skew_join
+    * pattern). At 100 TB the win is shuffle volume: only
+    * selectivity + ε of the fact ever leaves the scan, and the bitmap
+    * stays 1 KiB whether the dim has 40 keys or 40 million (vs a
+    * broadcast hash set that grows with the dim).
+    */
+  def relBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bloom
+    val dim = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === BloomJoinNation)
+      .select(col("s_suppkey"), col("s_name"))
+    val bloom = dim.agg(
+      Bloom.bloomAgg(BloomJoinBits, BloomJoinK)(col("s_suppkey")).as("bloom"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("l_suppkey"), col("bloom"), BloomJoinK))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Buckets per group for the distributed rank decomposition. Fixed
     * here for oracle determinism; at 100 TB size it ~√(rows/group)
     * (driver conf), exactly like the IVF cell count.
@@ -732,6 +769,12 @@ object Relational {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, rnk""".stripMargin),
+    "rel_bloom_join" -> GQuery.sql(relBloomJoin,
+      s"""SELECT s_suppkey, s_name, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = $BloomJoinNation
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin),
     "rel_salted_skew_join" -> GQuery.sql(relSaltedSkewJoin,
       """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_rows

@@ -425,24 +425,34 @@ object Similarity {
     * rounds, means rounded to 6 so both engines iterate bit-identical
     * centroids. Returns the final k×dim matrix (constant driver
     * traffic). Empty when no seed ids < KmeansK exist.
+    *
+    * The input is PERSISTED for the duration of the loop (the
+    * iterative-job discipline, cf. PageRank): the loop launches
+    * KmeansIters + 1 actions, and without a persist each one re-reads
+    * the parquet and re-derives `e` (for semantic dedup that is a
+    * re-normalization of the corpus per round). At cluster scale use
+    * MEMORY_AND_DISK + a reliable checkpoint every few rounds.
     */
-  private def lloydCentroids(e: DataFrame): Array[(Long, Array[Double])] = {
-    var cents: Array[(Long, Array[Double])] =
-      e.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
-        .map(r => (r.getLong(0), toDoubles(r, 1)))
-    if (cents.isEmpty) return cents
-    for (_ <- 1 to KmeansIters) {
-      cents = e.select(assign(cents).as("cid"), col("v"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy("cid", "pos")
-        .agg(round(avg(col("val")), 6).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> x.m)").as("c"))
-        .orderBy("cid").collect()
-        .map(r => (r.getLong(0), toDoubles(r, 1)))
-    }
-    cents
+  private def lloydCentroids(e0: DataFrame): Array[(Long, Array[Double])] = {
+    val e = e0.persist()
+    try {
+      var cents: Array[(Long, Array[Double])] =
+        e.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), toDoubles(r, 1)))
+      if (cents.isEmpty) return cents
+      for (_ <- 1 to KmeansIters) {
+        cents = e.select(assign(cents).as("cid"), col("v"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+          .groupBy("cid", "pos")
+          .agg(round(avg(col("val")), 6).as("m"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"), expr("transform(pm, x -> x.m)").as("c"))
+          .orderBy("cid").collect()
+          .map(r => (r.getLong(0), toDoubles(r, 1)))
+      }
+      cents
+    } finally e.unpersist(blocking = false)
   }
 
   def kmeans(spark: SparkSession, dir: String): DataFrame = {

@@ -62,6 +62,36 @@ class Round7OpsSpec extends SparkTestBase {
       "a stage silently fell out of whole-stage codegen")
   }
 
+  test("rankVocab equals the global rank on random zipf-ish vocabularies (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // words over a small alphabet (forcing shared first-char prefixes
+    // and lexicographic ties), counts drawn zipf-ish so the mass sits
+    // in the exact-band tail with occasional log-band heads
+    val word = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'z'))
+    } yield cs.mkString
+    val entry = for {
+      w <- word
+      c <- Gen.frequency(
+        6 -> Gen.choose(1L, 3L), 3 -> Gen.choose(4L, 40L),
+        1 -> Gen.choose(41L, 100000L))
+    } yield (w, c)
+    val vocabGen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, entry))
+      .map(_.groupBy(_._1).map { case (w, es) => (w, es.head._2) }.toSeq)
+    val prop = Prop.forAll(vocabGen) { entries =>
+      val got = operators.Pipeline.rankVocab(entries.toDF("w", "cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val want = entries.sortBy { case (w, c) => (-c, w) }
+        .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+      got == want
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("semantic dedup drops exactly the planted copies and keeps originals") {
     val out = operators.Similarity.semanticDedup(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -100,6 +130,67 @@ class Round7OpsSpec extends SparkTestBase {
     val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
     assert(math.abs(r.getDouble(2) - sxy / sxx) < 1e-5,
       s"slope ${r.getDouble(2)} vs recomputed ${sxy / sxx}")
+  }
+
+  test("incremental rollup merges non-vacuous state and delta partials") {
+    val ev = Tables.events(spark, SfDir)
+    val nState = ev.filter(col("event_id") % 10 =!= 0).count()
+    val nDelta = ev.filter(col("event_id") % 10 === 0).count()
+    assert(nState > 0 && nDelta > 0,
+      "both sides of the split must be populated or the merge proof is vacuous")
+    val out = operators.Events.incrementalRollup(spark, SfDir).collect()
+    assert(out.map(_.getLong(2)).sum === nState + nDelta)
+    out.foreach { r =>
+      assert(r.getDouble(5) <= r.getDouble(6) + 1e-9) // min <= max
+      val avg = r.getDouble(4)
+      assert(avg >= r.getDouble(5) - 1e-9 && avg <= r.getDouble(6) + 1e-9)
+    }
+  }
+
+  test("global shuffle is a permutation with balanced round-robin shards") {
+    val rows = operators.Pipeline.globalShuffle(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, SfDir).count()
+    assert(rows.length === n)
+    assert(rows.map(_._2).sorted.toSeq === (1L to n).toSeq, "pos not a permutation")
+    val sizes = rows.groupBy(_._3).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // the order must actually be shuffled, not id order
+    val byPos = rows.sortBy(_._2).map(_._1)
+    assert(byPos.toSeq !== byPos.sorted.toSeq, "permutation degenerated to id order")
+  }
+
+  test("bloom join equals the plain join and the pre-filter really prunes") {
+    import graft.functions.Bloom
+    import operators.Relational._
+    val got = relBloomJoin(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val plain = Tables.lineitem(spark, SfDir)
+      .join(Tables.supplier(spark, SfDir)
+        .filter(col("s_nationkey") === BloomJoinNation),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === plain.toSeq)
+    // the bitmap must reject most foreign fact rows, or it's saturated
+    val dim = Tables.supplier(spark, SfDir)
+      .filter(col("s_nationkey") === BloomJoinNation).select(col("s_suppkey"))
+    val bloom = dim.agg(
+      Bloom.bloomAgg(BloomJoinBits, BloomJoinK)(col("s_suppkey")).as("bloom"))
+    val fact = Tables.lineitem(spark, SfDir).select(col("l_suppkey"))
+    val total = fact.count()
+    val positives = fact.crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("l_suppkey"), col("bloom"), BloomJoinK))
+      .count()
+    val trueMatches = fact.join(broadcast(dim),
+      col("l_suppkey") === col("s_suppkey"), "leftsemi").count()
+    assert(positives >= trueMatches) // no false negatives, ever
+    assert(positives < total / 2,
+      s"bloom passed $positives of $total fact rows — saturated bitmap")
   }
 
   test("kmeans centroid strings decode to in-range scaled components") {
