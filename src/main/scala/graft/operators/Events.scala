@@ -37,8 +37,14 @@ object Events {
     * min/max combine, avg derives from merged sums AT THE END — never
     * merge averages). The oracle is the ONE-SHOT rollup over all
     * events: hash equality proves the merge decomposition exact.
-    * Sums rounded 2 / avg rounded 4 (§4: partial-sum grouping changes
-    * the FP accumulation order vs the one-shot scan).
+    * The value column is exact 2-decimal money, so sums ride as CENTS
+    * INTEGERS (order-free at every SF) and the average derives by the
+    * integer HALF_UP formula (2p+q) div 2q — a round(sum/count, 4)
+    * of doubles sits EXACTLY on half boundaries whenever the count is
+    * 2^a·5^b (1512.12/32 = 47.25375), where Spark's shortest-decimal
+    * rounding and DuckDB's binary-value rounding disagree (§4).
+    * Headroom: cents sums overflow 2⁶³ past ~10¹⁴ rows of 10⁵ value;
+    * move the accumulator to DECIMAL(38,2) beyond.
     */
   def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -46,21 +52,19 @@ object Events {
         unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
         col("value"), (col("event_id") % 10 === 0).as("is_delta"))
     def partial(df: DataFrame) = df.groupBy("event_type", "hour_ms")
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("svc"),
         min(col("value")).as("mn"), max(col("value")).as("mx"))
     partial(ev.filter(!col("is_delta")))
       .union(partial(ev.filter(col("is_delta"))))
       .groupBy("event_type", "hour_ms")
-      .agg(sum(col("n")).as("n_events"),
-        round(sum(col("sv")), 2).as("value_sum"),
-        // avg from the ROUNDED sum: raw-sum/count lands exactly on
-        // round-4 half boundaries (2-decimal inputs / small counts),
-        // where the engines' different accumulation orders fall on
-        // opposite sides; rounding first makes the division the same
-        // double on both engines (§4)
-        round(round(sum(col("sv")), 2) / sum(col("n")), 4).as("value_avg"),
-        min(col("mn")).as("value_min"),
-        max(col("mx")).as("value_max"))
+      .agg(sum(col("n")).as("n_events"), sum(col("svc")).as("svc"),
+        min(col("mn")).as("value_min"), max(col("mx")).as("value_max"))
+      .select(col("event_type"), col("hour_ms"), col("n_events"),
+        round(col("svc").cast("double") / 100.0, 2).as("value_sum"),
+        (expr("(2*svc*100 + n_events) div (2*n_events)")
+          .cast("double") / 10000.0).as("value_avg"),
+        col("value_min"), col("value_max"))
       .orderBy("event_type", "hour_ms")
   }
 
@@ -533,14 +537,17 @@ object Events {
         |  ON a.user_id = b.user_id AND b.hour_ms = a.hour_ms + 3600000
         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "ev_incremental_rollup" -> GQuery.sql(incrementalRollup,
-      """SELECT event_type,
-        |  epoch_ms(date_trunc('hour', ts)) AS hour_ms,
-        |  count(*) AS n_events,
-        |  round(sum(value), 2) AS value_sum,
-        |  round(round(sum(value), 2) / count(*), 4) AS value_avg,
+      """WITH c AS (
+        |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |    CAST(round(value * 100) AS BIGINT) AS vc, value
+        |  FROM events)
+        |SELECT event_type, hour_ms, count(*) AS n_events,
+        |  round(CAST(sum(vc) AS DOUBLE) / 100.0, 2) AS value_sum,
+        |  CAST((2 * sum(vc) * 100 + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 10000.0 AS value_avg,
         |  min(value) AS value_min,
         |  max(value) AS value_max
-        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_ms""".stripMargin),
+        |FROM c GROUP BY 1, 2 ORDER BY event_type, hour_ms""".stripMargin),
     "ev_hourly_rollup" -> GQuery.sql(hourlyRollup,
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n_events,

@@ -322,13 +322,23 @@ object Relational {
       .orderBy("o_orderpriority")
 
   /** TPC-H Q9 shape: multi-dim profit rollup by nation × year. */
+  /** Profit sums ride as SCALED INTEGERS (×10⁴ — price has 2 decimals,
+    * discount 2, so the product is an exact 4-decimal value): integer
+    * sums are order-free, making the result identical across engines
+    * at EVERY scale factor (the raw-double sum hit a round-2 half
+    * boundary at sf0.001). Headroom: Σ < 2⁶³ up to ~10⁹ rows of 10⁵
+    * price per group; beyond that, move the accumulator to
+    * DECIMAL(38,4) — the construction is unchanged.
+    */
   def q9ProfitByNationYear(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))
+      .agg(round(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).cast("double") / 10000.0, 2).as("profit"))
       .orderBy(asc("n_name"), desc("o_year"))
 
   /** TPC-H Q2 shape: per-part min-cost supplier within a region — the
@@ -583,9 +593,13 @@ object Relational {
     * (c_acctbal, c_custkey) is unique, so there are no peer groups
     * and percent_rank = (rank−1)/(n−1), cume_dist = rank/n, and
     * ntile(4) follows the SQL first-(n mod 4)-buckets-get-the-extra
-    * rule in closed form. The DuckDB oracle computes all four with
-    * its NATIVE window functions — hash equality proves the
-    * decomposition implements textbook semantics exactly.
+    * rule in closed form. The DuckDB oracle computes rank and ntile
+    * with its NATIVE window functions — hash equality proves the
+    * decomposition implements textbook semantics exactly; the two
+    * fractions are e6-quantized on BOTH engines by the integer
+    * HALF_UP formula (2p+q) div 2q, because native cume_dist values
+    * land exactly on round-6 half boundaries whenever n = 2^a·5^b
+    * (see the in-code note).
     */
   def relDistributedRank(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -616,10 +630,18 @@ object Relational {
     val rmd = col("n") % 4
     val ranked = bucketed.join(broadcast(offsets), Seq("c_nationkey", "bucket"))
       .withColumn("rnk", col("offset") + row_number().over(inBucket))
+      // the e6-quantized fractions derive by INTEGER HALF_UP division
+      // ((2p+q) div 2q) rather than round(double, 6): when n is
+      // 2^a·5^b (n = 640 at sf0.1) rnk/n is an exact 7-decimal value
+      // ending in 5, where Spark's shortest-decimal rounding and
+      // DuckDB's binary-value rounding disagree; a pure-integer
+      // formula is identical on any engine (§4)
       .withColumn("pct_rank",
-        round(when(col("n") > 1,
-          (col("rnk") - 1).cast("double") / (col("n") - 1)).otherwise(0.0), 6))
-      .withColumn("cume", round(col("rnk").cast("double") / col("n"), 6))
+        when(col("n") > 1,
+          expr("(2*(rnk-1)*1000000 + (n-1)) div (2*(n-1))")
+            .cast("double") / 1000000.0).otherwise(0.0))
+      .withColumn("cume",
+        expr("(2*rnk*1000000 + n) div (2*n)").cast("double") / 1000000.0)
       // first (n mod 4) tiles get ceil(n/4) rows; the otherwise branch is
       // unreachable when small == 0 (it needs rnk > n), so the greatest()
       // guard only shields the not-taken division.
@@ -760,15 +782,20 @@ object Relational {
         |WHERE coalesce(c.op, 'keep') <> 'delete'
         |ORDER BY custkey""".stripMargin),
     "rel_distributed_rank" -> GQuery.sql(relDistributedRank,
-      """SELECT c_custkey, c_nationkey, c_acctbal,
-        |  row_number() OVER w AS rnk,
-        |  round(CASE WHEN count(*) OVER (PARTITION BY c_nationkey) > 1
-        |    THEN percent_rank() OVER w ELSE 0.0 END, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume,
-        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_nationkey, rnk""".stripMargin),
+      """WITH r AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    row_number() OVER w AS rnk,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+        |SELECT c_custkey, c_nationkey, c_acctbal, rnk,
+        |  CASE WHEN n > 1 THEN
+        |    CAST((2*(rnk-1)*1000000 + (n-1)) // (2*(n-1)) AS DOUBLE) / 1000000.0
+        |  ELSE 0.0 END AS pct_rank,
+        |  CAST((2*rnk*1000000 + n) // (2*n) AS DOUBLE) / 1000000.0 AS cume,
+        |  quartile
+        |FROM r ORDER BY c_nationkey, rnk""".stripMargin),
     "rel_bloom_join" -> GQuery.sql(relBloomJoin,
       s"""SELECT s_suppkey, s_name, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -828,7 +855,8 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "q9_profit_by_nation_year" -> GQuery.sql(q9ProfitByNationYear,
       """SELECT n_name, year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS profit
+        |  round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |        AS DOUBLE) / 10000.0, 2) AS profit
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey

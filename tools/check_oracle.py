@@ -32,8 +32,21 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # The wc_wordcount_text oracle pins the DRIVER's verify SF (sf0.01)
+    # in its staged-text path — the oracle contract has no sfDir
+    # parameter. When sweeping other SFs locally, rewrite the staged
+    # path to the SF under test (same basename_hash scheme as
+    # WordCount.stagePathFor).
+    import hashlib, pathlib
+    def stage_path(d):
+        ap = str(pathlib.Path(d).resolve())
+        key = hashlib.md5(ap.encode()).hexdigest()[:8]
+        return f"/root/repo/target/graft_text_corpus/{pathlib.Path(ap).name}_{key}"
+    driver_stage = stage_path("/root/testdata/sf0.01")
+    this_stage = stage_path(sf_dir)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        sql = sql.replace(driver_stage, this_stage)
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"MISSING spark output: {name}")
