@@ -132,6 +132,48 @@ class Round7OpsSpec extends SparkTestBase {
       s"slope ${r.getDouble(2)} vs recomputed ${sxy / sxx}")
   }
 
+  test("space-saving bounds hold under ANY partitioning and merge order (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import graft.functions.{SpaceSavingAgg, SSBuf}
+    // the merge is commutative but NOT associative once pruning bites
+    // (documented contract): the [ub − err, ub] bracket must bracket
+    // the true count for EVERY merge tree, not just Spark's
+    val tokenGen = Gen.frequency(
+      5 -> Gen.oneOf("a", "b", "c"),
+      3 -> Gen.oneOf("d", "e", "f", "g"),
+      2 -> Gen.choose(0, 50).map("t" + _))
+    val caseGen = for {
+      stream <- Gen.listOfN(120, tokenGen)
+      cap <- Gen.choose(3, 12)
+      nChunks <- Gen.choose(1, 5)
+      cuts <- Gen.listOfN(nChunks - 1, Gen.choose(0, stream.length))
+      order <- Gen.choose(0L, Long.MaxValue) // seeds the merge order
+    } yield (stream, cap, cuts.sorted, order)
+    val prop = Prop.forAll(caseGen) { case (stream, cap, cuts, seed) =>
+      val agg = new SpaceSavingAgg(cap)
+      val bounds = (0 +: cuts) :+ stream.length
+      val chunks = bounds.sliding(2).map { case Seq(a, b) =>
+        stream.slice(a, b).foldLeft(agg.zero)(agg.reduce)
+      }.toVector
+      val rnd = new scala.util.Random(seed)
+      // random left/right fold order = a random merge tree shape
+      var acc: SSBuf = chunks.head
+      chunks.tail.foreach { c =>
+        acc = if (rnd.nextBoolean()) agg.merge(acc, c) else agg.merge(c, acc)
+      }
+      val out = agg.finish(acc)
+      val truth = stream.groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+      out.size <= cap &&
+        out.forall { e =>
+          val t = truth.getOrElse(e.token, 0L)
+          t <= e.ub && t >= e.ub - e.err
+        }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incremental rollup merges non-vacuous state and delta partials") {
     val ev = Tables.events(spark, SfDir)
     val nState = ev.filter(col("event_id") % 10 =!= 0).count()
