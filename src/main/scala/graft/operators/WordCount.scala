@@ -249,7 +249,11 @@ object WordCount {
     // every previous round k-deep, and the optimizer re-derives and
     // re-executes the whole tower per round. On a cluster this is
     // persist + periodic reliable checkpoint; the plan shapes per
-    // round are identical.
+    // round are identical. NOTE (measured, r7): checkpointing every
+    // SECOND round instead — halving the barriers at the cost of a
+    // 2-deep lineage — was no faster at sf0.1 (min 4.1 vs 3.7 s,
+    // identical medians); the per-round boundary is not the
+    // bottleneck, so the simpler per-round form stays.
     val edges = eall.join(deg, "src").repartition(col("src")).localCheckpoint()
     val nodes = deg.select(col("src").as("node")).localCheckpoint()
     var ranks = nodes.withColumn("pr", lit(1.0))
