@@ -397,6 +397,37 @@ object Events {
       .orderBy("user_id", "hour_ms")
   }
 
+  /** CDC changelog → SCD2 validity intervals (the "apply changes"
+    * maintenance pass every lakehouse table runs): each event is an
+    * UPSERT of its user's tracked attribute (`value`); 'error' events
+    * are DELETE tombstones. An interval [valid_from, valid_to) opens
+    * at every upsert and closes at the key's NEXT operation of either
+    * kind — a tombstone closes the preceding interval and opens
+    * nothing, so deleted spans simply have no covering row. The last
+    * open interval per key is the current row (valid_to NULL,
+    * is_current). One keyed shuffle on user_id; the per-key window
+    * scans a single key's history, which is bounded by per-entity
+    * activity, not corpus size — the partition-by-key plan holds at
+    * 100 TB (a pathological single hot key would need the
+    * sessionize-style span split; keys here are users, naturally
+    * bounded). Timestamps ride as epoch millis (parity note at the
+    * top of this file); `value` passes through UNTOUCHED — no
+    * arithmetic, so no FP boundary for the engines to disagree on.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"),
+        (col("event_type") === "error").as("is_delete"))
+      .withColumn("valid_to_ms", lead(col("ms"), 1).over(w))
+      .filter(!col("is_delete"))
+      .select(col("user_id"), col("event_id"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"), col("value"),
+        col("valid_to_ms").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_ms", "event_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
     // NB: session_window starts a NEW session at diff == gap (window is
     // [start, last+gap)), so the replay splits on >=, not > (the manual
@@ -536,6 +567,20 @@ object Events {
         |FROM active a JOIN active b
         |  ON a.user_id = b.user_id AND b.hour_ms = a.hour_ms + 3600000
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ev_scd2_intervals" -> GQuery.sql(scd2Intervals,
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |    event_type = 'error' AS is_delete
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_id, ms, value, is_delete,
+        |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |      AS valid_to_ms
+        |  FROM c)
+        |SELECT user_id, event_id, ms AS valid_from_ms, valid_to_ms, value,
+        |  valid_to_ms IS NULL AS is_current
+        |FROM iv WHERE NOT is_delete
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin),
     "ev_incremental_rollup" -> GQuery.sql(incrementalRollup,
       """WITH c AS (
         |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,

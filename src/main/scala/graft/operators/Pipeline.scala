@@ -494,7 +494,84 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("doc_id")
   }
 
+  val FunnelMinChars = 100L
+  val FunnelMaxChars = 500L
+  val FunnelMinTokens = 30
+
+  /** Sequential quality-filter funnel with per-stage survival counts —
+    * the reporting artifact every corpus-curation pipeline ships
+    * (RefinedWeb/FineWeb-style "documents remaining after each rule").
+    * A doc reaches stage k's gate only by passing stages 1..k−1, so
+    * n_in(k) = n_kept(k−1) and the funnel is monotone. All four
+    * signals compute in ONE scan projection (codegen'd; the ratio
+    * cuts are integer CROSS-MULTIPLICATIONS — stopword_hits·50 ≥
+    * n_tokens, uniq·2 ≥ n_tokens — so no FP threshold can sit on an
+    * engine-dependent boundary) and reduce through a single algebraic
+    * aggregate: at 100 TB the corpus is never shuffled at all, only
+    * five counters per partition reach the driver-side merge. The
+    * 4-row unpivot happens on the one-row aggregate.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(lower(col("text")))
+    val flagged = Tables.documents(spark, dir).select(
+      (col("n_chars") >= FunnelMinChars && col("n_chars") <= FunnelMaxChars)
+        .as("f1"),
+      (size(toks) >= FunnelMinTokens).as("f2"),
+      (size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*))) * 50 >=
+        size(toks)).as("f3"),
+      (size(array_distinct(toks)) * 2 >= size(toks)).as("f4"))
+    def kept(fs: Column*): Column =
+      sum(when(fs.reduce(_ && _), 1L).otherwise(0L))
+    val a = flagged.agg(
+      count(lit(1)).as("n0"),
+      kept(col("f1")).as("k1"),
+      kept(col("f1"), col("f2")).as("k2"),
+      kept(col("f1"), col("f2"), col("f3")).as("k3"),
+      kept(col("f1"), col("f2"), col("f3"), col("f4")).as("k4"))
+    def stage(no: Int, name: String, in: String, keptCol: String): Column =
+      struct(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+        col(in).as("n_in"), col(keptCol).as("n_kept"))
+    a.select(explode(array(
+        stage(1, "length", "n0", "k1"),
+        stage(2, "min_tokens", "k1", "k2"),
+        stage(3, "stopword_ratio", "k2", "k3"),
+        stage(4, "uniq_ratio", "k3", "k4"))).as("s"))
+      .select(col("s.stage_no").as("stage_no"), col("s.stage").as("stage"),
+        col("s.n_in").as("n_in"), col("s.n_kept").as("n_kept"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+      .orderBy("stage_no")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_filter_funnel" -> GQuery.sql(filterFunnel,
+      s"""WITH t AS (
+        |  SELECT n_chars,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT n_chars BETWEEN $FunnelMinChars AND $FunnelMaxChars AS f1,
+        |    len(toks) >= $FunnelMinTokens AS f2,
+        |    len(list_filter(toks,
+        |      x -> x IN ('the','a','an','and','of','to','in','is'))) * 50
+        |      >= len(toks) AS f3,
+        |    len(list_distinct(toks)) * 2 >= len(toks) AS f4
+        |  FROM t),
+        |a AS (
+        |  SELECT count(*) AS n0,
+        |    count(*) FILTER (f1) AS k1,
+        |    count(*) FILTER (f1 AND f2) AS k2,
+        |    count(*) FILTER (f1 AND f2 AND f3) AS k3,
+        |    count(*) FILTER (f1 AND f2 AND f3 AND f4) AS k4
+        |  FROM f),
+        |s AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'length' AS stage,
+        |         n0 AS n_in, k1 AS n_kept FROM a
+        |  UNION ALL SELECT 2, 'min_tokens', k1, k2 FROM a
+        |  UNION ALL SELECT 3, 'stopword_ratio', k2, k3 FROM a
+        |  UNION ALL SELECT 4, 'uniq_ratio', k3, k4 FROM a)
+        |SELECT stage_no, stage, n_in, n_kept, n_in - n_kept AS n_dropped
+        |FROM s ORDER BY stage_no""".stripMargin),
     "pipe_tokenize_to_ids" -> GQuery.sql(tokenizeToIds,
       s"""WITH toks AS (
         |  SELECT doc_id,

@@ -321,6 +321,30 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy("o_orderpriority")
 
+  val ApproxPctAccuracy = 1000 // rank error ε = 1/accuracy
+
+  /** The sketch form of `relPercentiles` — the plan that survives
+    * 100 TB: `percentile_approx` is a MERGEABLE quantile summary
+    * (Greenwald–Khanna family), so every map partition contributes a
+    * bounded-size sketch instead of buffering its group's values, and
+    * the shuffle carries sketches, not data. Like the other sketch
+    * rows (HLL distinct, SpaceSaving), merge order varies with
+    * shuffle-fetch order, so the registry check is rows-only; the
+    * quantitative guarantee — the returned value sits within rank
+    * error ε·n = n/accuracy of the true quantile — is pinned in
+    * RelationalSpec against the exact sorted values.
+    */
+  def relApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr(s"percentile_approx(o_totalprice, 0.5, $ApproxPctAccuracy)"), 2)
+          .as("p50_approx"),
+        round(expr(s"percentile_approx(o_totalprice, 0.95, $ApproxPctAccuracy)"), 2)
+          .as("p95_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** TPC-H Q9 shape: multi-dim profit rollup by nation × year. */
   /** Profit sums ride as SCALED INTEGERS (×10⁴ — price has 2 decimals,
     * discount 2, so the product is an exact 4-decimal value): integer
@@ -568,6 +592,85 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  val ZBits = 8          // bits per dimension → 16-bit Morton key
+  val ZBucketShift = 8   // keep the top 8 z-bits → 256 layout buckets
+
+  /** The Morton interleave of two ZBits-wide ints, emitted once as a
+    * Spark Column and once as DuckDB SQL FROM THE SAME LOOP, so the
+    * engines cannot drift: bit i of each input lands at positions
+    * 2i+1 / 2i of the key.
+    */
+  private def zInterleave(a: Column, b: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  private def zInterleaveSql(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " | ", ")")
+
+  /** Z-order (Morton) clustering — the multi-dimensional layout key
+    * behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving the bits
+    * of two filter dimensions yields ONE sort key whose contiguous
+    * ranges are near-axis-aligned rectangles, so range-partitioned
+    * files carry bounded min/max on BOTH columns and a predicate on
+    * EITHER prunes files (a lexicographic (a, b) sort bounds only a).
+    * The output is the per-bucket layout manifest (count + min/max
+    * per dim) a writer would persist as its skipping index; the spec
+    * asserts every bucket spans ≤ 1/2^(ZBucketShift/2) of each dim's
+    * domain — the property that makes the layout prune. At 100 TB
+    * this is a scan + one shuffle of the TINY manifest aggregate (the
+    * real writer range-partitions by z_key with the terasort
+    * machinery). All integer arithmetic: dims normalize to 0..2^ZBits−1
+    * via the broadcast min/max aggregate (the distributed-rank shape)
+    * with floor of an EXACT double quotient (numerators < 2^53), then
+    * shift/mask interleave inside the scan's codegen — bit-identical
+    * in DuckDB at every SF.
+    */
+  def relZorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+      min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+    val zmax = (1L << ZBits) - 1
+    def norm(x: Column, lo: Column, hi: Column): Column =
+      floor((x - lo) * zmax / greatest(hi - lo, lit(1L))).cast("long")
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_partkey"), col("l_suppkey"),
+        norm(col("l_partkey"), col("plo"), col("phi")).as("up"),
+        norm(col("l_suppkey"), col("slo"), col("shi")).as("us"))
+      .withColumn("zbucket",
+        shiftright(zInterleave(col("up"), col("us")), ZBucketShift))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("zbucket")
+  }
+
+  private def zorderOracle: String = {
+    val zmax = (1L << ZBits) - 1
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+       |  FROM lineitem),
+       |n AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(floor((l_partkey - plo) * $zmax / greatest(phi - plo, 1)) AS BIGINT) AS up,
+       |    CAST(floor((l_suppkey - slo) * $zmax / greatest(shi - slo, 1)) AS BIGINT) AS us
+       |  FROM lineitem, b),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${zInterleaveSql("up", "us")} >> $ZBucketShift AS zbucket
+       |  FROM n)
+       |SELECT zbucket, count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   /** Buckets per group for the distributed rank decomposition. Fixed
     * here for oracle determinism; at 100 TB size it ~√(rows/group)
     * (driver conf), exactly like the IVF cell count.
@@ -796,6 +899,7 @@ object Relational {
         |  CAST((2*rnk*1000000 + n) // (2*n) AS DOUBLE) / 1000000.0 AS cume,
         |  quartile
         |FROM r ORDER BY c_nationkey, rnk""".stripMargin),
+    "rel_zorder_cluster" -> GQuery.sql(relZorderCluster, zorderOracle),
     "rel_bloom_join" -> GQuery.sql(relBloomJoin,
       s"""SELECT s_suppkey, s_name, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1080,6 +1184,7 @@ object Relational {
         |  FROM lineitem WHERE l_suppkey <= 10)
         |ORDER BY l_suppkey, rn""".stripMargin),
     "rel_approx_distinct" -> GQuery.rowsOnly(relApproxDistinct),
+    "rel_approx_percentiles" -> GQuery.rowsOnly(relApproxPercentiles),
     "rel_percentiles" -> GQuery.sql(relPercentiles,
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

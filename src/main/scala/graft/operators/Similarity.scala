@@ -208,6 +208,21 @@ object Similarity {
   val KmeansK = 8
   val KmeansIters = 3
 
+  private def toDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray
+
+  private def subvec(a: Array[Double], m: Int): Array[Double] =
+    a.slice(m * PqSub, (m + 1) * PqSub)
+
+  // ascending-index accumulation — the list_inner_product order
+  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+
   val PqM = 8        // subspaces
   val PqSub = 8      // dims per subspace (PqM * PqSub = 64)
   val PqNCent = 16   // codebook entries per subspace
@@ -244,12 +259,6 @@ object Similarity {
   def pqTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
 
-    def toDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
-      r.getSeq[Any](i).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray
-
     val seeds: Array[Array[Double]] =
       e.filter(col("vec_id") % PqSeedMod === 0).orderBy("vec_id")
         .limit(PqNCent).collect().map(toDoubles(_, 1))
@@ -260,14 +269,6 @@ object Similarity {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("q_id", "rank", "vec_id", "score_e6")
-    }
-
-    def subvec(a: Array[Double], m: Int): Array[Double] =
-      a.slice(m * PqSub, (m + 1) * PqSub)
-    // ascending-index accumulation — the list_inner_product order
-    def ddot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
 
     // code_m = argmin_c of the scaled-integer quantization distance,
@@ -381,6 +382,185 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF + PQ — the composite IVFADC serving architecture (the
+    * standard large-scale ANN index, Jégou et al. 2011 / faiss
+    * `IVFxx,PQyy`): a coarse inverted file restricts each query to
+    * its probed cells, and *within* them the corpus is scored from
+    * 8-byte PQ codes by LUT additions, shortlisted, then exactly
+    * re-ranked from raw vectors. At 100 TB the two stages multiply:
+    * probing half the cells halves the scan and PQ shrinks what IS
+    * scanned 8× with no raw-vector I/O until the PqShortlist·NQueries
+    * re-rank fetch. Unlike `ann_ivf_topk` (xxhash64 residue sampling —
+    * not computable in DuckDB, hence its planted-copy oracle), the
+    * coarse centroids here are the count-derived MODULUS sample
+    * vec_id % (n div ceil(√n)) == 0 — same ≈√n cell count at any
+    * corpus size, but a one-line SQL predicate, so the ENTIRE
+    * composite (sampling → assignment → probing → encode → LUT → ADC
+    * → shortlist → exact re-rank) replays in DuckDB and
+    * hash-verifies with no planting. Cell assignment and probe
+    * ranking order by RAW cosine: both engines build the identical
+    * dot/(√·√) expression tree, so the doubles are bit-identical and
+    * ties fall to cell_id on both (§4 different-construction rule).
+    * ADC stays in exact scaled integers (shared PqEncode rounding).
+    */
+  def ivfpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+
+    val seeds: Array[Array[Double]] =
+      e.filter(col("vec_id") % PqSeedMod === 0).orderBy("vec_id")
+        .limit(PqNCent).collect().map(toDoubles(_, 1))
+    val queries: Array[(Long, Array[Double])] =
+      e.filter(col("vec_id") < NQueries).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), toDoubles(r, 1)))
+    if (seeds.isEmpty || queries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "rank", "vec_id", "score_e6")
+    }
+
+    // Coarse IVF: ≈√n modulus-sampled centroids, map-side max_by cell
+    // assignment (one row per vector reaches the shuffle), per-query
+    // probe ranking over the ~√n centroid rows only.
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val centroids = e.crossJoin(broadcast(n))
+      .filter(pmod(col("vec_id"),
+        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"),
+          lit(1L))) === 0L)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("cell_id"),
+        cosine(col("v"), col("cv")).as("cell_cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("cell_cos"), -col("cell_id")))
+        .as("cell_id"))
+    val nCells = centroids.agg(count(lit(1)).as("n_cells"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probed = q.join(broadcast(centroids), lit(true))
+      .select(col("q_id"), col("cell_id"),
+        cosine(col("qv"), col("cv")).as("cell_cos"))
+      .crossJoin(broadcast(nCells))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cell_cos"), asc("cell_id"))))
+      .filter(col("crank") <= greatest(expr("n_cells div 2"), lit(1L)))
+      .select(col("q_id"), col("cell_id"))
+
+    // PQ codes (native PqEncode) + per-(query, subspace) LUTs as ONE
+    // map literal each — 50·16 longs of data, not 50 generated columns,
+    // so janino never sees them (§3 codegen-budget lesson).
+    val seedSubs: Int => Array[Array[Double]] = m => seeds.map(subvec(_, m))
+    val codes = (0 until PqM).foldLeft(e) { (df, m) =>
+      df.withColumn(s"code_$m",
+        graft.functions.PqFunctions.pq_encode(col("v"), seedSubs(m), m, PqSub))
+    }.select(col("vec_id") +: (0 until PqM).map(m => col(s"code_$m")): _*)
+    val lutMaps: IndexedSeq[Column] = (0 until PqM).map { m =>
+      typedLit(queries.map { case (qid, qv) =>
+        qid -> seeds.map(s =>
+          graft.functions.PqEncode.roundKey(ddot(subvec(qv, m), subvec(s, m))))
+          .toSeq
+      }.toMap)
+    }
+
+    // ADC over ONLY the probed cells: codes ⋈ assignment ⋈ broadcast
+    // probe list; the integer LUT sum touches no raw vector.
+    val adc = (0 until PqM).map { m =>
+      element_at(element_at(lutMaps(m), col("q_id")),
+        (col(s"code_$m") + 1).cast("int"))
+    }.reduce(_ + _)
+    val shortlist = graft.functions.TopK.topKByScore(PqShortlist)
+    val topk = graft.functions.TopK.topKByScore(TopK)
+    val candidates = codes.join(assigned, Seq("vec_id"))
+      .join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score_e6", adc)
+      .groupBy("q_id")
+      .agg(shortlist(col("score_e6").cast("double"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.id").as("vec_id"))
+    val qlits = map(queries.flatMap { case (qid, qv) =>
+      Seq(lit(qid), typedLit(qv.toSeq))
+    }.toIndexedSeq: _*)
+    candidates.join(e, Seq("vec_id"))
+      .withColumn("exact_e6",
+        round(dot(element_at(qlits, col("q_id")), col("v")) * 1e6).cast("long"))
+      .groupBy("q_id")
+      .agg(topk(col("exact_e6").cast("double"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), col("s.score").cast("long").as("score_e6"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def ivfpqOracle: String = {
+    val sl = s"sub.m*$PqSub+1 : sub.m*$PqSub+$PqSub"
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT count(*) AS n_vecs FROM e),
+      |cent AS (
+      |  SELECT vec_id AS cell_id, v AS cv FROM e, n
+      |  WHERE vec_id % greatest(n_vecs // CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1) = 0),
+      |asg AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT e.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ${cos("e.v", "c.cv")} DESC, c.cell_id) AS rn
+      |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |nc AS (SELECT count(*) AS n_cells FROM cent),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+      |probe AS (
+      |  SELECT q_id, cell_id FROM (
+      |    SELECT q.q_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        ${cos("q.qv", "c.cv")} DESC, c.cell_id) AS crank
+      |    FROM q CROSS JOIN cent c) p, nc
+      |  WHERE p.crank <= greatest(nc.n_cells // 2, 1)),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $PqSeedMod = 0
+      |        ORDER BY vec_id LIMIT $PqNCent)),
+      |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+      |sub AS (SELECT s.c, ms.m, s.v[ms.m*$PqSub+1 : ms.m*$PqSub+$PqSub] AS sv
+      |        FROM seeds s CROSS JOIN ms),
+      |codes AS (
+      |  SELECT vec_id, m, c FROM (
+      |    SELECT e.vec_id, sub.m, sub.c,
+      |      row_number() OVER (PARTITION BY e.vec_id, sub.m ORDER BY
+      |        CAST(round((list_inner_product(e.v[$sl], e.v[$sl])
+      |          - 2.0*list_inner_product(e.v[$sl], sub.sv)
+      |          + list_inner_product(sub.sv, sub.sv)) * 1e6, 0) AS BIGINT),
+      |        sub.c) AS rn
+      |    FROM e CROSS JOIN sub) WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.q_id, sub.m, sub.c,
+      |    CAST(round(list_inner_product(q.qv[$sl], sub.sv) * 1e6, 0) AS BIGINT) AS p
+      |  FROM q CROSS JOIN sub),
+      |scored AS (
+      |  SELECT l.q_id, cd.vec_id, CAST(sum(l.p) AS BIGINT) AS adc_e6
+      |  FROM codes cd
+      |  JOIN asg a ON a.vec_id = cd.vec_id
+      |  JOIN probe pr ON pr.cell_id = a.cell_id
+      |  JOIN lut l ON l.q_id = pr.q_id AND l.m = cd.m AND l.c = cd.c
+      |  WHERE cd.vec_id <> l.q_id
+      |  GROUP BY l.q_id, cd.vec_id),
+      |shortlist AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY adc_e6 DESC, vec_id) AS rn
+      |    FROM scored) WHERE rn <= $PqShortlist),
+      |rer AS (
+      |  SELECT s.q_id, s.vec_id,
+      |    CAST(round(list_inner_product(q.qv, e.v) * 1e6, 0) AS BIGINT) AS score_e6
+      |  FROM shortlist s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
+      |SELECT q_id, rank, vec_id, score_e6 FROM (
+      |  SELECT q_id, vec_id, score_e6,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score_e6 DESC, vec_id) AS BIGINT) AS rank
+      |  FROM rer) WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Distributed Lloyd's k-means over the embedding corpus — the
     * broadcast-centroid shape (the plan Spark MLlib's KMeans uses):
     * each iteration collects the k×dim centroid matrix to the driver
@@ -397,11 +577,6 @@ object Similarity {
     * assignment); means are rounded to 6 before the next iteration,
     * so both engines iterate over bit-identical centroids.
     */
-  private def toDoubles(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
-    r.getSeq[Any](i).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-    }.toArray
 
   /** Nearest-centroid id as a pure projection over centroid literals:
     * argmin (round(dist2, 6), cid) via array_min over structs.
@@ -709,6 +884,7 @@ ORDER BY f.vec_id"""
     "ann_kmeans" -> GQuery.sql(kmeans, kmeansOracle),
     "dd_semantic_dedup" -> GQuery.sql(semanticDedup, semanticDedupOracle),
     "ann_pq_topk" -> GQuery.sql(pqTopk, pqOracle),
+    "ann_ivfpq_topk" -> GQuery.sql(ivfpqTopk, ivfpqOracle),
     "vec_gram_matrix" -> GQuery.sql(gramMatrix,
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         |ii AS (SELECT unnest(range(0, $GramDim)) AS i),

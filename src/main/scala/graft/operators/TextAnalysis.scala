@@ -21,7 +21,7 @@ object TextAnalysis {
         Text.bpeIshTokenCount(col("text")).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
-  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
 
   /** Quality signals: lengths, punctuation ratio, stopword ratio,
     * vocabulary (distinct-token) ratio.

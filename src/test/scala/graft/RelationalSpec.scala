@@ -115,6 +115,31 @@ class RelationalSpec extends SparkTestBase {
     assert(worst <= 3 * 0.02, s"worst HLL relative error $worst > 6%")
   }
 
+  test("approx percentiles sit within the sketch's rank-error bracket") {
+    import org.apache.spark.sql.functions._
+    // percentile_approx(·, q, acc) guarantees a value whose rank is
+    // within ε·n of q·n, ε = 1/acc — assert each group's approx value
+    // lies between the exact order statistics at ranks (q ± ε)·n.
+    val eps = 1.0 / Relational.ApproxPctAccuracy
+    val approx = Relational.relApproxPercentiles(spark, SfDir).collect()
+      .map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.95 -> r.getDouble(2))).toMap
+    val groups = Tables.orders(spark, SfDir)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(approx.keySet === groups.keySet)
+    approx.foreach { case (k, qs) =>
+      val v = groups(k); val n = v.length
+      qs.foreach { case (q, got) =>
+        val lo = v(math.max(0, math.ceil((q - eps) * n).toInt - 1))
+        val hi = v(math.min(n - 1, math.floor((q + eps) * n).toInt))
+        assert(got >= lo - 0.01 && got <= hi + 0.01,
+          s"$k q=$q: $got outside rank bracket [$lo, $hi]")
+      }
+    }
+  }
+
   test("plan shape: q8 broadcasts the dim sides and never shuffles a cartesian") {
     val plan = Relational.q8MarketShare(spark, SfDir)
       .queryExecution.executedPlan.toString

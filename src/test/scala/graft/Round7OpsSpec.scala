@@ -235,6 +235,80 @@ class Round7OpsSpec extends SparkTestBase {
       s"bloom passed $positives of $total fact rows — saturated bitmap")
   }
 
+  test("scd2 intervals are per-key disjoint and current only at the tail") {
+    val rows = operators.Events.scd2Intervals(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(iv => (iv._2, iv._3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._2,
+          s"intervals overlap: $a then $b")
+        case _ =>
+      }
+      // only an interval nothing follows can be current, so it is
+      // unique and last (a tombstone-closed tail has none at all)
+      assert(sorted.count(_._4) <= 1)
+      sorted.dropRight(1).foreach(iv => assert(!iv._4))
+      sorted.filter(_._4).foreach(iv => assert(iv._3 == Long.MaxValue))
+    }
+  }
+
+  test("z-order buckets bound BOTH dimensions (the pruning property)") {
+    val b = Tables.lineitem(spark, SfDir).agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+    val pSpan = math.max(b.getLong(1) - b.getLong(0), 1L)
+    val sSpan = math.max(b.getLong(3) - b.getLong(2), 1L)
+    val buckets = operators.Relational.relZorderCluster(spark, SfDir).collect()
+    assert(buckets.length > 1)
+    // a bucket fixes the top 4 normalized bits of EACH dim → it spans
+    // ≤ 16 of the 256 levels, i.e. ≤ 16·span/255 raw units (+2 for the
+    // two integer-floor cell edges). A lexicographic (part, supp) sort
+    // could not bound supp at all.
+    buckets.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 16L * pSpan / 255 + 2,
+        s"bucket ${r.getLong(0)} part span ${r.getLong(3) - r.getLong(2)}")
+      assert(r.getLong(5) - r.getLong(4) <= 16L * sSpan / 255 + 2,
+        s"bucket ${r.getLong(0)} supp span ${r.getLong(5) - r.getLong(4)}")
+    }
+  }
+
+  test("filter funnel is monotone and chains n_in(k+1) == n_kept(k)") {
+    val rows = operators.Pipeline.filterFunnel(spark, SfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length === 4)
+    assert(rows.head.getLong(2) === Tables.documents(spark, SfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+      // every stage discriminates at this SF — no vacuous threshold
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) === a.getLong(3))
+      case _ =>
+    }
+  }
+
+  test("ivfpq keeps real recall@10 vs brute force despite both cuts") {
+    val bf = operators.Similarity.bruteforceTopk(spark, SfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = operators.Similarity.ivfpqTopk(spark, SfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // two lossy stages compound (probe half the cells × 16-entry
+    // codebooks), but the composite must still surface a real fraction
+    // of the true neighbor lists — collapse here means a wiring bug
+    // (empty probe sets, LUT misindexing), not quantization error
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall >= 0.4, s"ivfpq recall@10 = $recall")
+  }
+
   test("kmeans centroid strings decode to in-range scaled components") {
     val out = operators.Similarity.kmeans(spark, SfDir).collect()
     // embeddings are unit-scale floats: every ×1e6 component must stay

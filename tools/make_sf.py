@@ -13,6 +13,12 @@ import duckdb
 
 src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
 con = duckdb.connect()
+# The source parquet stores instant (isAdjustedToUTC) timestamps,
+# which Spark reads as TIMESTAMP; DuckDB's plain TIMESTAMP writes NTZ
+# and Spark then reads TIMESTAMP_NTZ, breaking unix_millis(). Rewrite
+# timestamp columns as TIMESTAMPTZ under a UTC session so the stored
+# instants are unchanged.
+con.execute("SET timezone = 'UTC'")
 con.execute(f"CREATE TABLE copies AS SELECT unnest(range({n})) AS i")
 
 # table -> {column: key-space it references}
@@ -48,13 +54,18 @@ for tbl, shifts in SHIFTS.items():
             con.execute(f"DESCRIBE SELECT * FROM '{src}/{tbl}.parquet'").fetchall()]
     types = {c[0]: c[1] for c in
              con.execute(f"DESCRIBE SELECT * FROM '{src}/{tbl}.parquet'").fetchall()}
+    def passthrough(c):
+        if types[c] == "TIMESTAMP":
+            return f"CAST(t.{c} AS TIMESTAMPTZ) AS {c}"
+        return f"t.{c}"
     if not shifts:  # fixed dimension tables: single copy
-        con.execute(f"COPY (SELECT * FROM '{src}/{tbl}.parquet') TO "
+        sel0 = ", ".join(passthrough(c) for c in cols)
+        con.execute(f"COPY (SELECT {sel0} FROM '{src}/{tbl}.parquet' t) TO "
                     f"'{dst}/{tbl}.parquet' (FORMAT PARQUET)")
         continue
     sel = ", ".join(
         f"CAST(t.{c} + i * {stride[shifts[c]]} AS {types[c]}) AS {c}"
-        if c in shifts else f"t.{c}" for c in cols)
+        if c in shifts else passthrough(c) for c in cols)
     con.execute(
         f"COPY (SELECT {sel} FROM '{src}/{tbl}.parquet' t CROSS JOIN copies "
         f"ORDER BY i) TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)")
