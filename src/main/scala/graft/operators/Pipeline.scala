@@ -494,6 +494,33 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("doc_id")
   }
 
+  /** Per-source dataset card — the summary block a corpus release
+    * ships (docs, volume, language mix, exact-dup level, dominant
+    * language): one pass of keyed aggregates over the bounded source
+    * domain plus a tiny per-(source, lang) argmax. The distinct
+    * counts (languages, unique text hashes) are exact two-phase
+    * aggregates here; `rel_approx_distinct`'s HLL is the declared
+    * swap once distinct text hashes per source stop fitting the
+    * exchange. Dominant-language ties break to the lexicographically
+    * LARGEST lang on both engines (max_by struct vs ORDER BY cnt
+    * DESC, lang DESC).
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_uniq_texts"))
+    val top = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(max_by(struct(col("lang"), col("cnt")),
+        struct(col("cnt"), col("lang"))).as("t"))
+      .select(col("source"), col("t.lang").as("top_lang"),
+        col("t.cnt").as("top_lang_docs"))
+    base.join(top, Seq("source")).orderBy("source")
+  }
+
   val FunnelMinChars = 100L
   val FunnelMaxChars = 500L
   val FunnelMinTokens = 30
@@ -543,6 +570,24 @@ FROM s GROUP BY col_name ORDER BY col_name"""
   }
 
   val queries: Map[String, GQuery] = Map(
+    "pipe_dataset_card" -> GQuery.sql(datasetCard,
+      """WITH base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT md5(text)) AS n_uniq_texts
+        |  FROM documents GROUP BY source),
+        |lc AS (SELECT source, lang, count(*) AS cnt
+        |       FROM documents GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang, cnt AS top_lang_docs FROM (
+        |    SELECT source, lang, cnt,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY cnt DESC, lang DESC) AS rn
+        |    FROM lc) WHERE rn = 1)
+        |SELECT b.source, n_docs, total_chars, n_langs, n_uniq_texts,
+        |  top_lang, top_lang_docs
+        |FROM base b JOIN top USING (source) ORDER BY source""".stripMargin),
     "pipe_filter_funnel" -> GQuery.sql(filterFunnel,
       s"""WITH t AS (
         |  SELECT n_chars,

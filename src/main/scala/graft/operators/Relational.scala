@@ -671,6 +671,43 @@ object Relational {
        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
+  /** Snapshot reconciliation (table diff) — the audit every ingest /
+    * migration pipeline runs between two versions of a table: one
+    * co-partitioned FULL OUTER join on the key classifies every row
+    * as added / removed / changed / unchanged and nets the value
+    * drift, then a map-side-combinable aggregate reduces it all to
+    * a four-row report — at 100 TB the cost is the two scans plus
+    * one keyed shuffle each, and nothing wider than (key, price)
+    * ever moves. The two "snapshots" derive deterministically from
+    * orders: before drops keys ≡1 (mod 7) and perturbs prices of
+    * keys ≡0 (mod 5) by +1.00 (an EXACT double add — integers ≤ 2⁵²
+    * have exact representations and the 2-decimal price keeps its
+    * bits, so changed-row detection compares bit-identical doubles
+    * on both engines); after drops keys ≡2 (mod 7). Deltas ride as
+    * CENTS INTEGERS (§4 order-free rule).
+    */
+  def relTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val before = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 1L)
+      .select(col("o_orderkey").as("bk"),
+        when(pmod(col("o_orderkey"), lit(5L)) === 0L, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("bprice"))
+    val after = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 2L)
+      .select(col("o_orderkey").as("ak"), col("o_totalprice").as("aprice"))
+    before.join(after, col("bk") === col("ak"), "full_outer")
+      .select(
+        when(col("bk").isNull, "added")
+          .when(col("ak").isNull, "removed")
+          .when(col("aprice") =!= col("bprice"), "changed")
+          .otherwise("unchanged").as("diff_status"),
+        (coalesce(round(col("aprice") * 100).cast("long"), lit(0L)) -
+          coalesce(round(col("bprice") * 100).cast("long"), lit(0L)))
+          .as("delta_cents"))
+      .groupBy("diff_status")
+      .agg(count(lit(1)).as("n_rows"), sum(col("delta_cents")).as("net_delta_cents"))
+      .orderBy("diff_status")
+  }
+
   /** Buckets per group for the distributed rank decomposition. Fixed
     * here for oracle determinism; at 100 TB size it ~√(rows/group)
     * (driver conf), exactly like the IVF cell count.
@@ -900,6 +937,26 @@ object Relational {
         |  quartile
         |FROM r ORDER BY c_nationkey, rnk""".stripMargin),
     "rel_zorder_cluster" -> GQuery.sql(relZorderCluster, zorderOracle),
+    "rel_table_diff" -> GQuery.sql(relTableDiff,
+      """WITH b AS (
+        |  SELECT o_orderkey AS bk,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS bprice
+        |  FROM orders WHERE o_orderkey % 7 <> 1),
+        |a AS (
+        |  SELECT o_orderkey AS ak, o_totalprice AS aprice
+        |  FROM orders WHERE o_orderkey % 7 <> 2),
+        |d AS (
+        |  SELECT CASE WHEN bk IS NULL THEN 'added'
+        |              WHEN ak IS NULL THEN 'removed'
+        |              WHEN aprice <> bprice THEN 'changed'
+        |              ELSE 'unchanged' END AS diff_status,
+        |    coalesce(CAST(round(aprice * 100) AS BIGINT), 0) -
+        |    coalesce(CAST(round(bprice * 100) AS BIGINT), 0) AS delta_cents
+        |  FROM b FULL OUTER JOIN a ON bk = ak)
+        |SELECT diff_status, count(*) AS n_rows,
+        |  CAST(sum(delta_cents) AS BIGINT) AS net_delta_cents
+        |FROM d GROUP BY diff_status ORDER BY diff_status""".stripMargin),
     "rel_bloom_join" -> GQuery.sql(relBloomJoin,
       s"""SELECT s_suppkey, s_name, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -23,6 +23,31 @@ object TextAnalysis {
 
   val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
 
+  /** Flesch-style readability per document — the classic curation
+    * signal (a corpus-mix knob next to `txt_quality`'s ratios).
+    * Words are the shared tokenizer, sentences split on [.!?]+ runs,
+    * and syllables use the standard vowel-GROUP proxy (runs of
+    * [aeiouy] — both engines' regex engines agree on this class).
+    * The score 206.835 − 1.015·W/S − 84.6·Y/W is published ×1000 as
+    * an INTEGER, each division done by the §4 pure-integer HALF_UP
+    * rule ((2p+q) div 2q), so no FP quotient can straddle an
+    * engine-dependent rounding boundary. One narrow scan, zero
+    * shuffles.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(lower(col("text")))).cast("long").as("n_words"),
+        size(filter(split(col("text"), "[.!?]+"), s => length(trim(s)) > 0))
+          .cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("flesch_e3",
+        lit(206835L) -
+          expr("(2*1015*n_words + greatest(n_sentences, 1)) div (2*greatest(n_sentences, 1))") -
+          expr("(2*84600*n_syllables + greatest(n_words, 1)) div (2*greatest(n_words, 1))"))
+      .orderBy("doc_id")
+
   /** Quality signals: lengths, punctuation ratio, stopword ratio,
     * vocabulary (distinct-token) ratio.
     */
@@ -420,6 +445,24 @@ object TextAnalysis {
         |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "txt_readability" -> GQuery.sql(readability,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(
+        |      regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> len(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206835
+        |    - (2*1015*n_words + greatest(n_sentences, 1))
+        |        // (2*greatest(n_sentences, 1))
+        |    - (2*84600*n_syllables + greatest(n_words, 1))
+        |        // (2*greatest(n_words, 1)) AS flesch_e3
+        |FROM t ORDER BY doc_id""".stripMargin),
     "txt_quality" -> GQuery.sql(quality,
       """WITH toks AS (
         |  SELECT doc_id, text,

@@ -289,6 +289,102 @@ r0 AS (SELECT node, 1.0 AS pr FROM nodes)""" +
 SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
   }
 
+  /** Degree distribution of the co-purchase graph — the first
+    * diagnostic run on any production graph (power-law check, skew
+    * sizing for partition planning; the same symmetrized
+    * customer↔supplier edge set as `wc_pagerank`). Two map-side-
+    * combinable keyed aggregations: per-node degree, then the
+    * degree histogram — shuffle volume is nodes then distinct
+    * degrees, never edges². The log₂ band rides along (bin-length
+    * integer arithmetic, the `rankVocab` rule — no FP log at band
+    * edges) so the power-law shape is readable directly at any
+    * scale.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    val eall = eraw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+    eall.groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("log2_band", (length(bin(col("deg"))) - 1).cast("long"))
+      .select("deg", "n_nodes", "log2_band")
+      .orderBy("deg")
+  }
+
+  val KCoreK = 4L
+  val KCoreMaxRounds = 6
+
+  /** k-core decomposition (k = 4) by iterative peeling — the third
+    * classic iterative graph job next to PageRank and connected
+    * components: repeatedly drop nodes of degree < k (and their
+    * edges) until the fixpoint; what survives is the k-core, the
+    * standard dense-subgraph / influence primitive. The graph is the
+    * co-purchase graph THINNED by a deterministic (cust+supp) % 3
+    * rule so the peel actually removes mass at every SF. Loop
+    * discipline is the PageRank/CC one: edges re-partitioned on src
+    * and localCheckpoint'ed per round (lineage truncation), one
+    * degree aggregate + two semi-joins per round, convergence =
+    * edge count unchanged (peeling only deletes, so equal count ⟺
+    * equal set), LOUD throw past KCoreMaxRounds. The oracle unrolls
+    * exactly KCoreMaxRounds peel rounds — rounds after the fixpoint
+    * are identities, so hash equality proves the loop's fixpoint
+    * semantics while the unroll count stays static.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .filter(pmod(col("o_custkey") + col("l_suppkey"), lit(3L)) === 0L)
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    var edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var prev = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < KCoreMaxRounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK).select("src")
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .repartition(col("src")).localCheckpoint()
+      val cur = edges.count()
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peel did not reach a fixpoint in $KCoreMaxRounds rounds")
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  private def kcoreOracle: String = {
+    def round(i: Int): String = s""",
+k$i AS (SELECT src FROM (SELECT src, count(*) AS c FROM e${i - 1} GROUP BY src)
+        WHERE c >= $KCoreK),
+e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
+    s"""WITH eraw AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+  WHERE (o_custkey + l_suppkey) % 3 = 0),
+e0 AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw)""" +
+      (1 to KCoreMaxRounds).map(round).mkString + s"""
+SELECT src AS node, count(*) AS core_deg FROM e$KCoreMaxRounds
+GROUP BY src ORDER BY node"""
+  }
+
   val HeavyHitterCap = 16
   val HeavyHitterK = 10
 
@@ -400,6 +496,16 @@ SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
         |  (SELECT round(n_triangles * 3.0 / (SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) FROM deg), 6) FROM tri)
         |    AS clustering""".stripMargin),
     "wc_pagerank" -> GQuery.sql(pagerank, pagerankOracle),
+    "wc_kcore" -> GQuery.sql(kcore, kcoreOracle),
+    "wc_degree_dist" -> GQuery.sql(degreeDist,
+      s"""WITH eraw AS (
+        |  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+        |  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+        |eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+        |deg AS (SELECT src, count(*) AS deg FROM eall GROUP BY src)
+        |SELECT deg, count(*) AS n_nodes,
+        |  CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_band
+        |FROM deg GROUP BY deg ORDER BY deg""".stripMargin),
     "wc_cooccurrence" -> GQuery.sql(cooccurrence,
       """WITH toks AS (
         |  SELECT doc_id,

@@ -309,6 +309,89 @@ class Round7OpsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"ivfpq recall@10 = $recall")
   }
 
+  test("degree histogram mass equals the symmetrized edge count") {
+    val rows = operators.WordCount.degreeDist(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // handshake identity: Σ deg·n_nodes = |symmetrized edges| = 2·|eraw|
+    val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
+    val nPairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    assert(rows.map(r => r._1 * r._2).sum === 2 * nPairs)
+    rows.foreach { case (deg, _, band) =>
+      assert(band === (63 - java.lang.Long.numberOfLeadingZeros(deg)).toLong)
+    }
+  }
+
+  test("table diff counts match the closed-form snapshot derivation") {
+    val got = operators.Relational.relTableDiff(spark, SfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = Tables.orders(spark, SfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val added = keys.count(k => k % 7 == 1 && k % 7 != 2)
+    val removed = keys.count(k => k % 7 == 2)
+    val changed = keys.count(k => k % 7 != 1 && k % 7 != 2 && k % 5 == 0)
+    val unchanged = keys.count(k => k % 7 != 1 && k % 7 != 2 && k % 5 != 0)
+    assert(got("added")._1 === added)
+    assert(got("removed")._1 === removed)
+    assert(got("changed")._1 === changed)
+    assert(got("unchanged")._1 === unchanged)
+    // every changed row was perturbed by exactly +1.00 → −100 cents each
+    assert(got("changed")._2 === -100L * changed)
+    assert(got("unchanged")._2 === 0L)
+  }
+
+  test("dataset card partitions the corpus and bounds its own fields") {
+    val rows = operators.Pipeline.datasetCard(spark, SfDir).collect()
+    val total = Tables.documents(spark, SfDir).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1))           // uniq texts ≤ docs
+      assert(r.getLong(6) <= r.getLong(1))           // top-lang docs ≤ docs
+      assert(r.getLong(3) >= 1 && r.getLong(6) >= 1) // non-degenerate
+    }
+  }
+
+  test("readability columns replay the formula from raw text exactly") {
+    val byId = operators.TextAnalysis.readability(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    def halfUp(p: Long, q: Long): Long = (2 * p + q) / (2 * q)
+    Tables.documents(spark, SfDir).select("doc_id", "text").collect()
+      .take(50).foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val w = text.toLowerCase.split(graft.functions.Text.TokenSplitRegex)
+          .count(_.nonEmpty).toLong
+        val s = text.split("[.!?]+").count(_.trim.nonEmpty).toLong
+        val y = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+        val e3 = 206835L - halfUp(1015 * w, math.max(s, 1)) -
+          halfUp(84600 * y, math.max(w, 1))
+        assert(byId(id) === ((w, s, y, e3)), s"doc $id")
+      }
+  }
+
+  test("k-core is a genuine fixpoint and genuinely peeled something") {
+    val rows = operators.WordCount.kcore(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // fixpoint condition: every surviving node's degree WITHIN the
+    // surviving subgraph is >= k — that IS the k-core definition
+    rows.foreach { case (n, d) =>
+      assert(d >= operators.WordCount.KCoreK, s"node $n kept deg $d")
+    }
+    // and the peel must have removed real mass (k was chosen so the
+    // thinned graph loses nodes at every SF)
+    val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
+    val nAll = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .filter(pmod(col("o_custkey") + col("l_suppkey"), lit(3L)) === 0L)
+      .select(explode(array(col("o_custkey"),
+        col("l_suppkey") + operators.WordCount.PageRankSuppOffset)).as("n"))
+      .distinct().count()
+    assert(rows.length < nAll, s"peel removed nothing: ${rows.length} of $nAll")
+  }
+
   test("kmeans centroid strings decode to in-range scaled components") {
     val out = operators.Similarity.kmeans(spark, SfDir).collect()
     // embeddings are unit-scale floats: every ×1e6 component must stay
