@@ -397,6 +397,31 @@ object Events {
       .orderBy("user_id", "hour_ms")
   }
 
+  /** Trailing event-time RANGE window — the feature-engineering
+    * staple (each event's trailing-1h activity count and spend):
+    * `Window.rangeBetween(-1h, 0)` over (user, event-time). RANGE
+    * (not ROWS) is the deterministic choice: all ms-tied peers are
+    * in-frame on both engines regardless of their physical order, so
+    * no tiebreak can flip a frame. The windowed SUM rides as CENTS
+    * INTEGERS — window aggregates accumulate in engine-specific order
+    * (DuckDB segment-trees vs Spark's running frame), so an FP sum
+    * could drift a ulp and a 2-decimal round sits exactly on the
+    * boundary; the integer sum is order-free (§4). Per-user windows
+    * bounded by per-entity history, the sessionize scale argument.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("vc")).over(w).cast("double") / 100.0)
+      .select("user_id", "event_id", "ms", "n_1h", "sum_1h")
+      .orderBy("user_id", "ms", "event_id")
+  }
+
   /** CDC changelog → SCD2 validity intervals (the "apply changes"
     * maintenance pass every lakehouse table runs): each event is an
     * UPSERT of its user's tracked attribute (`value`); 'error' events
@@ -567,6 +592,18 @@ object Events {
         |FROM active a JOIN active b
         |  ON a.user_id = b.user_id AND b.hour_ms = a.hour_ms + 3600000
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ev_trailing_window" -> GQuery.sql(trailingWindow,
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT user_id, event_id, ms,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(vc) OVER w AS DOUBLE) / 100.0 AS sum_1h
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ms, event_id""".stripMargin),
     "ev_scd2_intervals" -> GQuery.sql(scd2Intervals,
       """WITH c AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,

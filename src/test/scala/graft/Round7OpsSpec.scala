@@ -392,6 +392,22 @@ class Round7OpsSpec extends SparkTestBase {
     assert(rows.length < nAll, s"peel removed nothing: ${rows.length} of $nAll")
   }
 
+  test("trailing range window replays driver-side for a sample user") {
+    val rows = operators.Events.trailingWindow(spark, SfDir)
+      .filter(col("user_id") === 3L).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val evs = Tables.events(spark, SfDir).filter(col("user_id") === 3L)
+      .select(unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (ms, n, s) =>
+      val frame = evs.filter(e => e._1 >= ms - 3600000L && e._1 <= ms)
+      assert(n === frame.length.toLong, s"at $ms")
+      assert(math.abs(s - frame.map(_._2).sum / 100.0) < 1e-9, s"at $ms")
+    }
+  }
+
   test("kmeans centroid strings decode to in-range scaled components") {
     val out = operators.Similarity.kmeans(spark, SfDir).collect()
     // embeddings are unit-scale floats: every ×1e6 component must stay
