@@ -385,6 +385,142 @@ SELECT src AS node, count(*) AS core_deg FROM e$KCoreMaxRounds
 GROUP BY src ORDER BY node"""
   }
 
+  val BfsMaxRounds = 8
+
+  /** Single-source BFS shortest-hop distances over the co-purchase
+    * graph — the remaining classic iterative MapReduce graph job next
+    * to PageRank / connected components / k-core. Source = the minimum
+    * node id (in-plan 1-row aggregate, no driver round-trip). The
+    * Spark plan is the FRONTIER form — each round expands only the
+    * nodes first reached last round (edges ⋈ frontier, dedup, anti-join
+    * vs reached), so every edge is traversed once per endpoint level
+    * over the whole run, O(E) total — not the dense O(R·E)
+    * re-relaxation. The DuckDB oracle IS the dense form (R unrolled
+    * min-union relaxations), a genuinely different construction, so
+    * hash equality proves the frontier rewrite. Loop discipline is the
+    * PageRank one: edges pre-partitioned on src + localCheckpoint
+    * (loop-invariant), reached/frontier checkpointed per round
+    * (lineage truncation). Terminates when the frontier empties
+    * (monotone: BFS levels only grow); throws LOUDLY if the graph's
+    * diameter exceeds BfsMaxRounds, because then the unrolled oracle
+    * would not have fixpointed either. Unreachable nodes are absent
+    * from the output on both engines.
+    */
+  def bfsDistance(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var reached = edges.agg(min(col("src")).as("node"))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = reached.select("node")
+    var round = 0
+    var done = false
+    while (!done && round < BfsMaxRounds) {
+      round += 1
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .withColumn("dist", lit(round.toLong))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        reached = reached.unionByName(next).localCheckpoint()
+        frontier = next.select("node")
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"BFS frontier still non-empty after $BfsMaxRounds rounds")
+    reached.orderBy("node")
+  }
+
+  private def bfsOracle: String = {
+    // AS MATERIALIZED: each round references the previous one twice;
+    // left to the inliner that doubles the plan per round (2^R copies
+    // of the base join — measured: >50 GB of DuckDB spill at sf0.1).
+    def relax(i: Int): String = s""",
+d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+  SELECT node, dist FROM d${i - 1}
+  UNION ALL
+  SELECT e.dst, d.dist + 1 FROM eall e JOIN d${i - 1} d ON e.src = d.node)
+  GROUP BY node)"""
+    s"""WITH eraw AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM eall)""" +
+      (1 to BfsMaxRounds).map(relax).mkString + s"""
+SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
+  }
+
+  val LpaRounds = 4
+
+  /** Community detection by synchronous label propagation over the
+    * co-purchase graph — the Pregel-style semi-clustering primitive.
+    * Every node starts as its own label; each round every node adopts
+    * the MODE of its neighbors' labels (tie → minimum label), all
+    * nodes updating simultaneously from the previous round's labels.
+    * Sync LPA is run for a FIXED LpaRounds rounds (the standard
+    * bounded-round approximation: on bipartite structure sync updates
+    * can 2-cycle, so a fixpoint claim would be wrong; fixed rounds are
+    * deterministic on both engines). The per-round argmax is the
+    * scale-shaped form: count (dst, label) pairs — one keyed,
+    * map-side-combinable shuffle bounded by nodes × distinct
+    * neighbor labels — then ONE max(struct(c, -lbl)) aggregate per
+    * node; no window anywhere, so no per-node sort. The oracle takes
+    * the max-count-then-min-label via a window + filter instead — a
+    * different construction, so hash equality proves the packed-struct
+    * argmax. Labels checkpointed per round (PageRank discipline).
+    */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+  }
+
+  private def lpaOracle: String = {
+    // AS MATERIALIZED for the same inliner reason as bfsOracle.
+    def round(i: Int): String = s""",
+s$i AS MATERIALIZED (SELECT e.dst AS node, l.lbl, count(*) AS c
+        FROM eall e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+          SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS mc FROM s$i)
+        WHERE c = mc GROUP BY node)"""
+    s"""WITH eraw AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM eall)""" +
+      (1 to LpaRounds).map(round).mkString + s"""
+SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
+  }
+
   val HeavyHitterCap = 16
   val HeavyHitterK = 10
 
@@ -497,6 +633,8 @@ GROUP BY src ORDER BY node"""
         |    AS clustering""".stripMargin),
     "wc_pagerank" -> GQuery.sql(pagerank, pagerankOracle),
     "wc_kcore" -> GQuery.sql(kcore, kcoreOracle),
+    "wc_bfs_distance" -> GQuery.sql(bfsDistance, bfsOracle),
+    "wc_lpa_communities" -> GQuery.sql(lpaCommunities, lpaOracle),
     "wc_degree_dist" -> GQuery.sql(degreeDist,
       s"""WITH eraw AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b

@@ -392,6 +392,55 @@ class Round7OpsSpec extends SparkTestBase {
     assert(rows.length < nAll, s"peel removed nothing: ${rows.length} of $nAll")
   }
 
+  test("bfs distances replay driver-side from the raw edge list") {
+    val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + operators.WordCount.PageRankSuppOffset).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (eraw ++ eraw.map(_.swap)).groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet
+    }
+    val src = adj.keys.min
+    // textbook queue BFS — an independent third construction next to
+    // the Spark frontier loop and the dense unrolled oracle
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var level = Vector(src)
+    while (level.nonEmpty) {
+      val next = level.flatMap(adj).distinct.filterNot(dist.contains)
+      next.foreach(n => dist(n) = dist(level.head) + 1)
+      level = next
+    }
+    val got = operators.WordCount.bfsDistance(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === dist.toMap)
+    assert(got.values.max >= 2L, "graph degenerately shallow")
+  }
+
+  test("lpa labels replay driver-side for the fixed round count") {
+    val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + operators.WordCount.PageRankSuppOffset).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = eraw ++ eraw.map(_.swap)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to operators.WordCount.LpaRounds)
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).map { case (lb, xs) => lb -> xs.size }
+        val mx = counts.values.max
+        n -> counts.filter(_._2 == mx).keys.min
+      }
+    val got = operators.WordCount.lpaCommunities(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === lbl)
+    assert(got.values.toSet.size > 1, "collapsed to one community")
+    assert(got.values.toSet.size < got.size, "no propagation happened")
+  }
+
   test("trailing range window replays driver-side for a sample user") {
     val rows = operators.Events.trailingWindow(spark, SfDir)
       .filter(col("user_id") === 3L).collect()
