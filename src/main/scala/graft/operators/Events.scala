@@ -422,6 +422,49 @@ object Events {
       .orderBy("user_id", "ms", "event_id")
   }
 
+  /** Lags included in the truncated exponential decay (weight 2⁻ᵏ for
+    * the event k steps back; 16 lags ⇒ truncation error < 2⁻¹⁶ of an
+    * untruncated EWMA).
+    */
+  val EwmaLags = 16
+
+  /** Per-event exponentially decayed activity score (recency-weighted
+    * spend over the user's last EwmaLags events) — the
+    * feature-engineering staple next to `ev_trailing_window`'s flat
+    * frame. Decay is ROW-lag 2⁻ᵏ with the sum carried as cents·2¹⁵
+    * INTEGERS (dyadic weights are exact powers of two, so the scaled
+    * sum is a plain BIGINT — order-free, no FP accumulation anywhere;
+    * the final ÷2¹⁵ is exact in double). The plan is the scale shape,
+    * NOT the per-user quadratic self-join: each event explodes into
+    * EwmaLags forward (user, rn+k) contributions — a 16× narrow
+    * fanout — then ONE map-side-combinable keyed agg and ONE equi-join
+    * back on (user, rn). Both sides stay partitioned by user; no
+    * range-join residual, no window beyond the per-user row_number.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val wrn = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val c = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("rn", row_number().over(wrn))
+    val contribs = c
+      .select(col("user_id"), col("rn"), col("vc"),
+        explode(sequence(lit(0), lit(EwmaLags - 1))).as("k"))
+      .select(col("user_id"), (col("rn") + col("k")).as("rnt"),
+        // shiftleft with a non-literal shift needs the expr form (the
+        // Scala shim pins numBits to Int); left-shifting vc itself is
+        // exact ×2^(lags-1-k) with no overflow (|vc|·2¹⁵ ≪ 2⁶³)
+        expr(s"shiftleft(vc, ${EwmaLags - 1} - k)").as("w"))
+      .groupBy("user_id", "rnt").agg(sum(col("w")).as("sw"))
+    c.as("e").join(contribs.as("s"),
+        col("e.user_id") === col("s.user_id") && col("e.rn") === col("s.rnt"))
+      .select(col("e.user_id").as("user_id"), col("e.event_id").as("event_id"),
+        col("e.ms").as("ms"),
+        (col("s.sw").cast("double") / (1L << (EwmaLags - 1)).toDouble).as("ewma16"))
+      .orderBy("user_id", "ms", "event_id")
+  }
+
   /** CDC changelog → SCD2 validity intervals (the "apply changes"
     * maintenance pass every lakehouse table runs): each event is an
     * UPSERT of its user's tracked attribute (`value`); 'error' events
@@ -604,6 +647,22 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ms
         |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ms, event_id""".stripMargin),
+    "ev_ewma" -> GQuery.sql(ewma,
+      s"""WITH c AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, rn + k AS rnt, vc * (1 << (${EwmaLags - 1} - k)) AS w
+        |  FROM c CROSS JOIN (SELECT unnest(range($EwmaLags)) AS k) t),
+        |s AS (SELECT user_id, rnt, CAST(sum(w) AS BIGINT) AS sw
+        |      FROM x GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.ms,
+        |  CAST(s.sw AS DOUBLE) / ${1L << (EwmaLags - 1)}.0 AS ewma16
+        |FROM c JOIN s ON c.user_id = s.user_id AND c.rn = s.rnt
+        |ORDER BY c.user_id, c.ms, c.event_id""".stripMargin),
     "ev_scd2_intervals" -> GQuery.sql(scd2Intervals,
       """WITH c AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,

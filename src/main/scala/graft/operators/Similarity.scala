@@ -807,6 +807,106 @@ ORDER BY f.vec_id"""
         round(avg(col("d0")), 6).as("avg_d0"))
       .orderBy("label")
 
+  /** Symmetric per-vector int8 quantization census — the embedding
+    * compression pass (4× over float32) a vector pipeline ships before
+    * serving: scale m = max|v_i|, code q_i = ⌊v_i·127/m + 0.5⌋ ∈
+    * [−127, 127]. Exactness strategy: NO round() anywhere — ⌊x+0.5⌋
+    * is composed of exactly-rounded IEEE double ops, so both engines
+    * compute bit-identical codes (Spark's shortest-decimal HALF_UP
+    * round vs DuckDB's binary-value round diverge at .5 boundaries;
+    * floor on the binary value cannot). Emitted facts are INTEGERS
+    * ONLY (µ-scale, code sum / sum-of-squares, saturation count) —
+    * hash-verifiable with no FP in the output and no array column
+    * (the ann_kmeans harness lesson, §4). Plan: one narrow projection
+    * scan, all per-row codegen'd higher-order expressions, ZERO
+    * shuffles — embarrassingly parallel at any corpus size.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val m = aggregate(col("v"), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    val q = transform(col("v"),
+      x => floor(x.cast("double") * lit(127.0) / col("m") + lit(0.5)))
+    vecs(spark, dir)
+      .withColumn("m", m)
+      .filter(col("m") > 0.0)
+      .withColumn("q", q)
+      .select(col("vec_id"),
+        floor(col("m") * lit(1000000.0) + lit(0.5)).cast("long").as("scale_um"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("sum_q2"),
+        size(filter(col("q"), x => abs(x) === 127L)).cast("long").as("n_sat"))
+      .orderBy("vec_id")
+  }
+
+  val PcaIters = 6
+
+  /** Top principal component of the embedding corpus by power
+    * iteration over the distributed Gram matrix — the anisotropy /
+    * "dominant direction" diagnostic (all-but-the-top) an embedding
+    * pipeline runs before whitening. Plan: ONE bounded-buffer Gram
+    * aggregator pass (shuffle = partitions × dim(dim+1)/2 doubles,
+    * corpus-size-free), then the entire eigensolve runs on the DRIVER
+    * over the collected dim×dim matrix — 64×64 doubles, the same
+    * constant-size collect contract as the k-means centroids — and the
+    * unit eigenvector re-enters the plan as a broadcast literal for a
+    * ZERO-shuffle projection scan (native `vec_dot` codegen).
+    * Exactness: the Gram cells round to 6 on both engines (the
+    * vec_gram_matrix contract); from there every op in the iteration —
+    * ascending-index dot, sqrt, per-element divide — is an
+    * exactly-rounded IEEE double op mirrored by DuckDB's
+    * `list_inner_product`/`sqrt` expression tree, so NO intermediate
+    * rounding is needed and the fixpoint is bit-identical by
+    * construction. Projections land as ⌊p·10⁶+0.5⌋ BIGINTs, so the
+    * per-label census is order-free integer sums.
+    */
+  def pcaComponent(spark: SparkSession, dir: String): (Array[Double], Double) = {
+    val tri = vecs(spark, dir)
+      .select(graft.functions.Gram.gram(GramDim)(col("v")).as("g"))
+      .head().getSeq[Double](0).toArray
+    // mirror the upper triangle; round like the vec_gram_matrix cells
+    // (Spark round == BigDecimal.valueOf shortest-decimal HALF_UP)
+    val G = Array.ofDim[Double](GramDim, GramDim)
+    var k = 0
+    var i = 0
+    while (i < GramDim) {
+      var j = i
+      while (j < GramDim) {
+        val r = java.math.BigDecimal.valueOf(tri(k))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        G(i)(j) = r; G(j)(i) = r; k += 1; j += 1
+      }
+      i += 1
+    }
+    // u0 = 1/8 in every coordinate (exact power of two); a real Gram of
+    // float embeddings is PSD with a positive dominant eigenvalue, so
+    // the norm never vanishes
+    var u = Array.fill(GramDim)(0.125)
+    var lambda = 0.0
+    for (_ <- 1 to PcaIters) {
+      val w = G.map(row => ddot(row, u))
+      lambda = math.sqrt(ddot(w, w))
+      u = w.map(_ / lambda)
+    }
+    (u, lambda)
+  }
+
+  def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val (u, lambda) = pcaComponent(spark, dir)
+    val lambdaE6 = math.floor(lambda * 1e6 + 0.5).toLong
+    vecs(spark, dir)
+      .select(col("label"),
+        floor(dot(typedLit(u.toSeq), col("v")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("pu"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("pu")).as("sum_pu"),
+        sum(abs(col("pu"))).as("sum_abs_pu"),
+        min(col("pu")).as("min_pu"),
+        max(col("pu")).as("max_pu"))
+      .withColumn("lambda_e6", lit(lambdaE6))
+      .orderBy("label")
+  }
+
   val RangeTau = 0.3
 
   /** Range search — the fixed-radius dual of top-k: for each query,
@@ -892,6 +992,53 @@ ORDER BY f.vec_id"""
         |ij AS (SELECT i, j FROM ii CROSS JOIN jj WHERE j >= i)
         |SELECT i, j, round(sum(v[i + 1] * v[j + 1]), 6) AS g
         |FROM e CROSS JOIN ij GROUP BY i, j ORDER BY i, j""".stripMargin),
+    "vec_pca_topcomp" -> GQuery.sql(pcaTopComponent, {
+      // The iteration chain is generated to match PcaIters exactly:
+      // each round is matvec (ascending list_inner_product), norm,
+      // per-element divide — the same IEEE op sequence the driver
+      // runs, so no intermediate rounding is needed anywhere.
+      val iters = (1 to PcaIters).map { t =>
+        s"""w$t AS (SELECT g.i AS i, list_inner_product(g.grow, u${t - 1}.u) AS w
+           |  FROM grows g CROSS JOIN u${t - 1}),
+           |wl$t AS (SELECT list(w ORDER BY i) AS wl FROM w$t),
+           |u$t AS (SELECT list_transform(wl, x -> x / sqrt(list_inner_product(wl, wl))) AS u FROM wl$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         |ii AS (SELECT unnest(range($GramDim)) AS i),
+         |jj AS (SELECT unnest(range($GramDim)) AS j),
+         |ij AS (SELECT i, j FROM ii CROSS JOIN jj WHERE j >= i),
+         |tri AS (SELECT i, j, round(sum(v[i + 1] * v[j + 1]), 6) AS g
+         |        FROM e CROSS JOIN ij GROUP BY i, j),
+         |gcell AS (SELECT i, j, g FROM tri
+         |          UNION ALL SELECT j AS i, i AS j, g FROM tri WHERE j > i),
+         |grows AS (SELECT i, list(g ORDER BY j) AS grow FROM gcell GROUP BY i),
+         |u0 AS (SELECT list_transform(range($GramDim), x -> 0.125) AS u),
+         |$iters,
+         |proj AS (SELECT e.label,
+         |  CAST(floor(list_inner_product(e.v, u.u) * 1000000.0 + 0.5) AS BIGINT) AS pu
+         |  FROM e CROSS JOIN u$PcaIters u)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(pu) AS BIGINT) AS sum_pu,
+         |  CAST(sum(abs(pu)) AS BIGINT) AS sum_abs_pu,
+         |  min(pu) AS min_pu, max(pu) AS max_pu,
+         |  (SELECT CAST(floor(sqrt(list_inner_product(wl, wl)) * 1000000.0 + 0.5) AS BIGINT)
+         |   FROM wl$PcaIters) AS lambda_e6
+         |FROM proj GROUP BY label ORDER BY label""".stripMargin
+    }),
+    "vec_quantize_int8" -> GQuery.sql(quantizeInt8,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+        |qq AS (SELECT vec_id, m,
+        |         list_transform(v, x -> floor(x * 127.0 / m + 0.5)) AS q
+        |       FROM mm WHERE m > 0)
+        |SELECT vec_id,
+        |  CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS scale_um,
+        |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sum_q2,
+        |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM qq ORDER BY vec_id""".stripMargin),
     "vec_norm_stats" -> GQuery.sql(normStats,
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, count(*) AS n_vecs,

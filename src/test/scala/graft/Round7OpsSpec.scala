@@ -441,6 +441,72 @@ class Round7OpsSpec extends SparkTestBase {
     assert(got.values.toSet.size < got.size, "no propagation happened")
   }
 
+  test("int8 quantization codes replay driver-side and stay in range") {
+    val got = operators.Similarity.quantizeInt8(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val raw = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    got.foreach { case (id, scaleUm, sumQ, sumQ2, nSat) =>
+      val v = raw(id).map(_.toDouble)
+      val m = v.map(math.abs).max
+      val q = v.map(x => math.floor(x * 127.0 / m + 0.5).toLong)
+      assert(q.forall(c => c >= -127L && c <= 127L), s"vec $id code range")
+      assert(scaleUm === math.floor(m * 1000000.0 + 0.5).toLong, s"vec $id scale")
+      assert(sumQ === q.sum, s"vec $id sum")
+      assert(sumQ2 === q.map(c => c * c).sum, s"vec $id sumsq")
+      assert(nSat === q.count(c => math.abs(c) == 127L).toLong, s"vec $id sat")
+      assert(nSat >= 1L, s"vec $id: max element must saturate")
+    }
+  }
+
+  test("pca top component is unit-norm and its projection census replays") {
+    val (u, lambda) = operators.Similarity.pcaComponent(spark, SfDir)
+    val norm = math.sqrt(u.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-12, s"||u|| = $norm")
+    assert(lambda > 0.0)
+    val raw = Tables.embeddings(spark, SfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    // replay the exact executor arithmetic: ascending double accumulation
+    val expect = raw.groupBy(_._1).map { case (lbl, vs) =>
+      val pus = vs.map { case (_, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += u(i) * v(i).toDouble; i += 1 }
+        math.floor(s * 1e6 + 0.5).toLong
+      }
+      lbl -> (pus.length.toLong, pus.sum, pus.map(math.abs).sum, pus.min, pus.max)
+    }
+    val got = operators.Similarity.pcaTopComponent(spark, SfDir).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (lbl, e) => assert(got(lbl) === e, s"label $lbl") }
+  }
+
+  test("ewma decay replays driver-side for a sample user") {
+    val got = operators.Events.ewma(spark, SfDir)
+      .filter(col("user_id") === 3L).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val evs = Tables.events(spark, SfDir).filter(col("user_id") === 3L)
+      .select(unix_millis(col("ts")).as("ms"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._2))
+    val expect = evs.indices.map { i =>
+      val lo = math.max(0, i - (operators.Events.EwmaLags - 1))
+      val s = (lo to i).map(j => evs(j)._3 << (operators.Events.EwmaLags - 1 - (i - j))).sum
+      evs(i)._2 -> s.toDouble / (1L << (operators.Events.EwmaLags - 1)).toDouble
+    }.toMap
+    got.foreach { case (eid, v) =>
+      assert(v === expect(eid), s"event $eid")
+    }
+  }
+
   test("trailing range window replays driver-side for a sample user") {
     val rows = operators.Events.trailingWindow(spark, SfDir)
       .filter(col("user_id") === 3L).collect()
