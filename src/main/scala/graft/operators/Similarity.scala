@@ -838,6 +838,33 @@ ORDER BY f.vec_id"""
       .orderBy("vec_id")
   }
 
+  /** Per-(label, dimension) moment census — the feature-standardization
+    * (whitening / z-score) precursor and per-class prototype in one
+    * pass: for every class and coordinate, n, Σx, Σx², min, max over
+    * ⌊x·10⁶+0.5⌋ scaled-integer components, so every aggregate is an
+    * order-free BIGINT sum (no FP accumulation to diverge between
+    * engines). Plan: posexplode to (label, dim) keys — the 64× row
+    * fanout never reaches the shuffle because partial aggregation
+    * compacts each partition to its ≤ labels×dim group cells first;
+    * one narrow keyed shuffle of constant-bounded cardinality.
+    * Σx² bound: (max|x|·10⁶)² ≈ 2.5e13 per element keeps the BIGINT
+    * sum safe to ~3.7e5 rows per (label, dim) cell; at a corpus where
+    * cells exceed that, drop the scale to 10⁴ (documented contract).
+    */
+  def dimMoments(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("xu"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xu")).as("sum_u"),
+        sum(col("xu") * col("xu")).as("sumsq_u"),
+        min(col("xu")).as("min_u"),
+        max(col("xu")).as("max_u"))
+      .orderBy("label", "dim")
+
   val PcaIters = 6
 
   /** Top principal component of the embedding corpus by power
@@ -992,6 +1019,17 @@ ORDER BY f.vec_id"""
         |ij AS (SELECT i, j FROM ii CROSS JOIN jj WHERE j >= i)
         |SELECT i, j, round(sum(v[i + 1] * v[j + 1]), 6) AS g
         |FROM e CROSS JOIN ij GROUP BY i, j ORDER BY i, j""".stripMargin),
+    "vec_dim_moments" -> GQuery.sql(dimMoments,
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, dim - 1 AS dim,
+        |        CAST(floor(xv * 1000000.0 + 0.5) AS BIGINT) AS xu
+        |      FROM (SELECT label, unnest(v) AS xv,
+        |              generate_subscripts(v, 1) AS dim FROM e))
+        |SELECT label, dim, count(*) AS n,
+        |  CAST(sum(xu) AS BIGINT) AS sum_u,
+        |  CAST(sum(xu * xu) AS BIGINT) AS sumsq_u,
+        |  min(xu) AS min_u, max(xu) AS max_u
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     "vec_pca_topcomp" -> GQuery.sql(pcaTopComponent, {
       // The iteration chain is generated to match PcaIters exactly:
       // each round is matvec (ascending list_inner_product), norm,

@@ -97,6 +97,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — the classifier-evaluation pass
+    * over `txt_langid`'s per-doc predictions: one cell per
+    * (true_lang, pred_lang) with its count and the row-share in ppm.
+    * Composes the langId operator directly (one definition of the
+    * heuristic, two consumers), adds one keyed agg over the tiny
+    * (langs × preds) domain plus a broadcast join back to per-truth
+    * totals; the share is the §4 integer HALF_UP division — no FP.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("true_lang").agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(totals), Seq("true_lang"))
+      .withColumn("share_e6", expr("(2 * n * 1000000 + tot) div (2 * tot)"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        col("tot").as("n_true"), col("share_e6"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** Document fingerprints: md5 of the normalized text (oracle-exact)
     * — the key used by exact dedup and incremental re-crawl dedup.
     */
@@ -481,6 +500,39 @@ object TextAnalysis {
         |  round(CASE WHEN len(t) = 0 THEN 0 ELSE
         |    len(list_distinct(t))::DOUBLE / len(t) END, 6) AS uniq_ratio
         |FROM toks ORDER BY doc_id""".stripMargin),
+    "txt_lang_confusion" -> GQuery.sql(langConfusion,
+      """WITH t AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, true_lang,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is','join','query'))) AS h_en,
+        |    len(list_filter(toks, x -> x IN ('der','und','das','ist'))) AS h_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','es'))) AS h_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS h_fr,
+        |    len(list_filter(toks, x -> x IN ('de','shi','he'))) AS h_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT true_lang,
+        |    CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_zh >= greatest(h_en, h_de, h_es, h_fr) THEN 'zh'
+        |         WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
+        |         WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+        |         WHEN h_en >= h_de THEN 'en'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM h),
+        |cells AS (
+        |  SELECT true_lang, pred_lang, count(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT true_lang, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM cells GROUP BY 1)
+        |SELECT c.true_lang, c.pred_lang, c.n, t.tot AS n_true,
+        |  (2 * c.n * 1000000 + t.tot) // (2 * t.tot) AS share_e6
+        |FROM cells c JOIN tots t ON c.true_lang = t.true_lang
+        |ORDER BY c.true_lang, c.pred_lang""".stripMargin),
     "txt_langid" -> GQuery.sql(langId,
       """WITH t AS (
         |  SELECT doc_id, lang AS true_lang,

@@ -566,7 +566,13 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
     * arithmetic. All reported stats (nodes, edges, triangles, wedges
     * = Σ C(deg,2), clustering = 3T/W) are orientation-invariant.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared co-purchase graph construction for the triangle family:
+    * distinct part pairs per order → weighted edge (kept at ≥
+    * TriMinOrders co-occurrences) → symmetric degrees → degree-ordered
+    * (compact-forward) orientation. Returns (edges, degrees, oriented).
+    */
+  private def coPurchaseGraph(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     // NOTE: the edge set feeds four plan subtrees, but do NOT
@@ -593,6 +599,11 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"),
         greatest(col("du"), col("dv")).as("dt"))
+    (e, deg, oriented)
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val (e, deg, oriented) = coPurchaseGraph(spark, dir)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") &&
           (col("e1.dt") < col("e2.dt") ||
@@ -609,8 +620,66 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
         round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("clustering"))
   }
 
+  /** Per-node LOCAL clustering coefficient — the node-level refinement
+    * of `wc_triangle_count`'s single global figure: for every node with
+    * degree ≥ 2, c(x) = triangles_at(x) / C(deg(x), 2). The plan reuses
+    * the degree-ordered wedge enumeration (out-degree O(√m) bounds the
+    * wedge set), but closes wedges with an INNER join so each triangle
+    * surfaces once with all three corners, then explodes corners into a
+    * map-side-combinable per-node count. The coefficient ships as a
+    * scaled integer via the §4 HALF_UP identity ⌈p·10⁶/q⌋ =
+    * (2p·10⁶+q) div (2q) — both operands positive, where Spark `div` ==
+    * DuckDB `//` — so no FP division ever happens. The DuckDB oracle
+    * enumerates triangles by the id-ordered 3-way self-join instead,
+    * proving the orientation rewrite per node, not just in aggregate.
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val (_, deg, oriented) = coPurchaseGraph(spark, dir)
+    val triNodes = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("x"), col("e1.t").as("a"), col("e2.t").as("b"))
+      .join(oriented.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"), "left_semi")
+      .select(explode(array(col("x"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.select(col("x").as("node"), col("d").as("deg"))
+      .filter(col("deg") >= 2)
+      .join(triNodes, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .withColumn("n_wedge", (col("deg") * (col("deg") - 1) / 2).cast("long"))
+      .withColumn("coeff_e6",
+        expr("(2 * n_tri * 1000000 + n_wedge) div (2 * n_wedge)"))
+      .select("node", "deg", "n_tri", "n_wedge", "coeff_e6")
+      .orderBy("node")
+  }
+
   val queries: Map[String, GQuery] = Map(
     "wc_heavy_hitters" -> GQuery.rowsOnly(heavyHitters),
+    "wc_clustering_coeff" -> GQuery.sql(clusteringCoeff,
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinOrders),
+        |deg AS (
+        |  SELECT x, count(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |t AS (
+        |  SELECT e1.u AS x, e1.v AS a, e2.v AS b
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT node, count(*) AS n_tri
+        |  FROM (SELECT unnest([x, a, b]) AS node FROM t) GROUP BY node)
+        |SELECT deg.x AS node, deg.d AS deg,
+        |  COALESCE(tn.n_tri, 0) AS n_tri,
+        |  CAST(d * (d - 1) / 2 AS BIGINT) AS n_wedge,
+        |  (2 * COALESCE(tn.n_tri, 0) * 1000000 + CAST(d * (d - 1) / 2 AS BIGINT))
+        |    // (2 * CAST(d * (d - 1) / 2 AS BIGINT)) AS coeff_e6
+        |FROM deg LEFT JOIN tn ON tn.node = deg.x
+        |WHERE deg.d >= 2
+        |ORDER BY node""".stripMargin),
     "wc_triangle_count" -> GQuery.sql(triangleCount,
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (

@@ -461,6 +461,67 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("clustering coefficients bound, sum to 3T, and replay the division") {
+    val rows = operators.WordCount.clusteringCoeff(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (node, deg, nTri, nWedge, coeffE6) =>
+      assert(deg >= 2, s"node $node")
+      assert(nWedge === deg * (deg - 1) / 2, s"node $node wedges")
+      assert(nTri <= nWedge, s"node $node: triangles exceed wedges")
+      assert(coeffE6 >= 0L && coeffE6 <= 1000000L, s"node $node coeff range")
+      // the integer HALF_UP identity
+      assert(coeffE6 === (2 * nTri * 1000000L + nWedge) / (2 * nWedge), s"node $node div")
+    }
+    // per-node triangle mass = 3 * global triangle count (each triangle
+    // has three corners); ties per-node output to the proven global op
+    val globalT = operators.WordCount.triangleCount(spark, SfDir)
+      .collect()(0).getAs[Long]("n_triangles")
+    assert(rows.map(_._3).sum === 3L * globalT, "corner mass != 3T")
+  }
+
+  test("dim moments replay driver-side for one (label, dim) cell") {
+    val got = operators.Similarity.dimMoments(spark, SfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.nonEmpty)
+    val raw = Tables.embeddings(spark, SfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val lbl = raw.head._1
+    (0 until 4).foreach { d =>
+      val xs = raw.filter(_._1 == lbl)
+        .map(p => math.floor(p._2(d).toDouble * 1e6 + 0.5).toLong)
+      val e = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum, xs.min, xs.max)
+      assert(got((lbl, d.toLong)) === e, s"cell ($lbl, $d)")
+    }
+    // every (label, dim) cell of a rectangular corpus is present
+    val labels = raw.map(_._1).distinct.length
+    assert(got.size === labels * 64)
+  }
+
+  test("lang confusion cells partition the corpus and shares sum to ~1e6") {
+    val rows = operators.TextAnalysis.langConfusion(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, SfDir).count()
+    assert(rows.map(_._3).sum === total, "cells must partition the corpus")
+    rows.groupBy(_._1).foreach { case (tl, cells) =>
+      assert(cells.map(_._3).sum === cells.head._4, s"$tl row total")
+      // HALF_UP shares of one row differ from 1e6 by at most #cells/2
+      val s = cells.map(_._5).sum
+      assert(math.abs(s - 1000000L) <= cells.length.toLong, s"$tl shares sum $s")
+    }
+    // matches a direct recomputation from the per-doc langid output
+    val perDoc = operators.TextAnalysis.langId(spark, SfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expect = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (tl, pl, n, _, _) =>
+      assert(expect((tl, pl)) === n, s"cell ($tl, $pl)")
+    }
+  }
+
   test("pca top component is unit-norm and its projection census replays") {
     val (u, lambda) = operators.Similarity.pcaComponent(spark, SfDir)
     val norm = math.sqrt(u.map(x => x * x).sum)
