@@ -33,7 +33,15 @@ object Tables {
       // ns-as-long layout (the test corpus): floor to a µs timestamp
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
-      // already a proper timestamp (µs/ms parquet) — pass through
+      // µs parquet with isAdjustedToUTC=false: Spark 4 infers
+      // TIMESTAMP_NTZ, which unix_millis/window/session_window reject.
+      // The session timezone is pinned to UTC everywhere (Bench,
+      // Verify, specs), so NTZ→LTZ cast is value-preserving and lands
+      // on the same instants DuckDB reads from the naive column.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      // already a session-zoned timestamp — pass through
       case _ => raw
     }
   }
