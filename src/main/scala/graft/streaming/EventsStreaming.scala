@@ -16,28 +16,24 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** The events parquet stores ns timestamps: stream-read them as raw
-    * longs (same nanosAsLong contract as Tables.events) and floor to
-    * a microsecond event-time column.
-    */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** `eventsDir` is a DIRECTORY into which event parquet files land
     * (the streaming file source contract — new files are discovered
-    * per trigger).
+    * per trigger). The file source needs an explicit schema; take it
+    * from a batch read of the same directory, then normalize `ts` the
+    * same way Tables.events does (ns-as-long corpora floor to µs;
+    * TIMESTAMP_NTZ corpora cast to the UTC-pinned session zone).
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    val onDisk = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(onDisk).parquet(eventsDir)
+    onDisk("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Stage the test table's single parquet file into a fresh
