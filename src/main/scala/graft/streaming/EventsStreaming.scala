@@ -39,11 +39,21 @@ object EventsStreaming {
   /** Stage the test table's single parquet file into a fresh
     * directory so it can drive the streaming source.
     */
-  def stageEventsDir(sfDir: String): String = {
+  def stageEventsDir(sfDir: String, copies: Int = 1): String = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      d.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    // a Spark-written table is a DIRECTORY of part files: link the
+    // files themselves, the streaming source does not follow
+    // directory links; `copies` > 1 stages the corpus that many times
+    // (the at-least-once replay the dedup operator exists for)
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src))
+        src.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(_.toPath).toSeq
+      else Seq(src)
+    for (c <- 0 until copies; (f, i) <- files.zipWithIndex)
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(s"events_${c}_$i.parquet"), f)
     d.toString
   }
 
