@@ -496,7 +496,51 @@ object Events {
       .orderBy("user_id", "valid_from_ms", "event_id")
   }
 
+  /** Per-user event-type Markov transition matrix — the behavioral
+    * model behind next-action prediction and funnel anomaly
+    * detection: count (from_type → to_type) over each user's
+    * time-ordered stream, then the row-stochastic transition
+    * probability per from_type. The per-user lead window is bounded
+    * by per-user history (never the corpus); the from_type totals
+    * live on the tiny event-type domain, so the normalize join
+    * broadcasts. Probabilities ship as HALF_UP ppm integers via the
+    * §4 identity ⌈p·10⁶/q⌋ = (2p·10⁶+q) div (2q) — no FP division.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy("from_type")
+      .agg(sum("n_trans").as("n_from"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        expr("(2*n_trans*1000000 + n_from) div (2*n_from)").as("prob_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_markov_transitions" -> GQuery.sql(markovTransitions,
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS to_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY 1)
+        |SELECT t.from_type, t.to_type, t.n_trans, tot.n_from,
+        |  CAST((2*t.n_trans*1000000 + tot.n_from) // (2*tot.n_from) AS BIGINT)
+        |    AS prob_ppm
+        |FROM trans t JOIN totals tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin),
     // NB: session_window starts a NEW session at diff == gap (window is
     // [start, last+gap)), so the replay splits on >=, not > (the manual
     // `sessionize` keeps the > convention — both are valid gap

@@ -569,7 +569,61 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("stage_no")
   }
 
+  /** Pad-to-multiple block size for `pipe_padding_census` (tokens) —
+    * the granularity inference servers pad batched sequences to.
+    */
+  val PadBlock = 16L
+
+  /** Batch size for the padding census (sequences per batch). */
+  val PadBatch = 32L
+
+  /** Inference length-bucketing efficiency census — the batching
+    * planner's input: bucket docs by whitespace-token length padded
+    * up to the next PadBlock multiple, and report per-bucket doc /
+    * batch counts plus the padding waste that bucket pays (padded
+    * minus real tokens, HALF_UP ppm). One codegen'd scan projection +
+    * one keyed agg on the bounded band domain — the corpus is never
+    * shuffled by anything data-sized. All integers end to end: the
+    * band formula uses greatest(n, 1) so `div` truncation and DuckDB
+    * floor-`//` agree (operands stay non-negative), and waste ships
+    * via the §4 ppm identity, no FP anywhere.
+    */
+  def paddingCensus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(Text.wsTokenCount(col("text")).cast("long").as("n"))
+      .select(col("n"),
+        expr(s"((greatest(n, 1) - 1) div $PadBlock + 1) * $PadBlock")
+          .as("band_tokens"))
+      .groupBy("band_tokens")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"(count(1) + $PadBatch - 1) div $PadBatch").as("n_batches"),
+        sum(col("n")).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("band_tokens"))
+      .withColumn("waste_ppm",
+        expr("(2*(padded_tokens - real_tokens)*1000000 + padded_tokens)" +
+          " div (2*padded_tokens)"))
+      .orderBy("band_tokens")
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_padding_census" -> GQuery.sql(paddingCensus,
+      s"""WITH t AS (
+        |  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT n, ((greatest(n, 1) - 1) // $PadBlock + 1) * $PadBlock
+        |    AS band_tokens FROM t),
+        |g AS (
+        |  SELECT band_tokens, count(*) AS n_docs,
+        |    (count(*) + $PadBatch - 1) // $PadBatch AS n_batches,
+        |    CAST(sum(n) AS BIGINT) AS real_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT band_tokens, n_docs, n_batches,  real_tokens,
+        |  n_docs * band_tokens AS padded_tokens,
+        |  CAST((2*(n_docs*band_tokens - real_tokens)*1000000
+        |        + n_docs*band_tokens) // (2*n_docs*band_tokens) AS BIGINT)
+        |    AS waste_ppm
+        |FROM g ORDER BY band_tokens""".stripMargin),
     "pipe_dataset_card" -> GQuery.sql(datasetCard,
       """WITH base AS (
         |  SELECT source, count(*) AS n_docs,

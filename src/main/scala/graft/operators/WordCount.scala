@@ -620,6 +620,50 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
         round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("clustering"))
   }
 
+  /** Hub cap for `wc_common_neighbors`: exact common-neighbor counting
+    * emits C(d, 2) pairs per center, so without a cap one hub node
+    * dominates the whole job (Σd² blowup). Capping CENTERS and
+    * endpoints to degree ≤ cap bounds per-center work at cap²
+    * regardless of corpus size — and hubs carry no link-prediction
+    * signal anyway (everything shares them). A conf knob, not data.
+    */
+  val CnDegCap = 64L
+
+  /** Common-neighbor link prediction over the co-purchase graph —
+    * the friends-of-friends MapReduce classic: for NON-adjacent pairs
+    * (a, b) in the hub-filtered subgraph, score = number of shared
+    * neighbors, plus neighborhood Jaccard cn/(da+db−cn) as a HALF_UP
+    * ppm integer (§4 identity — no FP). The subgraph is induced on
+    * nodes with degree ≤ CnDegCap, so the wedge self-join (pairs of
+    * neighbors around each center) is bounded at cap² per center —
+    * the standard scale shape for CN scoring. Deterministic top-100
+    * by (cn, jaccard, a, b) via TakeOrdered.
+    */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val (e, deg, _) = coPurchaseGraph(spark, dir)
+    val keep = deg.filter(col("d") <= CnDegCap).select("x")
+    val sub = e
+      .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+    val sdeg = sub.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val adj = sub.select(col("u").as("s"), col("v").as("t"))
+      .union(sub.select(col("v").as("s"), col("u").as("t")))
+    val pairs = adj.as("x").join(adj.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("a"), col("y.t").as("b"))
+    val cn = pairs.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .join(sub.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    cn.join(sdeg.withColumnsRenamed(Map("x" -> "a", "d" -> "da")), Seq("a"))
+      .join(sdeg.withColumnsRenamed(Map("x" -> "b", "d" -> "db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        expr("(2*cn*1000000 + (da+db-cn)) div (2*(da+db-cn))")
+          .as("jaccard_ppm"))
+      .orderBy(desc("cn"), desc("jaccard_ppm"), asc("a"), asc("b"))
+      .limit(100)
+  }
+
   /** Per-node LOCAL clustering coefficient — the node-level refinement
     * of `wc_triangle_count`'s single global figure: for every node with
     * degree ≥ 2, c(x) = triangles_at(x) / C(deg(x), 2). The plan reuses
@@ -700,6 +744,37 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
         |    AS n_wedges,
         |  (SELECT round(n_triangles * 3.0 / (SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) FROM deg), 6) FROM tri)
         |    AS clustering""".stripMargin),
+    "wc_common_neighbors" -> GQuery.sql(commonNeighbors,
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinOrders),
+        |deg AS (
+        |  SELECT x, count(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |keep AS (SELECT x FROM deg WHERE d <= $CnDegCap),
+        |sub AS (
+        |  SELECT u, v FROM e
+        |  WHERE u IN (SELECT x FROM keep) AND v IN (SELECT x FROM keep)),
+        |sdeg AS (
+        |  SELECT x, count(*) AS d
+        |  FROM (SELECT u AS x FROM sub UNION ALL SELECT v AS x FROM sub)
+        |  GROUP BY x),
+        |adj AS (SELECT u AS s, v AS t FROM sub
+        |        UNION ALL SELECT v AS s, u AS t FROM sub),
+        |cnt AS (
+        |  SELECT x.t AS a, y.t AS b, count(*) AS cn
+        |  FROM adj x JOIN adj y ON x.s = y.s AND x.t < y.t
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT a, b, cn FROM cnt
+        |  WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.u = cnt.a AND sub.v = cnt.b))
+        |SELECT c.a, c.b, c.cn, da.d AS da, db.d AS db,
+        |  CAST((2*c.cn*1000000 + (da.d+db.d-c.cn)) // (2*(da.d+db.d-c.cn)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM cand c JOIN sdeg da ON da.x = c.a JOIN sdeg db ON db.x = c.b
+        |ORDER BY cn DESC, jaccard_ppm DESC, a, b LIMIT 100""".stripMargin),
     "wc_pagerank" -> GQuery.sql(pagerank, pagerankOracle),
     "wc_kcore" -> GQuery.sql(kcore, kcoreOracle),
     "wc_bfs_distance" -> GQuery.sql(bfsDistance, bfsOracle),

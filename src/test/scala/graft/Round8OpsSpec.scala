@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-8 operators beyond their DuckDB oracles. */
+class Round8OpsSpec extends SparkTestBase {
+
+  test("markov transition rows are a stochastic matrix over the event stream") {
+    val got = operators.Events.markovTransitions(spark, SfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // each user's n-event stream contributes exactly n-1 transitions
+    val perUser = Tables.events(spark, SfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val wantTrans = perUser.agg(sum(col("n") - 1)).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == wantTrans)
+    // per from_type: counts sum to the row total, and HALF_UP ppm
+    // probabilities sum to 10^6 within half-a-ppm-per-cell rounding
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val nFrom = rs.head.getAs[Long]("n_from")
+      assert(rs.map(_.getAs[Long]("n_trans")).sum == nFrom)
+      val ppmSum = rs.map(_.getAs[Long]("prob_ppm")).sum
+      assert(math.abs(ppmSum - 1000000L) <= rs.length / 2 + 1,
+        s"ppm sum $ppmSum drifted beyond rounding slack")
+    }
+  }
+
+  test("common-neighbor candidates are non-edges with correct Jaccard bounds") {
+    val got = operators.WordCount.commonNeighbors(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (cn, da, db) = (r.getAs[Long]("cn"), r.getAs[Long]("da"),
+        r.getAs[Long]("db"))
+      // the hub filter really ran, intersection can't exceed a side,
+      // and Jaccard stays a valid [0, 1] ppm fraction
+      assert(da <= operators.WordCount.CnDegCap &&
+        db <= operators.WordCount.CnDegCap)
+      assert(cn >= 1L && cn <= math.min(da, db))
+      val ppm = r.getAs[Long]("jaccard_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
+  test("padding census bands tile the corpus and batch math is exact") {
+    val got = operators.Pipeline.paddingCensus(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    got.foreach { r =>
+      val band = r.getAs[Long]("band_tokens")
+      val (docs, batches) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"))
+      assert(band > 0 && band % operators.Pipeline.PadBlock == 0)
+      assert(batches == (docs + operators.Pipeline.PadBatch - 1) /
+        operators.Pipeline.PadBatch)
+      assert(r.getAs[Long]("real_tokens") <= r.getAs[Long]("padded_tokens"))
+    }
+  }
+
+  test("streaming registry wrappers agree with their batch twins") {
+    // the oracle certifies vs DuckDB; this pins streaming == batch
+    // inside the engine, so a drift in either implementation is caught
+    // even on corpora the driver never oracles
+    val hr = operators.StreamingOps.streamHourlyRollup(spark, SfDir)
+      .select("hour_ms", "event_type", "n_events")
+    val hrBatch = operators.Events.hourlyRollup(spark, SfDir)
+      .select("hour_ms", "event_type", "n_events")
+    assert(hr.exceptAll(hrBatch).count() == 0 &&
+      hrBatch.exceptAll(hr).count() == 0)
+    val sess = operators.StreamingOps.streamSessionize(spark, SfDir)
+    val sessBatch = operators.Events.sessionize(spark, SfDir)
+      .select("user_id", "session_seq", "session_start_ms",
+        "session_end_ms", "n_events")
+    assert(sess.exceptAll(sessBatch).count() == 0 &&
+      sessBatch.exceptAll(sess).count() == 0)
+  }
+}
