@@ -131,7 +131,66 @@ object Multimodal {
           .as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** ASR-style framing constants: 25 ms windows every 10 ms at a
+    * nominal 16 kHz — the standard spectrogram/feature framing. One
+    * payload byte stands in for one sample (the decode is the stub;
+    * the windowing math is the real contract).
+    */
+  val WinSamples = 400L
+  val HopSamples = 160L
+  val SampleRateHz = 16000L
+
+  /** Overlapping audio windowing — the segmentation an ASR/audio
+    * training pipeline runs before feature extraction. Unlike
+    * `mm_chunk` (disjoint tiles) windows OVERLAP: window i starts at
+    * i·hop and spans `win` samples (the trailing window is short,
+    * never padded here). Window count is 1 + ceil((n−win)/hop)
+    * computed as greatest(n−win+hop−1, 0) div hop so both operands
+    * stay non-negative and Spark `div` truncation equals DuckDB
+    * floor-`//`. sequence+explode keeps index generation in codegen;
+    * each row materializes only its own slice. Start offsets ship in
+    * samples AND integer milliseconds ((i·hop·1000) div rate — exact
+    * at these constants).
+    */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("n"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L),
+          expr(s"greatest(n - $WinSamples + $HopSamples - 1, 0L) div $HopSamples")))
+          .as("win_idx"))
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx") * HopSamples).as("start_sample"),
+        expr(s"(win_idx * $HopSamples * 1000) div $SampleRateHz").as("start_ms"),
+        length(expr(s"substring(payload, CAST(win_idx * $HopSamples + 1 AS INT), $WinSamples)"))
+          .cast("long").as("win_len"),
+        md5(expr(s"substring(payload, CAST(win_idx * $HopSamples + 1 AS INT), $WinSamples)"))
+          .as("win_md5"))
+      .orderBy("doc_id", "win_idx")
+
   val queries: Map[String, GQuery] = Map(
+    "mm_audio_windows" -> GQuery.sql(audioWindows,
+      s"""WITH ascii_ok AS (
+        |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok
+        |  FROM documents WHERE octet_length(encode(text)) <> length(text)),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0,
+        |      greatest(length(text) - $WinSamples + $HopSamples - 1, 0) // $HopSamples + 1))
+        |      AS win_idx
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, win_idx,
+        |  win_idx * $HopSamples AS start_sample,
+        |  (win_idx * $HopSamples * 1000) // $SampleRateHz AS start_ms,
+        |  length(substring(text, CAST(win_idx * $HopSamples + 1 AS BIGINT), $WinSamples))
+        |    AS win_len,
+        |  md5(substring(text, CAST(win_idx * $HopSamples + 1 AS BIGINT), $WinSamples))
+        |    AS win_md5
+        |FROM w WHERE (SELECT ok FROM ascii_ok) = 1
+        |ORDER BY doc_id, win_idx""".stripMargin),
     "mm_chunk" -> GQuery.sql(chunk,
       s"""WITH ascii_ok AS (
         |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok

@@ -56,6 +56,33 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("audio windows overlap correctly and cover every payload byte") {
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), length(encode(col("text"), "utf-8")).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wins = operators.Multimodal.audioWindows(spark, SfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(wins.keySet == docs.keySet)
+    val (w, h) = (operators.Multimodal.WinSamples, operators.Multimodal.HopSamples)
+    wins.foreach { case (id, rs) =>
+      val n = docs(id)
+      val wantCount = 1 + math.max(0L, (n - w + h - 1) / h)
+      assert(rs.length == wantCount, s"doc $id: ${rs.length} != $wantCount")
+      val sorted = rs.sortBy(_.getAs[Long]("win_idx"))
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("start_sample")
+        assert(start == r.getAs[Long]("win_idx") * h)
+        assert(r.getAs[Long]("start_ms") == start * 1000 /
+          operators.Multimodal.SampleRateHz)
+        assert(r.getAs[Long]("win_len") == math.min(w, n - start))
+      }
+      // full coverage: the last window reaches the payload end
+      val last = sorted.last
+      assert(last.getAs[Long]("start_sample") + last.getAs[Long]("win_len") == n)
+    }
+  }
+
   test("streaming registry wrappers agree with their batch twins") {
     // the oracle certifies vs DuckDB; this pins streaming == batch
     // inside the engine, so a drift in either implementation is caught
