@@ -865,6 +865,62 @@ ORDER BY f.vec_id"""
         max(col("xu")).as("max_u"))
       .orderBy("label", "dim")
 
+  /** Matryoshka truncation prefixes for `vec_matryoshka_census`. */
+  val MrlPrefixes: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** MRL quantization scale: coarser than dimMoments' 10⁶ so every
+    * intermediate stays in BIGINT — per-vector energy ≤ 64·(10⁴)² ≈
+    * 6.4e9, and 2·e·10⁶ ≈ 1.3e16 << 2⁶³. The quantized definition IS
+    * the contract (identical on both engines); a census tolerates the
+    * ~2e-4 relative quantization error.
+    */
+  val MrlScale = 10000.0
+
+  /** Matryoshka truncation-energy census — the planning input for
+    * embedding truncation (MRL-style serving): per label and prefix
+    * length P ∈ {8,16,32,64}, how much of each vector's squared norm
+    * the first P dims retain. Per-vector energies come from
+    * `aggregate` over disjoint array segments inside ONE scan
+    * projection (64 element visits per vector, no explode, no
+    * per-vector shuffle); fractions are HALF_UP ppm integers; the
+    * only shuffle is the partial-agged (label, prefix) cell grid.
+    * Per-label stats are the MEAN/min/max of per-vector fractions —
+    * integer sums of bounded ppm values, order-free at any corpus
+    * size (unlike a fraction-of-summed-energies, whose numerator
+    * ×10⁶ would overflow BIGINT on a large corpus).
+    */
+  def matryoshkaCensus(spark: SparkSession, dir: String): DataFrame = {
+    def segEnergy(sliceExpr: String): String =
+      s"aggregate($sliceExpr, CAST(0 AS BIGINT), (acc, x) -> acc + " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $MrlScale + 0.5) AS BIGINT) * " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $MrlScale + 0.5) AS BIGINT))"
+    val perVec = vecs(spark, dir)
+      .select(col("label"),
+        expr(segEnergy("slice(v, 1, 8)")).as("s1"),
+        expr(segEnergy("slice(v, 9, 8)")).as("s2"),
+        expr(segEnergy("slice(v, 17, 16)")).as("s3"),
+        expr(segEnergy("slice(v, 33, 32)")).as("s4"))
+      .select(col("label"), col("s1").as("e8"),
+        (col("s1") + col("s2")).as("e16"),
+        (col("s1") + col("s2") + col("s3")).as("e32"),
+        (col("s1") + col("s2") + col("s3") + col("s4")).as("et"))
+    perVec
+      .select(col("label"), col("et"),
+        explode(map(
+          lit(8L), col("e8"), lit(16L), col("e16"),
+          lit(32L), col("e32"), lit(64L), col("et")))
+          .as(Seq("prefix_dim", "ep")))
+      .withColumn("frac_ppm",
+        expr("(2*ep*1000000 + greatest(et, 1)) div (2*greatest(et, 1))"))
+      .groupBy("label", "prefix_dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("(2*sum(frac_ppm) + count(1)) div (2*count(1))")
+          .as("avg_frac_ppm"),
+        min(col("frac_ppm")).as("min_frac_ppm"),
+        max(col("frac_ppm")).as("max_frac_ppm"))
+      .orderBy("label", "prefix_dim")
+  }
+
   val PcaIters = 6
 
   /** Top principal component of the embedding corpus by power
@@ -1077,6 +1133,29 @@ ORDER BY f.vec_id"""
         |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sum_q2,
         |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM qq ORDER BY vec_id""".stripMargin),
+    "vec_matryoshka_census" -> GQuery.sql(matryoshkaCensus,
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, label, dim - 1 AS dim,
+        |    CAST(floor(xv * 10000.0 + 0.5) AS BIGINT) AS u
+        |  FROM (SELECT vec_id, label, unnest(v) AS xv,
+        |          generate_subscripts(v, 1) AS dim FROM e)),
+        |p AS (SELECT * FROM (VALUES (8), (16), (32), (64)) t(prefix_dim)),
+        |pv AS (
+        |  SELECT vec_id, label, CAST(prefix_dim AS BIGINT) AS prefix_dim,
+        |    CAST(sum(CASE WHEN dim < prefix_dim THEN u*u ELSE 0 END) AS BIGINT) AS ep,
+        |    CAST(sum(u*u) AS BIGINT) AS et
+        |  FROM c CROSS JOIN p GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT label, prefix_dim,
+        |    (2*ep*1000000 + greatest(et, 1)) // (2*greatest(et, 1)) AS frac_ppm
+        |  FROM pv)
+        |SELECT label, prefix_dim, count(*) AS n_vecs,
+        |  CAST((2*CAST(sum(frac_ppm) AS BIGINT) + count(*)) // (2*count(*)) AS BIGINT)
+        |    AS avg_frac_ppm,
+        |  CAST(min(frac_ppm) AS BIGINT) AS min_frac_ppm,
+        |  CAST(max(frac_ppm) AS BIGINT) AS max_frac_ppm
+        |FROM f GROUP BY 1, 2 ORDER BY label, prefix_dim""".stripMargin),
     "vec_norm_stats" -> GQuery.sql(normStats,
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, count(*) AS n_vecs,

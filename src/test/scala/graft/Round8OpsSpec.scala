@@ -83,6 +83,29 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("matryoshka census fractions are monotone and saturate at full dim") {
+    val rows = operators.Similarity.matryoshkaCensus(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      val byPrefix = rs.sortBy(_.getAs[Long]("prefix_dim"))
+      assert(byPrefix.map(_.getAs[Long]("prefix_dim")).toSeq ==
+        operators.Similarity.MrlPrefixes.map(_.toLong))
+      // energy can only grow with a longer prefix, per min/avg/max
+      for (c <- Seq("avg_frac_ppm", "min_frac_ppm", "max_frac_ppm")) {
+        val v = byPrefix.map(_.getAs[Long](c))
+        assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"$c not monotone")
+      }
+      // the full prefix retains everything, exactly
+      val full = byPrefix.last
+      assert(full.getAs[Long]("min_frac_ppm") == 1000000L &&
+        full.getAs[Long]("max_frac_ppm") == 1000000L)
+      byPrefix.foreach { r =>
+        assert(r.getAs[Long]("min_frac_ppm") >= 0L &&
+          r.getAs[Long]("max_frac_ppm") <= 1000000L)
+      }
+    }
+  }
+
   test("streaming registry wrappers agree with their batch twins") {
     // the oracle certifies vs DuckDB; this pins streaming == batch
     // inside the engine, so a drift in either implementation is caught
