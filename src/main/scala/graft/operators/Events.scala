@@ -523,7 +523,63 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sliding active-user rollup (the DAU/WAU shape): 2-hour windows
+    * advancing hourly, so every event lands in exactly two windows;
+    * per window, event count and EXACT distinct users. Spark's
+    * `window()` replicates each row into its ≤2 windows before the
+    * keyed agg; distinct runs as the standard two-level
+    * (window, user) partial dedup then count — no per-window state
+    * beyond the group cells. The 100 TB swap for the exact distinct
+    * is HLL (`rel_approx_distinct`), same plan shape.
+    */
+  def slidingActive(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("n_events"), col("n_users"))
+      .orderBy("win_ms")
+
+  /** Hour-of-day × day-of-week activity heatmap — the seasonality
+    * census behind load planning and anomaly baselines. Both axes
+    * come from PURE INTEGER epoch math ((days+4) % 7 with Thursday
+    * anchoring 1970-01-01, hour = ms-of-day div 3600000) so neither
+    * engine's calendar/locale functions are in the loop. One scan,
+    * one keyed agg on the 7×24 cell grid.
+    */
+  def heatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(unix_millis(col("ts")).as("ms"), col("user_id"), col("value"))
+      .select(expr("((ms div 86400000) + 4) % 7").as("dow"),
+        expr("(ms % 86400000) div 3600000").as("hour"),
+        col("user_id"), col("value"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("value_cents"))
+      .orderBy("dow", "hour")
+
   val queries: Map[String, GQuery] = Map(
+    "ev_sliding_active" -> GQuery.sql(slidingActive,
+      """WITH w AS (
+        |  SELECT user_id,
+        |    unnest([epoch_ms(date_trunc('hour', ts)),
+        |            epoch_ms(date_trunc('hour', ts)) - 3600000]) AS win_ms
+        |  FROM events)
+        |SELECT win_ms, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1 ORDER BY win_ms""".stripMargin),
+    "ev_heatmap" -> GQuery.sql(heatmap,
+      """WITH c AS (
+        |  SELECT ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+        |    (epoch_ms(ts) % 86400000) // 3600000 AS hour,
+        |    user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT dow, hour, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(vc) AS BIGINT) AS value_cents
+        |FROM c GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin),
     "ev_markov_transitions" -> GQuery.sql(markovTransitions,
       """WITH seq AS (
         |  SELECT event_type AS from_type,

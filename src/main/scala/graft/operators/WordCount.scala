@@ -620,6 +620,35 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
         round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("clustering"))
   }
 
+  /** Degree assortativity of the co-purchase graph — Newman's r, the
+    * do-hubs-link-to-hubs diagnostic that decides whether degree-based
+    * partitioning/salting will face assortative hot spots. Over the
+    * DIRECTED symmetrized edge list (each undirected edge contributes
+    * (du,dv) and (dv,du)), r is the Pearson correlation of endpoint
+    * degrees: all five sufficient statistics (m, Σx, Σxy, Σx², and by
+    * symmetry Σy=Σx, Σy²=Σx²) are exact BIGINT sums — two keyed
+    * shuffles total (degree agg + one global algebraic reduce); the
+    * single FP division happens once, on exact integers, rounded to 6
+    * on both engines.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val (e, deg, _) = coPurchaseGraph(spark, dir)
+    val sym = e.select(col("u").as("s"), col("v").as("t"))
+      .union(e.select(col("v").as("s"), col("u").as("t")))
+    sym
+      .join(deg.withColumnsRenamed(Map("x" -> "s", "d" -> "ds")), Seq("s"))
+      .join(deg.withColumnsRenamed(Map("x" -> "t", "d" -> "dt")), Seq("t"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("ds")).as("sx"),
+        sum(col("ds") * col("dt")).as("sxy"),
+        sum(col("ds") * col("ds")).as("sx2"))
+      .select(col("m"),
+        round((col("m") * col("sxy") - col("sx") * col("sx"))
+          .cast("double") /
+          (col("m") * col("sx2") - col("sx") * col("sx")).cast("double"), 6)
+          .as("assortativity"))
+  }
+
   /** Hub cap for `wc_common_neighbors`: exact common-neighbor counting
     * emits C(d, 2) pairs per center, so without a cap one hub node
     * dominates the whole job (Σd² blowup). Capping CENTERS and
@@ -744,6 +773,29 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
         |    AS n_wedges,
         |  (SELECT round(n_triangles * 3.0 / (SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) FROM deg), 6) FROM tri)
         |    AS clustering""".stripMargin),
+    "wc_assortativity" -> GQuery.sql(assortativity,
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinOrders),
+        |deg AS (
+        |  SELECT x, count(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |sym AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v AS s, u AS t FROM e),
+        |j AS (
+        |  SELECT ds.d AS ds, dt.d AS dt
+        |  FROM sym JOIN deg ds ON ds.x = sym.s JOIN deg dt ON dt.x = sym.t),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(ds) AS BIGINT) AS sx,
+        |    CAST(sum(ds*dt) AS BIGINT) AS sxy,
+        |    CAST(sum(ds*ds) AS BIGINT) AS sx2
+        |  FROM j)
+        |SELECT m,
+        |  round(CAST(m*sxy - sx*sx AS DOUBLE) / CAST(m*sx2 - sx*sx AS DOUBLE), 6)
+        |    AS assortativity
+        |FROM agg""".stripMargin),
     "wc_common_neighbors" -> GQuery.sql(commonNeighbors,
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (

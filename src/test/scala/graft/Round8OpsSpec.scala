@@ -106,6 +106,43 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("sliding active windows double-count events and the heatmap tiles them") {
+    val total = Tables.events(spark, SfDir).count()
+    val sliding = operators.Events.slidingActive(spark, SfDir).collect()
+    // 2h window / 1h slide: every event lands in exactly two windows
+    assert(sliding.map(_.getAs[Long]("n_events")).sum == 2 * total)
+    sliding.foreach(r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
+    val heat = operators.Events.heatmap(spark, SfDir).collect()
+    assert(heat.map(_.getAs[Long]("n_events")).sum == total)
+    heat.foreach { r =>
+      val (dow, hour) = (r.getAs[Long]("dow"), r.getAs[Long]("hour"))
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+    }
+    // integer-epoch anchor: 1970-01-01 (epoch day 0) was a Thursday=4
+    import spark.implicits._
+    val anchor = Seq(0L).toDF("ms").select(expr("((ms div 86400000) + 4) % 7"))
+      .head().getLong(0)
+    assert(anchor == 4L)
+  }
+
+  test("assortativity is a valid correlation over the symmetrized edges") {
+    val r = operators.WordCount.assortativity(spark, SfDir).head()
+    val (e, _, _) = {
+      // m must equal twice the undirected edge count
+      val df = Tables.lineitem(spark, SfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = df.as("a").join(df.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk"), col("b.pk")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= operators.WordCount.TriMinOrders)
+      (edges.count(), (), ())
+    }
+    assert(r.getAs[Long]("m") == 2 * e)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+  }
+
   test("streaming registry wrappers agree with their batch twins") {
     // the oracle certifies vs DuckDB; this pins streaming == batch
     // inside the engine, so a drift in either implementation is caught
