@@ -604,7 +604,117 @@ FROM s GROUP BY col_name ORDER BY col_name"""
           " div (2*padded_tokens)"))
       .orderBy("band_tokens")
 
+  /** Band width (in score_x4 units) for `pipe_quality_score`. */
+  val QsBand = 100000L
+  /** Offset keeping the banding operand non-negative (min score is
+    * −10⁶ when punct saturates and the other signals are zero), so
+    * Spark `div` truncation equals DuckDB floor-`//`.
+    */
+  val QsOffset = 1000000L
+
+  /** Fixed-weight linear quality scorer + score-band census — the
+    * deterministic stand-in for classifier-based filtering (the
+    * fasttext-quality-model pass of a curation pipeline): per doc,
+    * score_x4 = 2·stop_ppm + 3·uniq_ppm − punct_ppm over HALF_UP ppm
+    * ratio integers (each ratio exact via the §4 identity, zero
+    * guards on empty docs), then a census of 100k-wide score bands.
+    * Integer end to end; the subtraction happens AFTER the exact
+    * divisions so no negative operand ever reaches `div`, and the
+    * band shift keeps the one remaining division non-negative. One
+    * scan projection + one keyed agg on the bounded band domain —
+    * swap the weights for a learned model's and the plan is the
+    * production filter.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(lower(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(toks).cast("long").as("tok"),
+        size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
+          .cast("long").as("stop"),
+        size(array_distinct(toks)).cast("long").as("uniq"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\\p{Punct}", "")))
+          .cast("long").as("punct"))
+      .select(
+        expr("(2*stop*1000000 + greatest(tok,1)) div (2*greatest(tok,1))")
+          .as("stop_ppm"),
+        expr("(2*uniq*1000000 + greatest(tok,1)) div (2*greatest(tok,1))")
+          .as("uniq_ppm"),
+        expr("(2*punct*1000000 + greatest(chars,1)) div (2*greatest(chars,1))")
+          .as("punct_ppm"))
+      .select((lit(2L) * col("stop_ppm") + lit(3L) * col("uniq_ppm") -
+        col("punct_ppm")).as("score_x4"))
+      .select(col("score_x4"),
+        expr(s"(score_x4 + $QsOffset) div $QsBand").as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_x4")).as("min_score"),
+        max(col("score_x4")).as("max_score"))
+      .orderBy("band")
+  }
+
+  /** Per-source exact-duplicate rate — the curation dashboard's
+    * first column: docs, distinct normalized-md5 contents, and the
+    * duplicate fraction as a HALF_UP ppm integer. Two keyed aggs on
+    * (source, hash) then source; the at-scale swap for the exact
+    * distinct is HLL, same shape.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        md5(Text.normalized(col("text")).cast("binary")).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("copies"))
+      .groupBy("source")
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        expr("(2*(n_docs - n_unique)*1000000 + n_docs) div (2*n_docs)")
+          .as("dup_ppm"))
+      .orderBy("source")
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_quality_score" -> GQuery.sql(qualityScore,
+      """WITH toks AS (
+        |  SELECT doc_id, text, length(text) AS chars,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT CAST(len(t) AS BIGINT) AS tok,
+        |    CAST(len(list_filter(t,
+        |      x -> x IN ('the','a','an','and','of','to','in','is'))) AS BIGINT) AS stop,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS uniq,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |      AS BIGINT) AS punct,
+        |    CAST(chars AS BIGINT) AS chars
+        |  FROM toks),
+        |ppm AS (
+        |  SELECT
+        |    (2*stop*1000000 + greatest(tok,1)) // (2*greatest(tok,1)) AS stop_ppm,
+        |    (2*uniq*1000000 + greatest(tok,1)) // (2*greatest(tok,1)) AS uniq_ppm,
+        |    (2*punct*1000000 + greatest(chars,1)) // (2*greatest(chars,1)) AS punct_ppm
+        |  FROM sig),
+        |sc AS (
+        |  SELECT 2*stop_ppm + 3*uniq_ppm - punct_ppm AS score_x4 FROM ppm)
+        |SELECT (score_x4 + 1000000) // 100000 AS band,
+        |  count(*) AS n_docs,
+        |  CAST(min(score_x4) AS BIGINT) AS min_score,
+        |  CAST(max(score_x4) AS BIGINT) AS max_score
+        |FROM sc GROUP BY 1 ORDER BY band""".stripMargin),
+    "pipe_dup_rate_by_source" -> GQuery.sql(dupRateBySource,
+      """WITH h AS (
+        |  SELECT source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |    count(*) AS copies
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |  count(*) AS n_unique,
+        |  CAST((2*(CAST(sum(copies) AS BIGINT) - count(*))*1000000
+        |        + CAST(sum(copies) AS BIGINT))
+        |    // (2*CAST(sum(copies) AS BIGINT)) AS BIGINT) AS dup_ppm
+        |FROM h GROUP BY 1 ORDER BY source""".stripMargin),
     "pipe_padding_census" -> GQuery.sql(paddingCensus,
       s"""WITH t AS (
         |  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),

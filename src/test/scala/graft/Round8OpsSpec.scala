@@ -143,6 +143,36 @@ class Round8OpsSpec extends SparkTestBase {
     assert(a >= -1.0 && a <= 1.0)
   }
 
+  test("quality-score bands tile the corpus with scores inside band bounds") {
+    val rows = operators.Pipeline.qualityScore(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val (bw, off) = (operators.Pipeline.QsBand, operators.Pipeline.QsOffset)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val (lo, hi) = (b * bw - off, (b + 1) * bw - off)
+      assert(r.getAs[Long]("min_score") >= lo &&
+        r.getAs[Long]("max_score") < hi &&
+        r.getAs[Long]("min_score") <= r.getAs[Long]("max_score"))
+    }
+  }
+
+  test("per-source dup rates partition the corpus and bound the ppm") {
+    val rows = operators.Pipeline.dupRateBySource(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, SfDir).count())
+    rows.foreach { r =>
+      val (n, u) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"))
+      assert(u >= 1L && u <= n)
+      val ppm = r.getAs[Long]("dup_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      // exact identity, not just a bound: ppm is HALF_UP((n-u)/n)
+      assert(ppm == (2 * (n - u) * 1000000L + n) / (2 * n))
+    }
+  }
+
   test("streaming registry wrappers agree with their batch twins") {
     // the oracle certifies vs DuckDB; this pins streaming == batch
     // inside the engine, so a drift in either implementation is caught
