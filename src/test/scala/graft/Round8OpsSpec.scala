@@ -173,6 +173,25 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("the §4 HALF_UP identity equals BigDecimal HALF_UP for random fractions") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // the identity every ppm column in the registry rides on:
+    // ⌈p·s/q⌋ (round-half-up) == (2·p·s + q) div (2·q), p ≥ 0, q ≥ 1
+    val gen = for {
+      p <- Gen.chooseNum(0L, 4000000L)
+      q <- Gen.chooseNum(1L, 4000000L)
+      s <- Gen.oneOf(100L, 1000L, 1000000L)
+    } yield (p, q, s)
+    val prop = Prop.forAll(gen) { case (p, q, s) =>
+      val identity = (2 * p * s + q) / (2 * q)
+      val reference = BigDecimal(p) * BigDecimal(s) / BigDecimal(q)
+      identity == reference.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming registry wrappers agree with their batch twins") {
     // the oracle certifies vs DuckDB; this pins streaming == batch
     // inside the engine, so a drift in either implementation is caught
