@@ -560,7 +560,177 @@ object Events {
         sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("value_cents"))
       .orderBy("dow", "hour")
 
+  /** Inactivity / churn-band census: per-user recency (whole days
+    * since last event, measured against the corpus max — pure integer
+    * epoch-ms arithmetic) bucketed into the standard active (<7 d),
+    * at-risk (<30 d), churned bands. Shape at 100 TB: one keyed
+    * max-agg per user (map-side combinable), then a 3-row band agg;
+    * the corpus max rides in as a broadcast 1-row aggregate, never a
+    * driver collect.
+    */
+  def inactivityChurn(spark: SparkSession, dir: String): DataFrame = {
+    val last = Tables.events(spark, dir)
+      .groupBy("user_id").agg(max(unix_millis(col("ts"))).as("last_ms"))
+    val mx = last.agg(max("last_ms").as("max_ms"))
+    last.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("(max_ms - last_ms) div 86400000").as("days_inactive"))
+      .select(col("user_id"), col("days_inactive"),
+        when(col("days_inactive") < 7, "active")
+          .when(col("days_inactive") < 30, "at_risk")
+          .otherwise("churned").as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        sum("days_inactive").as("sum_days"),
+        max("days_inactive").as("max_days"))
+      .orderBy("band")
+  }
+
+  /** Event-time lateness census — the watermark-delay planning input
+    * for the streaming module: within each user's stream in ARRIVAL
+    * order (event_id — the corpus's ingest sequence), lateness = the
+    * running max event-time seen so far minus this event's time; the
+    * census of lateness bands says exactly what fraction of events a
+    * `withWatermark` of 1 s / 1 min / 10 min would drop. The only
+    * window partitions by user_id and is bounded by per-user history
+    * (the `ev_markov_transitions` shape); the band agg is tiny.
+    *
+    * The synthetic corpus's ingest log is PERFECTLY time-ordered
+    * (event_id order == ts order per user — verified), which would
+    * collapse the census to one all-on-time band and prove nothing.
+    * So arrival order is deterministically perturbed (the §4
+    * planted-input pattern, as in `txt_pii_scrub`): per user, every
+    * 10th event straggles 1 position, every 10th+5 straggles 3, and
+    * every 20th+7 straggles 12 — inter-event gaps run ~1–25 h here,
+    * so the three displacements populate every band. Mirrored exactly
+    * in the oracle; band edges are 6 h / 1 d / 3 d.
+    */
+  def latenessCensus(spark: SparkSession, dir: String): DataFrame = {
+    val bySeq = Window.partitionBy("user_id").orderBy("event_id")
+    val byArrival = Window.partitionBy("user_id").orderBy("arrival", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("rn", row_number().over(bySeq).cast("long") - 1L)
+      .withColumn("arrival", col("rn") +
+        when(col("rn") % 20 === 7, 12L)
+          .when(col("rn") % 10 === 0, 1L)
+          .when(col("rn") % 10 === 5, 3L)
+          .otherwise(0L))
+      .withColumn("late_ms", max(col("ms")).over(byArrival) - col("ms"))
+      .select(
+        when(col("late_ms") === 0, "a_on_time")
+          .when(col("late_ms") < 21600000L, "b_lt_6h")
+          .when(col("late_ms") < 86400000L, "c_lt_1d")
+          .when(col("late_ms") < 259200000L, "d_lt_3d")
+          .otherwise("e_ge_3d").as("band"),
+        col("late_ms"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("late_ms")).as("max_late_ms"),
+        sum(col("late_ms")).as("sum_late_ms"))
+      .orderBy("band")
+  }
+
+  /** DAU / trailing-7-day-WAU stickiness ratio per day — the
+    * product-analytics headline. Exact distincts via the census
+    * trick: reduce to DISTINCT (day, user) pairs first (keyed
+    * partial-aggregable shuffle), then explode each pair into the 7
+    * day-windows it keeps a user active in — the fanout multiplies
+    * the DEDUPLICATED pair count, never raw events — and count
+    * per-window distinct users with a second keyed agg. HLL is the
+    * declared at-scale swap for both distincts (same plan shape,
+    * sketch merge instead of exact dedup). Ratio is a HALF_UP ppm
+    * integer; windows are anchored on pure integer epoch-days. The
+    * window is 7 (not the production 30) because the corpus spans
+    * exactly 30 days — a 30-day window would leave ONE fully-covered
+    * day and a degenerate oracle; the decomposition is
+    * window-length-invariant.
+    */
+  def dauMau(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val bounds = dayUser.agg(min("day").as("lo"), max("day").as("hi"))
+    val mau = dayUser
+      .withColumn("w", explode(sequence(col("day"), col("day") + 6L)))
+      .select(col("w").as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    dau.join(mau, Seq("day"))
+      .crossJoin(broadcast(bounds))
+      // windows overhanging the corpus edges see truncated history on
+      // both engines; keep only fully-covered days so the metric means
+      // what it says
+      .filter(col("day") >= col("lo") + 6 && col("day") <= col("hi"))
+      .select(col("day"), col("dau"), col("wau7"),
+        expr("(2*dau*1000000 + wau7) div (2*wau7)").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_lateness_census" -> GQuery.sql(latenessCensus,
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, ms,
+        |    rn + CASE WHEN rn % 20 = 7 THEN 12
+        |              WHEN rn % 10 = 0 THEN 1
+        |              WHEN rn % 10 = 5 THEN 3
+        |              ELSE 0 END AS arrival
+        |  FROM r),
+        |l AS (
+        |  SELECT user_id,
+        |    max(ms) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ms
+        |      AS late_ms
+        |  FROM a),
+        |b AS (
+        |  SELECT CASE WHEN late_ms = 0 THEN 'a_on_time'
+        |              WHEN late_ms < 21600000 THEN 'b_lt_6h'
+        |              WHEN late_ms < 86400000 THEN 'c_lt_1d'
+        |              WHEN late_ms < 259200000 THEN 'd_lt_3d'
+        |              ELSE 'e_ge_3d' END AS band,
+        |    late_ms
+        |  FROM l)
+        |SELECT band, count(*) AS n_events,
+        |  max(late_ms) AS max_late_ms,
+        |  CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
+        |FROM b GROUP BY band ORDER BY band""".stripMargin),
+    "ev_dau_mau" -> GQuery.sql(dauMau,
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+        |w AS (
+        |  SELECT DISTINCT u.day + s.i AS day, u.user_id
+        |  FROM du u CROSS JOIN (SELECT unnest(range(0, 7)) AS i) s),
+        |mau AS (SELECT day, count(*) AS wau7 FROM w GROUP BY day)
+        |SELECT d.day AS day, d.dau AS dau, m.wau7 AS wau7,
+        |  (2*d.dau*1000000 + m.wau7) // (2*m.wau7) AS stickiness_ppm
+        |FROM dau d JOIN mau m ON d.day = m.day CROSS JOIN bounds
+        |WHERE d.day >= lo + 6 AND d.day <= hi
+        |ORDER BY day""".stripMargin),
+    "ev_inactivity_churn" -> GQuery.sql(inactivityChurn,
+      """WITH last AS (
+        |  SELECT user_id, max(epoch_ms(ts)) AS last_ms FROM events GROUP BY user_id),
+        |mx AS (SELECT max(last_ms) AS max_ms FROM last),
+        |d AS (
+        |  SELECT user_id, (max_ms - last_ms) // 86400000 AS days_inactive
+        |  FROM last CROSS JOIN mx),
+        |b AS (
+        |  SELECT user_id, days_inactive,
+        |    CASE WHEN days_inactive < 7 THEN 'active'
+        |         WHEN days_inactive < 30 THEN 'at_risk'
+        |         ELSE 'churned' END AS band
+        |  FROM d)
+        |SELECT band, count(*) AS n_users,
+        |  CAST(sum(days_inactive) AS BIGINT) AS sum_days,
+        |  max(days_inactive) AS max_days
+        |FROM b GROUP BY band ORDER BY band""".stripMargin),
     "ev_sliding_active" -> GQuery.sql(slidingActive,
       """WITH w AS (
         |  SELECT user_id,

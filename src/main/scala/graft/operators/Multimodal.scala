@@ -171,7 +171,68 @@ object Multimodal {
           .as("win_md5"))
       .orderBy("doc_id", "win_idx")
 
+  /** Virtual-image geometry for `mm_image_tiles`: payload bytes laid
+    * out row-major at RowBytes per row, cut into a TileDim × TileDim
+    * non-overlapping patch grid (the ViT-patchify shape). RowBytes is
+    * divisible by TileDim so the tile-column count is a constant
+    * RowBytes/TileDim.
+    */
+  val RowBytes = 64
+  val TileDim = 16
+
+  /** 2D patchify plumbing: each doc's payload is a virtual
+    * RowBytes-wide image; emit every non-empty TileDim×TileDim tile
+    * with its grid coordinates, exact byte coverage (ragged right and
+    * bottom edges shrink naturally via substring clamping), and a
+    * tile md5 — the unit a patch-embedding or tile-dedup stage
+    * consumes. The tile gather is a STATIC unroll of TileDim row
+    * slices into one codegen'd concat — no per-tile arrays, no UDF;
+    * per-doc cost is linear in bytes and the only wide op is the
+    * verification ORDER BY.
+    */
+  def imageTiles(spark: SparkSession, dir: String): DataFrame = {
+    val tileExpr = (0 until TileDim)
+      .map(r => s"substring(text, CAST((ty*$TileDim + $r)*$RowBytes + tx*$TileDim + 1 AS INT), $TileDim)")
+      .mkString("concat(", ", ", ")")
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((length(text) - 1) div ${RowBytes * TileDim} AS BIGINT)")))
+          .as("ty"))
+      .select(col("doc_id"), col("text"), col("ty"),
+        explode(sequence(lit(0L), lit(RowBytes / TileDim - 1L))).as("tx"))
+      .select(col("doc_id"), col("ty"), col("tx"), expr(tileExpr).as("tile"))
+      .filter(length(col("tile")) > 0)
+      .select(col("doc_id"), col("ty"), col("tx"),
+        length(col("tile")).cast("long").as("tile_len"),
+        md5(col("tile").cast("binary")).as("tile_md5"))
+      .orderBy("doc_id", "ty", "tx")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "mm_image_tiles" -> GQuery.sql(imageTiles, {
+      val tileSql = (0 until TileDim)
+        .map(r => s"substring(text, (ty*$TileDim + $r)*$RowBytes + tx*$TileDim + 1, $TileDim)")
+        .mkString(" || ")
+      s"""WITH ascii_ok AS (
+        |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok
+        |  FROM documents WHERE octet_length(encode(text)) <> length(text)),
+        |ty AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (length(text) - 1) // ${RowBytes * TileDim} + 1)) AS ty
+        |  FROM documents WHERE length(text) > 0),
+        |tt AS (
+        |  SELECT doc_id, text, ty, unnest(range(0, ${RowBytes / TileDim})) AS tx
+        |  FROM ty),
+        |tiles AS (
+        |  SELECT doc_id, ty, tx, $tileSql AS tile FROM tt)
+        |SELECT doc_id, ty, tx,
+        |  length(tile) AS tile_len, md5(tile) AS tile_md5
+        |FROM tiles
+        |WHERE length(tile) > 0 AND (SELECT ok FROM ascii_ok) = 1
+        |ORDER BY doc_id, ty, tx""".stripMargin
+    }),
     "mm_audio_windows" -> GQuery.sql(audioWindows,
       s"""WITH ascii_ok AS (
         |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok

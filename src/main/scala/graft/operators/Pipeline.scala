@@ -674,7 +674,57 @@ FROM s GROUP BY col_name ORDER BY col_name"""
           .as("dup_ppm"))
       .orderBy("source")
 
+  /** Training-mix epoch planner: given per-source token totals, the
+    * domain-mix weights (`domainMix`'s digit rule), and a global
+    * token budget of half the corpus, compute each source's token
+    * target and the number of epochs (×1000) needed to serve it —
+    * epochs > 1.0 flags the up-sampled (repeated) domains, the number
+    * every data-mixture paper reports. Pure integer arithmetic end to
+    * end (HALF_UP §4 rule), so the oracle is bit-exact. One scan +
+    * a |sources|-row agg + a broadcast of the 1-row totals: the same
+    * cost shape at 100 TB.
+    */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), Text.wsTokenCount(col("text")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("w",
+        coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L))
+          % 4L + 1L)
+    val tot = bySrc.agg(sum("n_tokens").as("tok_total"), sum("w").as("w_total"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tok_total div 2"))
+      .withColumn("target_tokens",
+        expr("(2*budget*w + w_total) div (2*w_total)"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        col("target_tokens"),
+        expr("(2*1000*target_tokens + greatest(n_tokens,1)) div (2*greatest(n_tokens,1))")
+          .as("epochs_x1000"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_epoch_schedule" -> GQuery.sql(epochSchedule,
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[[:space:]]+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        |    (coalesce(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT), 0) % 4) + 1 AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |    CAST(sum(w) AS BIGINT) AS w_total FROM s),
+        |t AS (
+        |  SELECT s.*, tok_total // 2 AS budget, w_total FROM s CROSS JOIN tot),
+        |x AS (
+        |  SELECT source, n_docs, n_tokens, w,
+        |    (2*budget*w + w_total) // (2*w_total) AS target_tokens
+        |  FROM t)
+        |SELECT source, n_docs, n_tokens, w, target_tokens,
+        |  (2*1000*target_tokens + greatest(n_tokens,1)) // (2*greatest(n_tokens,1))
+        |    AS epochs_x1000
+        |FROM x ORDER BY source""".stripMargin),
     "pipe_quality_score" -> GQuery.sql(qualityScore,
       """WITH toks AS (
         |  SELECT doc_id, text, length(text) AS chars,

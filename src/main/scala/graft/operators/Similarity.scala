@@ -1017,7 +1017,37 @@ ORDER BY f.vec_id"""
       .orderBy("q_id")
   }
 
+  /** Embedding-value histogram: fixed 20-bin census of every
+    * coordinate value per label — the distribution-drift /
+    * quantization-calibration check (clip range choice, outlier mass)
+    * run before int8 casting a corpus. Bin = clamped
+    * floor((x+0.5)/0.05): float→double widening is exact and both
+    * engines run the same IEEE double ops, so bin ids are
+    * deterministic. Scale shape: posexplode feeds a partial agg on
+    * the tiny (label × 20) key grid IN THE SAME STAGE, so each input
+    * split ships ≤ |labels|·20 rows to the one shuffle — the explode
+    * never hits the wire.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label"), explode(col("v")).as("x"))
+      .select(col("label"),
+        least(greatest(floor((col("x").cast("double") + 0.5) / 0.05), lit(0.0)),
+          lit(19.0)).cast("long").as("bin"))
+      .groupBy("label", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "bin")
+
   val queries: Map[String, GQuery] = Map(
+    "vec_value_histogram" -> GQuery.sql(valueHistogram,
+      """WITH x AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+        |b AS (
+        |  SELECT label,
+        |    CAST(least(greatest(floor((x + 0.5) / 0.05), 0), 19) AS BIGINT) AS bin
+        |  FROM x)
+        |SELECT label, bin, count(*) AS n
+        |FROM b GROUP BY label, bin ORDER BY label, bin""".stripMargin),
     "ann_range_count" -> GQuery.sql(rangeCount,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.Text
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline
@@ -337,7 +337,75 @@ object TextAnalysis {
           6).as("fit_r2"))
   }
 
+  /** Explicit ASCII character classes shared with the DuckDB oracle.
+    * Java `\s` and RE2 `[[:space:]]` are the same six chars but the
+    * explicit class removes the cross-engine trust; `\p{Punct}` ==
+    * `[[:punct:]]` is the established §4 identity.
+    */
+  private val SpaceClass = "[ \\t\\n\\x0B\\f\\r]"
+
+  private def classCount(c: Column, regex: String): Column =
+    (length(c) - length(regexp_replace(c, regex, ""))).cast("long")
+
+  /** Per-language character-class composition census — the corpus-QA
+    * signal that catches encoding mishaps, boilerplate floods (punct
+    * or digit spikes), and case-collapsed crawls before they hit
+    * training. Per-doc counts are length-diffs of `regexp_replace`
+    * (codegen'd, no explode); the shuffle key is `lang` (tiny,
+    * conf-free domain), so partial aggregation collapses each input
+    * split to ≤|langs| rows — one narrow scan at any corpus size.
+    * Ratios are ppm integers by the §4 pure-integer HALF_UP rule.
+    */
+  def charclassCensus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("n"),
+        classCount(col("text"), "[a-z]").as("lo"),
+        classCount(col("text"), "[A-Z]").as("up"),
+        classCount(col("text"), "[0-9]").as("di"),
+        classCount(col("text"), SpaceClass).as("sp"),
+        classCount(col("text"), "\\p{Punct}").as("pu"))
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
+        sum("lo").as("lo"), sum("up").as("up"), sum("di").as("di"),
+        sum("sp").as("sp"), sum("pu").as("pu"))
+      .withColumn("t", greatest(col("n_chars"), lit(1L)))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        expr("(2*1000000*lo + t) div (2*t)").as("lower_ppm"),
+        expr("(2*1000000*up + t) div (2*t)").as("upper_ppm"),
+        expr("(2*1000000*di + t) div (2*t)").as("digit_ppm"),
+        expr("(2*1000000*sp + t) div (2*t)").as("space_ppm"),
+        expr("(2*1000000*pu + t) div (2*t)").as("punct_ppm"),
+        expr("(2*1000000*(n_chars - lo - up - di - sp - pu) + t) div (2*t)")
+          .as("other_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_charclass_census" -> GQuery.sql(charclassCensus,
+      """WITH d AS (
+        |  SELECT lang, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS lo,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS up,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS di,
+        |    length(text) - length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS sp,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS pu
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    CAST(sum(lo) AS BIGINT) AS lo, CAST(sum(up) AS BIGINT) AS up,
+        |    CAST(sum(di) AS BIGINT) AS di, CAST(sum(sp) AS BIGINT) AS sp,
+        |    CAST(sum(pu) AS BIGINT) AS pu,
+        |    greatest(CAST(sum(n) AS BIGINT), 1) AS t
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, n_chars,
+        |  (2*1000000*lo + t) // (2*t) AS lower_ppm,
+        |  (2*1000000*up + t) // (2*t) AS upper_ppm,
+        |  (2*1000000*di + t) // (2*t) AS digit_ppm,
+        |  (2*1000000*sp + t) // (2*t) AS space_ppm,
+        |  (2*1000000*pu + t) // (2*t) AS punct_ppm,
+        |  (2*1000000*(n_chars - lo - up - di - sp - pu) + t) // (2*t) AS other_ppm
+        |FROM g ORDER BY lang""".stripMargin),
     "txt_zipf_fit" -> GQuery.sql(zipfFit,
       """WITH toks AS (
         |  SELECT list_filter(regexp_split_to_array(lower(text),
