@@ -669,7 +669,50 @@ object Events {
       .orderBy("day")
   }
 
+  /** Cohort lifetime-value curves: users grouped by first-seen day
+    * (the cohort), spend accumulated by cohort age in whole days —
+    * the LTV companion to `ev_retention`'s counting curves. Exact
+    * integer end to end: value rides as cents, the running total is a
+    * window over the ALREADY-AGGREGATED (cohort, age) grid (bounded
+    * by the calendar span², never by users or events — the
+    * `rel_window_running` shape). Two keyed shuffles: per-user first
+    * day, then the cohort-age agg; the user→cohort attach is a keyed
+    * equi-join.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val grid = ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("cents"))
+    val byCohort = Window.partitionBy("cohort_day").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_cents", sum(col("cents")).over(byCohort))
+      .select("cohort_day", "age", "n_users", "cents", "cum_cents")
+      .orderBy("cohort_day", "age")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_cohort_ltv" -> GQuery.sql(cohortLtv,
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        |g AS (
+        |  SELECT c.cohort_day, e.day - c.cohort_day AS age,
+        |    count(DISTINCT e.user_id) AS n_users,
+        |    CAST(sum(e.cents) AS BIGINT) AS cents
+        |  FROM ev e JOIN c USING (user_id)
+        |  GROUP BY c.cohort_day, e.day - c.cohort_day)
+        |SELECT cohort_day, age, n_users, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM g ORDER BY cohort_day, age""".stripMargin),
     "ev_lateness_census" -> GQuery.sql(latenessCensus,
       """WITH r AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms,

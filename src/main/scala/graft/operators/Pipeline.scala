@@ -704,7 +704,102 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixture weights (τ = 1/2): sampling rate
+    * ∝ n_tokens^τ — the standard multilingual-corpus flattening that
+    * up-weights small domains relative to proportional sampling.
+    * τ = 1/2 keeps the whole computation deterministic: sqrt is an
+    * exactly-rounded IEEE op in BOTH engines (no libm pow in the
+    * loop), the weight is then quantized to an e6 integer via
+    * ⌊x·10⁶+0.5⌋, and every downstream ratio is the pure-integer
+    * HALF_UP rule. The flat (τ=1) ppm rides alongside so the
+    * flattening is readable per source. One scan + source-count agg +
+    * broadcast 1-row totals.
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), Text.wsTokenCount(col("text")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("w_e6",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+    val tot = bySrc.agg(sum("n_tokens").as("tok_total"), sum("w_e6").as("w_total"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_e6"),
+        expr("(2*1000000*w_e6 + w_total) div (2*w_total)").as("temp_ppm"),
+        expr("(2*1000000*n_tokens + tok_total) div (2*tok_total)").as("flat_ppm"))
+      .orderBy("source")
+  }
+
+  val SplitWin = 64
+  val SplitStride = 48
+
+  /** Token-aligned long-document splitting with overlap — the
+    * context-window prep step between cleaning and packing: each doc
+    * becomes ⌈(n−W+S−1)/S⌉+1 windows of SplitWin tokens advancing by
+    * SplitStride (16-token overlap carries context across chunk
+    * boundaries; `mm_chunk` is the byte-aligned cousin, this is the
+    * token-aligned one a tokenizer-bound pipeline needs). Geometry is
+    * the `mm_audio_windows` integer formula; each chunk publishes its
+    * token span and an md5 of the space-joined slice, so a downstream
+    * exact-dedup can run on chunks. Per-doc linear, codegen'd
+    * sequence+explode+slice, no shuffle before the verification sort.
+    */
+  def longDocSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          expr(s"greatest(n - $SplitWin + $SplitStride - 1, 0L) div $SplitStride")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * SplitStride).as("start_tok"),
+        expr(s"slice(toks, CAST(chunk_idx * $SplitStride + 1 AS INT), $SplitWin)")
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_long_doc_split" -> GQuery.sql(longDocSplit,
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0,
+        |      greatest(n - $SplitWin + $SplitStride - 1, 0) // $SplitStride + 1))
+        |      AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * $SplitStride AS start_tok,
+        |  CAST(len(list_slice(toks, chunk_idx * $SplitStride + 1,
+        |    chunk_idx * $SplitStride + $SplitWin)) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(toks, chunk_idx * $SplitStride + 1,
+        |    chunk_idx * $SplitStride + $SplitWin), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+    "pipe_mixture_temperature" -> GQuery.sql(mixtureTemperature,
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[[:space:]]+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+        |  FROM s),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |    CAST(sum(w_e6) AS BIGINT) AS w_total FROM w)
+        |SELECT source, n_docs, n_tokens, w_e6,
+        |  (2*1000000*w_e6 + w_total) // (2*w_total) AS temp_ppm,
+        |  (2*1000000*n_tokens + tok_total) // (2*tok_total) AS flat_ppm
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin),
     "pipe_epoch_schedule" -> GQuery.sql(epochSchedule,
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,

@@ -650,6 +650,97 @@ object Relational {
       .orderBy("zbucket")
   }
 
+  val SkipProbes = 16
+
+  /** Data-skipping effectiveness audit — the quantitative WHY behind
+    * `rel_zorder_cluster`: build two 256-bucket layout manifests over
+    * lineitem (z-order on (partkey, suppkey) vs a plain
+    * lexicographic partkey sort), fire SkipProbes equal-width range
+    * probes on the NON-sort dimension (suppkey), and count which
+    * buckets min/max pruning would skip under each layout. The
+    * lex layout's buckets each span ~the whole suppkey range (no
+    * pruning); z-order's near-rectangular buckets prune most probes —
+    * the measured advantage a lakehouse OPTIMIZE ZORDER report shows.
+    * Everything after the two ≤256-row manifests is broadcast
+    * arithmetic; probe edges are exact integer divisions.
+    */
+  def relSkippingStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+      min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+    val zmax = (1L << ZBits) - 1
+    def norm(x: Column, lo: Column, hi: Column): Column =
+      floor((x - lo) * zmax / greatest(hi - lo, lit(1L))).cast("long")
+    val keyed = li.crossJoin(broadcast(bounds))
+      .select(col("l_suppkey"), col("slo"), col("shi"),
+        norm(col("l_partkey"), col("plo"), col("phi")).as("up"),
+        norm(col("l_suppkey"), col("slo"), col("shi")).as("us"))
+    def manifest(bucket: Column, tag: String) = keyed
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_suppkey").as("mn"), max("l_suppkey").as("mx"),
+        first("slo").as("slo"), first("shi").as("shi"))
+      .withColumn("layout", lit(tag))
+    val zman = manifest(shiftright(zInterleave(col("up"), col("us")), ZBucketShift), "z")
+    val lman = manifest(col("up"), "lex")
+    val man = zman.unionByName(lman)
+    val probes = spark.range(SkipProbes).select(col("id").as("probe"))
+    man.crossJoin(broadcast(probes))
+      .withColumn("plo_k",
+        expr(s"slo + ((shi - slo + 1) * probe) div $SkipProbes"))
+      .withColumn("phi_k",
+        expr(s"slo + ((shi - slo + 1) * (probe + 1)) div $SkipProbes - 1"))
+      .withColumn("scanned", (col("mn") <= col("phi_k") && col("mx") >= col("plo_k")).cast("long"))
+      .groupBy("probe", "layout")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("scanned")).as("buckets_scanned"),
+        sum(col("scanned") * col("n_rows")).as("rows_scanned"))
+      .withColumn("prune_ppm",
+        expr("(2*(n_buckets - buckets_scanned)*1000000 + n_buckets) div (2*n_buckets)"))
+      .orderBy("probe", "layout")
+  }
+
+  private def skippingOracle: String = {
+    val zmax = (1L << ZBits) - 1
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+       |  FROM lineitem),
+       |n AS (
+       |  SELECT l_suppkey, slo, shi,
+       |    CAST(floor((l_partkey - plo) * $zmax / greatest(phi - plo, 1)) AS BIGINT) AS up,
+       |    CAST(floor((l_suppkey - slo) * $zmax / greatest(shi - slo, 1)) AS BIGINT) AS us
+       |  FROM lineitem, b),
+       |man AS (
+       |  SELECT 'z' AS layout, ${zInterleaveSql("up", "us")} >> $ZBucketShift AS bucket,
+       |    count(*) AS n_rows, min(l_suppkey) AS mn, max(l_suppkey) AS mx,
+       |    any_value(slo) AS slo, any_value(shi) AS shi
+       |  FROM n GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'lex' AS layout, up AS bucket,
+       |    count(*) AS n_rows, min(l_suppkey) AS mn, max(l_suppkey) AS mx,
+       |    any_value(slo) AS slo, any_value(shi) AS shi
+       |  FROM n GROUP BY 1, 2),
+       |p AS (SELECT unnest(range(0, $SkipProbes)) AS probe),
+       |x AS (
+       |  SELECT man.*, p.probe,
+       |    slo + ((shi - slo + 1) * p.probe) // $SkipProbes AS plo_k,
+       |    slo + ((shi - slo + 1) * (p.probe + 1)) // $SkipProbes - 1 AS phi_k
+       |  FROM man CROSS JOIN p),
+       |s AS (
+       |  SELECT probe, layout, n_rows,
+       |    CASE WHEN mn <= phi_k AND mx >= plo_k THEN 1 ELSE 0 END AS scanned
+       |  FROM x)
+       |SELECT probe, layout, count(*) AS n_buckets,
+       |  CAST(sum(scanned) AS BIGINT) AS buckets_scanned,
+       |  CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+       |  (2*(count(*) - CAST(sum(scanned) AS BIGINT))*1000000 + count(*))
+       |    // (2*count(*)) AS prune_ppm
+       |FROM s GROUP BY probe, layout ORDER BY probe, layout""".stripMargin
+  }
+
   private def zorderOracle: String = {
     val zmax = (1L << ZBits) - 1
     s"""WITH b AS (
@@ -937,6 +1028,7 @@ object Relational {
         |  quartile
         |FROM r ORDER BY c_nationkey, rnk""".stripMargin),
     "rel_zorder_cluster" -> GQuery.sql(relZorderCluster, zorderOracle),
+    "rel_skipping_stats" -> GQuery.sql(relSkippingStats, skippingOracle),
     "rel_table_diff" -> GQuery.sql(relTableDiff,
       """WITH b AS (
         |  SELECT o_orderkey AS bk,

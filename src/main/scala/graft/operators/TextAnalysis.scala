@@ -381,7 +381,77 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the corpus-drift / mixture-planning matrix (how
+    * far apart two domains' vocabularies sit, symmetric and bounded
+    * [0, 1] in bits). Scale shape: per-(source, word) counts (one
+    * keyed partial-aggregable shuffle), per-word probability maps
+    * gathered with `map_from_entries` — bounded by the SOURCE count,
+    * never the vocabulary — then a broadcast source-pair grid whose
+    * explode feeds a partial agg on the tiny pair domain in the same
+    * stage. Zero-overlap words contribute exactly p/2 (log2(2) = 1 in
+    * both engines); sums round to 6 (the txt_entropy log2 rule).
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("t"))
+    val probs = cnt.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("w"),
+        (col("c").cast("double") / col("t").cast("double")).as("p"))
+    val perWord = probs.groupBy("w")
+      .agg(map_from_entries(collect_list(struct(col("source"), col("p")))).as("m"))
+    val pairs = tot.select(col("source").as("s1"))
+      .crossJoin(broadcast(tot.select(col("source").as("s2"))))
+      .filter(col("s1") < col("s2"))
+    perWord.crossJoin(broadcast(pairs))
+      .select(col("s1"), col("s2"),
+        element_at(col("m"), col("s1")).as("p"),
+        element_at(col("m"), col("s2")).as("q"))
+      .filter(col("p").isNotNull || col("q").isNotNull)
+      .withColumn("t", coalesce(col("p"), lit(0.0)) + coalesce(col("q"), lit(0.0)))
+      .withColumn("term",
+        when(col("p").isNotNull,
+          col("p") * log2(lit(2.0) * col("p") / col("t")) * 0.5).otherwise(0.0) +
+          when(col("q").isNotNull,
+            col("q") * log2(lit(2.0) * col("q") / col("t")) * 0.5).otherwise(0.0))
+      .groupBy("s1", "s2")
+      .agg(round(sum(col("term")), 6).as("jsd"),
+        count(lit(1)).as("n_words"))
+      .orderBy("s1", "s2")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_js_divergence" -> GQuery.sql(jsDivergence,
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[[:punct:][:space:]]+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY source),
+        |probs AS (
+        |  SELECT c.source, c.w, c.c::DOUBLE / t.t::DOUBLE AS p
+        |  FROM cnt c JOIN tot t USING (source)),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+        |words AS (SELECT DISTINCT w FROM cnt),
+        |grid AS (SELECT s1, s2, w FROM pairs CROSS JOIN words),
+        |pq AS (
+        |  SELECT g.s1, g.s2, p1.p AS p, p2.p AS q,
+        |    coalesce(p1.p, 0) + coalesce(p2.p, 0) AS t
+        |  FROM grid g
+        |  LEFT JOIN probs p1 ON p1.source = g.s1 AND p1.w = g.w
+        |  LEFT JOIN probs p2 ON p2.source = g.s2 AND p2.w = g.w
+        |  WHERE p1.p IS NOT NULL OR p2.p IS NOT NULL)
+        |SELECT s1, s2,
+        |  round(sum(
+        |    CASE WHEN p IS NOT NULL THEN p * log2(2 * p / t) * 0.5 ELSE 0 END +
+        |    CASE WHEN q IS NOT NULL THEN q * log2(2 * q / t) * 0.5 ELSE 0 END), 6)
+        |    AS jsd,
+        |  count(*) AS n_words
+        |FROM pq GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin),
     "txt_charclass_census" -> GQuery.sql(charclassCensus,
       """WITH d AS (
         |  SELECT lang, length(text) AS n,

@@ -727,7 +727,93 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
       .orderBy("node")
   }
 
+  val HitsIters = 4
+
+  /** HITS hubs & authorities over the DIRECTED bipartite purchase
+    * graph (customer = hub side, supplier = authority side) — the
+    * classic companion to PageRank with genuinely different
+    * semantics: mutual reinforcement instead of a random walk.
+    * Scale discipline is `pagerank`'s verbatim: loop-invariant edges
+    * pre-partitioned + localCheckpoint'd, one keyed shuffle per
+    * half-round, per-round lineage truncation. Determinism: scores
+    * are normalized by the MAX (L∞) rather than the L2 norm — max is
+    * order-free where a distributed sum-of-squares is not — and
+    * every sum is rounded to 8 before the next round reads it (the
+    * `pagerank` §4 fixpoint rule), so the DuckDB CTE replay iterates
+    * bit-identical values. Rankings are normalization-invariant.
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + PageRankSuppOffset).as("supp"))
+      .distinct()
+      .repartition(col("cust")).localCheckpoint()
+    val hubs0 = e.select(col("cust")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint()
+    var hubs = hubs0
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      // checkpoint the RAW sums, not the normalized projection: the
+      // max agg and the normalized form then both read the same
+      // materialization instead of re-running the join pipeline —
+      // one barrier per half-round, not two
+      val araw = e.join(hubs, Seq("cust"))
+        .groupBy("supp").agg(round(sum(col("h")), 8).as("a_raw"))
+        .localCheckpoint()
+      val amax = araw.agg(max(col("a_raw")).as("mx"))
+      auths = araw.crossJoin(broadcast(amax))
+        .select(col("supp"), round(col("a_raw") / col("mx"), 8).as("a"))
+      val hraw = e.join(auths, Seq("supp"))
+        .groupBy("cust").agg(round(sum(col("a")), 8).as("h_raw"))
+        .localCheckpoint()
+      val hmax = hraw.agg(max(col("h_raw")).as("mx"))
+      hubs = hraw.crossJoin(broadcast(hmax))
+        .select(col("cust"), round(col("h_raw") / col("mx"), 8).as("h"))
+    }
+    auths.select(lit("auth").as("side"), col("supp").as("node"), col("a").as("score"))
+      .orderBy(desc("score"), asc("node")).limit(50)
+      .unionByName(
+        hubs.select(lit("hub").as("side"), col("cust").as("node"), col("h").as("score"))
+          .orderBy(desc("score"), asc("node")).limit(50))
+      .orderBy(col("side"), col("score").desc, col("node"))
+  }
+
+  private def hitsOracle: String = {
+    // max-normalization via a window, NOT a scalar subquery: a second
+    // reference to ar$i/hr$i would make DuckDB's CTE inlining
+    // re-evaluate the whole iteration chain per reference —
+    // exponential across 4·4 CTE levels (measured: the subquery form
+    // never finished at sf0.001). Single references keep it linear.
+    def iter(i: Int): String = s""",
+ar$i AS (
+  SELECT e.supp, round(sum(h.h), 8) AS a_raw
+  FROM e JOIN h${i - 1} h ON e.cust = h.cust GROUP BY e.supp),
+a$i AS (
+  SELECT supp, round(a_raw / max(a_raw) OVER (), 8) AS a FROM ar$i),
+hr$i AS (
+  SELECT e.cust, round(sum(a.a), 8) AS h_raw
+  FROM e JOIN a$i a ON e.supp = a.supp GROUP BY e.cust),
+h$i AS (
+  SELECT cust, round(h_raw / max(h_raw) OVER (), 8) AS h FROM hr$i)"""
+    s"""WITH e AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + $PageRankSuppOffset AS supp
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+h0 AS (SELECT DISTINCT cust, 1.0 AS h FROM e)""" +
+      (1 to HitsIters).map(iter).mkString +
+      s"""
+SELECT side, node, score FROM (
+  (SELECT 'auth' AS side, supp AS node, a AS score FROM a$HitsIters
+   ORDER BY score DESC, node LIMIT 50)
+  UNION ALL
+  (SELECT 'hub' AS side, cust AS node, h AS score FROM h$HitsIters
+   ORDER BY score DESC, node LIMIT 50))
+ORDER BY side, score DESC, node"""
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_hits" -> GQuery.sql(hits, hitsOracle),
     "wc_heavy_hitters" -> GQuery.rowsOnly(heavyHitters),
     "wc_clustering_coeff" -> GQuery.sql(clusteringCoeff,
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

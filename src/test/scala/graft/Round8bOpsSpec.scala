@@ -113,6 +113,130 @@ class Round8bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("hits scores are L-inf normalized on a strictly bipartite node split") {
+    val got = operators.WordCount.hits(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val bySide = got.groupBy(_.getAs[String]("side"))
+    assert(bySide.keySet == Set("auth", "hub"))
+    bySide.foreach { case (side, rs) =>
+      assert(rs.length <= 50)
+      val scores = rs.map(_.getAs[Double]("score"))
+      // max normalization puts the top node at exactly 1.0 each side
+      assert(scores.max == 1.0)
+      scores.foreach(sc => assert(sc > 0.0 && sc <= 1.0))
+      rs.foreach { r =>
+        val n = r.getAs[Long]("node")
+        if (side == "auth") assert(n >= operators.WordCount.PageRankSuppOffset)
+        else assert(n < operators.WordCount.PageRankSuppOffset)
+      }
+    }
+  }
+
+  test("js divergence covers every source pair and one pair replays driver-side") {
+    val got = operators.TextAnalysis.jsDivergence(spark, SfDir).collect()
+    val nSources = Tables.documents(spark, SfDir)
+      .select("source").distinct().count().toInt
+    assert(got.length == nSources * (nSources - 1) / 2)
+    got.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[String]("s1") < r.getAs[String]("s2"))
+    }
+    // brute-force one pair from raw token streams
+    val (s1, s2) = (got.head.getAs[String]("s1"), got.head.getAs[String]("s2"))
+    def dist(src: String): Map[String, Double] = {
+      val toks = Tables.documents(spark, SfDir)
+        .filter(col("source") === src)
+        .select(explode(graft.functions.Text.tokens(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble)
+      val t = toks.map(_._2).sum
+      toks.map { case (w, c) => w -> c / t }.toMap
+    }
+    val (p, q) = (dist(s1), dist(s2))
+    val want = (p.keySet ++ q.keySet).toSeq.map { w =>
+      val (pw, qw) = (p.getOrElse(w, 0.0), q.getOrElse(w, 0.0))
+      val t = pw + qw
+      (if (pw > 0) 0.5 * pw * (math.log(2 * pw / t) / math.log(2)) else 0.0) +
+        (if (qw > 0) 0.5 * qw * (math.log(2 * qw / t) / math.log(2)) else 0.0)
+    }.sum
+    assert(math.abs(got.head.getAs[Double]("jsd") - want) < 1e-5)
+  }
+
+  test("cohort ltv curves accumulate to each cohort's total spend") {
+    val got = operators.Events.cohortLtv(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val byCohort = got.groupBy(_.getAs[Long]("cohort_day"))
+    byCohort.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("age"))
+      // cum_cents is exactly the prefix sum of the per-age cents
+      var acc = 0L
+      sorted.foreach { r =>
+        acc += r.getAs[Long]("cents")
+        assert(r.getAs[Long]("cum_cents") == acc)
+      }
+    }
+    // every event lands in exactly one (cohort, age) cell
+    val wantCents = Tables.events(spark, SfDir)
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))).head().getLong(0)
+    assert(got.map(_.getAs[Long]("cents")).sum == wantCents)
+  }
+
+  test("temperature sampling flattens the mixture toward small sources") {
+    val got = operators.Pipeline.mixtureTemperature(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val tempSum = got.map(_.getAs[Long]("temp_ppm")).sum
+    assert(math.abs(tempSum - 1000000L) <= (got.length + 1) / 2)
+    val byTok = got.sortBy(_.getAs[Long]("n_tokens"))
+    // τ=1/2 up-weights the smallest source and down-weights the largest
+    assert(byTok.head.getAs[Long]("temp_ppm") >= byTok.head.getAs[Long]("flat_ppm"))
+    assert(byTok.last.getAs[Long]("temp_ppm") <= byTok.last.getAs[Long]("flat_ppm"))
+  }
+
+  test("z-order layout dominates lexicographic on non-sort-dimension probes") {
+    val got = operators.Relational.relSkippingStats(spark, SfDir).collect()
+    assert(got.length == operators.Relational.SkipProbes * 2)
+    val byProbe = got.groupBy(_.getAs[Long]("probe"))
+    var zRows = 0L; var lexRows = 0L
+    byProbe.foreach { case (_, rs) =>
+      val z = rs.find(_.getAs[String]("layout") == "z").get
+      val lex = rs.find(_.getAs[String]("layout") == "lex").get
+      Seq(z, lex).foreach { r =>
+        assert(r.getAs[Long]("buckets_scanned") <= r.getAs[Long]("n_buckets"))
+        val ppm = r.getAs[Long]("prune_ppm")
+        assert(ppm >= 0L && ppm <= 1000000L)
+      }
+      zRows += z.getAs[Long]("rows_scanned")
+      lexRows += lex.getAs[Long]("rows_scanned")
+    }
+    // the point of the operator: across the probe set, z-order's
+    // rectangular buckets scan far fewer rows than the partkey sort
+    assert(zRows < lexRows,
+      s"z-order scanned $zRows rows vs lex $lexRows — layout advantage lost")
+  }
+
+  test("long-doc split windows tile every token stream with exact overlap") {
+    val got = operators.Pipeline.longDocSplit(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val (w, s) = (operators.Pipeline.SplitWin, operators.Pipeline.SplitStride)
+    val nToks = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokens(lower(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val n = nToks(id)
+      val wantChunks = math.max(n - w + s - 1, 0L) / s + 1
+      assert(rs.length == wantChunks)
+      rs.foreach { r =>
+        val start = r.getAs[Long]("start_tok")
+        assert(start == r.getAs[Long]("chunk_idx") * s)
+        assert(r.getAs[Long]("n_tok") == math.min(w.toLong, n - start))
+      }
+      // the final window reaches the end of the stream
+      assert(rs.map(r => r.getAs[Long]("start_tok") + r.getAs[Long]("n_tok")).max == n)
+    }
+  }
+
   test("image tiles exactly partition each payload and one doc replays byte-for-byte") {
     val tiles = operators.Multimodal.imageTiles(spark, SfDir)
     val perDoc = tiles.groupBy("doc_id").agg(sum("tile_len").as("covered"))
