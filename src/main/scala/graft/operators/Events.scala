@@ -695,7 +695,202 @@ object Events {
       .orderBy("cohort_day", "age")
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the CRM
+    * census behind every targeting pipeline. Scores are terciles
+    * around the CORPUS MEAN (below ⅔·mean → 1, above 4/3·mean → 3),
+    * compared as cross-multiplied integers (3·x·n vs 2·Σx / 4·Σx) so
+    * no division — FP or integer — ever happens and the cuts are
+    * scale-factor-invariant (absolute thresholds would collapse to
+    * one band when per-user volume grows 10×). Recency scores
+    * REVERSED (fresher = higher); its corpus total derives from the
+    * same one-row aggregate (Σrec = n·max_ms − Σlast_ms), so the plan
+    * is one keyed user agg + ONE broadcast 1-row totals join + a
+    * ≤27-cell census agg. Headroom: 3·rec_ms·n_users < 2⁶³ up to
+    * ~10⁹ users at a 30-day horizon; band by days instead beyond.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(max(col("ms")).as("last_ms"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    val totals = per.agg(count(lit(1)).as("n_users"),
+      max(col("last_ms")).as("corpus_ms"),
+      sum(col("last_ms")).as("sum_last_ms"),
+      sum(col("freq")).as("tot_freq"),
+      sum(col("cents")).as("tot_cents"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("rec_ms", col("corpus_ms") - col("last_ms"))
+      .withColumn("tot_rec",
+        col("n_users") * col("corpus_ms") - col("sum_last_ms"))
+      .select(
+        when(lit(3) * col("rec_ms") * col("n_users") <= lit(2) * col("tot_rec"), 3L)
+          .when(lit(3) * col("rec_ms") * col("n_users") >= lit(4) * col("tot_rec"), 1L)
+          .otherwise(2L).as("r"),
+        when(lit(3) * col("freq") * col("n_users") >= lit(4) * col("tot_freq"), 3L)
+          .when(lit(3) * col("freq") * col("n_users") <= lit(2) * col("tot_freq"), 1L)
+          .otherwise(2L).as("f"),
+        when(lit(3) * col("cents") * col("n_users") >= lit(4) * col("tot_cents"), 3L)
+          .when(lit(3) * col("cents") * col("n_users") <= lit(2) * col("tot_cents"), 1L)
+          .otherwise(2L).as("m"),
+        col("freq"), col("cents"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"), sum(col("freq")).as("sum_events"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("r", "f", "m")
+  }
+
+  /** Inter-arrival latency census — the queueing/telemetry primitive
+    * (arrival-process profile for capacity planning and bot
+    * detection): consecutive same-user gaps in event time, banded on
+    * integer-ms cuts {<1 h, <6 h, <1 d, <3 d, ≥3 d} with per-band
+    * count, contributing users, sum/max and the §4 HALF_UP integer
+    * mean. One keyed user window (per-user sort, never global) + a
+    * 5-row band agg; gaps ride as epoch-ms BIGINTs end to end.
+    */
+  def interarrivalCensus(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(byUser))
+      .filter(col("gap_ms").isNotNull)
+      .select(col("user_id"),
+        when(col("gap_ms") < 3600000L, "a_lt_1h")
+          .when(col("gap_ms") < 21600000L, "b_lt_6h")
+          .when(col("gap_ms") < 86400000L, "c_lt_1d")
+          .when(col("gap_ms") < 259200000L, "d_lt_3d")
+          .otherwise("e_ge_3d").as("band"),
+        col("gap_ms"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("gap_ms")).as("sum_ms"),
+        max(col("gap_ms")).as("max_ms"))
+      .withColumn("mean_ms", expr("(2*sum_ms + n_gaps) div (2*n_gaps)"))
+      .orderBy("band")
+  }
+
+  /** Daily-activity streak profile — the gaps-and-islands classic
+    * (engagement/retention feature): consecutive-day runs per user
+    * via the island key day − row_number (constant within a run,
+    * pure integer), then per-user streak stats. Events first reduce
+    * to DISTINCT (user, day) pairs — partial-aggregable, so the
+    * per-user window sorts active DAYS (≤ calendar span), never raw
+    * events. One keyed dedup + one keyed window + two keyed aggs.
+    */
+  def streakCensus(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    du.withColumn("island", col("day") - row_number().over(byUser))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  /** Per-user behavioral entropy — the event-type diversity feature
+    * (bots and single-purpose scripts sit near 0, organic users
+    * higher): Shannon entropy over the user's event-type histogram
+    * via the engine-shared identity H = log2(n) − Σc·log2(c)/n, so
+    * both engines evaluate ONE expression tree on exact integer
+    * counts (the `txt_entropy` pattern, user-keyed). Two keyed aggs
+    * + one keyed join; rounded 6.
+    */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val n = c.groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clog"))
+    n.select(col("user_id"), col("n_events"), col("n_types"),
+      round(log2(col("n_events").cast("double")) -
+        col("clog") / col("n_events").cast("double"), 6).as("entropy"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_user_entropy" -> GQuery.sql(userEntropy,
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |n AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_types,
+        |    sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  round(log2(CAST(n_events AS DOUBLE)) - clog / CAST(n_events AS DOUBLE), 6)
+        |    AS entropy
+        |FROM n ORDER BY user_id""".stripMargin),
+    "ev_streak_census" -> GQuery.sql(streakCensus,
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM du),
+        |s AS (SELECT user_id, island, count(*) AS len
+        |      FROM i GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  max(len) AS max_streak
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "ev_rfm_segments" -> GQuery.sql(rfmSegments,
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS freq,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT count(*) AS n_users, max(last_ms) AS corpus_ms,
+        |    CAST(sum(last_ms) AS BIGINT) AS sum_last_ms,
+        |    CAST(sum(freq) AS BIGINT) AS tot_freq,
+        |    CAST(sum(cents) AS BIGINT) AS tot_cents
+        |  FROM per),
+        |s AS (
+        |  SELECT
+        |    CAST(CASE WHEN 3*(corpus_ms - last_ms)*n_users <= 2*(n_users*corpus_ms - sum_last_ms) THEN 3
+        |         WHEN 3*(corpus_ms - last_ms)*n_users >= 4*(n_users*corpus_ms - sum_last_ms) THEN 1
+        |         ELSE 2 END AS BIGINT) AS r,
+        |    CAST(CASE WHEN 3*freq*n_users >= 4*tot_freq THEN 3
+        |         WHEN 3*freq*n_users <= 2*tot_freq THEN 1
+        |         ELSE 2 END AS BIGINT) AS f,
+        |    CAST(CASE WHEN 3*cents*n_users >= 4*tot_cents THEN 3
+        |         WHEN 3*cents*n_users <= 2*tot_cents THEN 1
+        |         ELSE 2 END AS BIGINT) AS m,
+        |    freq, cents
+        |  FROM per CROSS JOIN t)
+        |SELECT r, f, m, count(*) AS n_users,
+        |  CAST(sum(freq) AS BIGINT) AS sum_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY r, f, m ORDER BY r, f, m""".stripMargin),
+    "ev_interarrival_census" -> GQuery.sql(interarrivalCensus,
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |    CASE WHEN gap_ms < 3600000 THEN 'a_lt_1h'
+        |         WHEN gap_ms < 21600000 THEN 'b_lt_6h'
+        |         WHEN gap_ms < 86400000 THEN 'c_lt_1d'
+        |         WHEN gap_ms < 259200000 THEN 'd_lt_3d'
+        |         ELSE 'e_ge_3d' END AS band,
+        |    gap_ms
+        |  FROM g WHERE gap_ms IS NOT NULL)
+        |SELECT band, count(*) AS n_gaps,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(gap_ms) AS BIGINT) AS sum_ms,
+        |  max(gap_ms) AS max_ms,
+        |  (2*CAST(sum(gap_ms) AS BIGINT) + count(*)) // (2*count(*)) AS mean_ms
+        |FROM b GROUP BY band ORDER BY band""".stripMargin),
     "ev_cohort_ltv" -> GQuery.sql(cohortLtv,
       """WITH ev AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,

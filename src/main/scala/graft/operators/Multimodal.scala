@@ -210,7 +210,56 @@ object Multimodal {
       .orderBy("doc_id", "ty", "tx")
   }
 
+  /** Exact binary-payload dedup census per media kind — the CAS
+    * (content-addressed storage) planning figure for a multimodal
+    * lake: duplicate blob share and the bytes a dedup store saves.
+    * One keyed agg on (kind, md5) — identical payloads collapse
+    * map-side — then a kinds-sized rollup; byte counts are exact
+    * octet lengths, the dup share a §4 HALF_UP ppm integer. The same
+    * plan at 100 TB: the md5 shuffle carries one row per DISTINCT
+    * blob per partition after partial agg, never raw payload bytes.
+    */
+  def blobDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        when(octet_length(col("text")) % 3 === 0, "image")
+          .when(octet_length(col("text")) % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        md5(col("text").cast("binary")).as("h"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .groupBy("kind", "h")
+      .agg(count(lit(1)).as("c"), max(col("nb")).as("nb"))
+      .groupBy("kind")
+      .agg(sum(col("c")).as("n_blobs"),
+        count(lit(1)).as("n_uniq"),
+        sum(col("c") * col("nb")).as("bytes_total"),
+        sum(col("nb")).as("bytes_dedup"))
+      .select(col("kind"), col("n_blobs"), col("n_uniq"),
+        col("bytes_total"), col("bytes_dedup"),
+        expr("(2*(n_blobs - n_uniq)*1000000 + n_blobs) div (2*n_blobs)")
+          .as("dup_ppm"))
+      .orderBy("kind")
+
   val queries: Map[String, GQuery] = Map(
+    "mm_blob_dedup" -> GQuery.sql(blobDedup,
+      """WITH b AS (
+        |  SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+        |              WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |    md5(text) AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |u AS (SELECT kind, h, count(*) AS c, max(nb) AS nb
+        |      FROM b GROUP BY kind, h),
+        |r AS (
+        |  SELECT kind, CAST(sum(c) AS BIGINT) AS n_blobs,
+        |    count(*) AS n_uniq,
+        |    CAST(sum(c * nb) AS BIGINT) AS bytes_total,
+        |    CAST(sum(nb) AS BIGINT) AS bytes_dedup
+        |  FROM u GROUP BY kind)
+        |SELECT kind, n_blobs, n_uniq, bytes_total, bytes_dedup,
+        |  (2*(n_blobs - n_uniq)*1000000 + n_blobs) // (2*n_blobs) AS dup_ppm
+        |FROM r ORDER BY kind""".stripMargin),
     "mm_image_tiles" -> GQuery.sql(imageTiles, {
       val tileSql = (0 until TileDim)
         .map(r => s"substring(text, (ty*$TileDim + $r)*$RowBytes + tx*$TileDim + 1, $TileDim)")

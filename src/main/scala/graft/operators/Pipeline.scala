@@ -762,7 +762,133 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Per-source token-budget selection — the "fill the mixture
+    * bucket" step of corpus assembly: within each source, take
+    * documents in a deterministic curriculum order (longest first,
+    * doc_id tie-break — both pure integers) until HALF the source's
+    * tokens are consumed; report the selection census. The running
+    * total is a per-SOURCE window (keyed shuffle, per-partition sort
+    * bounded by that source's docs — the `ev_sessionize` shape, with
+    * the salting-by-range escape documented for a mega-source), and
+    * the half-budget comes from a broadcast per-source 1-row total.
+    * A doc is kept while the PRIOR cumulative stays under budget, so
+    * exactly the document that crosses the line is the last one in —
+    * the greedy prefix rule, deterministic on both engines.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").as("n_chars_ord"),
+        Text.wsTokenCount(col("text")).cast("long").as("tok"))
+    val bySrc = Window.partitionBy("source")
+      .orderBy(desc("n_chars_ord"), asc("doc_id"))
+    val totals = docs.groupBy("source")
+      .agg(sum(col("tok")).as("tot_tok"), count(lit(1)).as("n_docs"))
+    docs
+      .withColumn("cum_before",
+        coalesce(sum(col("tok")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("kept", (lit(2) * col("cum_before") < col("tot_tok")).cast("int"))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(col("kept")).as("n_selected"),
+        max(col("tot_tok")).as("tokens_total"),
+        sum(col("kept") * col("tok")).as("tokens_selected"))
+      .orderBy("source")
+  }
+
+  /** Per-language document cap for `pipe_lang_cap`. */
+  val LangCap = 100L
+
+  /** Hash-band width for the cap's two-level rank (999983/CapBandDiv
+    * ≈ 10⁴ bands — the boundary band holds ~corpus/10⁴ rows; widen
+    * the divisor at larger corpora, it's a conf knob).
+    */
+  val CapBandDiv = 100L
+
+  /** Per-language quota cap — the rebalancing step that stops a
+    * dominant language from flooding the mixture: keep the first
+    * `LangCap` docs per language in deterministic hash order (the
+    * repo's overflow-safe multiplicative hash, doc_id tie-break).
+    * A per-LANGUAGE row_number would funnel corpus/|langs| rows into
+    * one task (the tiny-domain window cliff PlanSpec rejects), so the
+    * rank is two-level: hash-band counts → prefix sums over the
+    * CONF-BOUNDED (lang, band) grid — that aggregate's window is over
+    * ≈10⁴ rows per language by construction — then row_number ONLY
+    * inside bands whose offset is still under the cap (≈ cap + one
+    * band of rows per language ever reach a window sort; every later
+    * band is dropped by the broadcast offset filter before any sort).
+    * The census output reports kept/total docs and chars per lang.
+    */
+  def langCap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("h", ((col("doc_id") % 999983L) * 2654435761L) % 999983L)
+      .withColumn("band", expr(s"h div $CapBandDiv"))
+    val counts = d.groupBy("lang", "band").agg(count(lit(1)).as("bcnt"))
+    val offsets = counts
+      .withColumn("offset",
+        coalesce(sum(col("bcnt")).over(
+          Window.partitionBy("lang").orderBy("band")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "band", "offset")
+    val inBand = Window.partitionBy("lang", "band").orderBy("h", "doc_id")
+    val kept = d
+      .join(broadcast(offsets.filter(col("offset") < LangCap)), Seq("lang", "band"))
+      .withColumn("rn", row_number().over(inBand))
+      .filter(col("offset") + col("rn") <= LangCap)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("chars_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_lang_cap" -> GQuery.sql(langCap,
+      s"""WITH d AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ((doc_id % 999983) * 2654435761) % 999983 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(count(*) FILTER (WHERE rn <= $LangCap) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE rn <= $LangCap), 0) AS BIGINT)
+        |    AS chars_kept
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin),
+    "pipe_token_budget" -> GQuery.sql(tokenBudget,
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    len(list_filter(regexp_split_to_array(text, '[[:space:]]+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |t AS (SELECT source, CAST(sum(tok) AS BIGINT) AS tot_tok,
+        |        count(*) AS n_docs FROM d GROUP BY source),
+        |c AS (
+        |  SELECT source, tok,
+        |    coalesce(CAST(sum(tok) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS cum_before
+        |  FROM d),
+        |k AS (
+        |  SELECT c.source, c.tok,
+        |    CASE WHEN 2*c.cum_before < t.tot_tok THEN 1 ELSE 0 END AS kept
+        |  FROM c JOIN t USING (source))
+        |SELECT k.source AS source, max(t.n_docs) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_selected,
+        |  max(t.tot_tok) AS tokens_total,
+        |  CAST(sum(kept * tok) AS BIGINT) AS tokens_selected
+        |FROM k JOIN t ON k.source = t.source
+        |GROUP BY k.source ORDER BY source""".stripMargin),
     "pipe_long_doc_split" -> GQuery.sql(longDocSplit,
       s"""WITH t AS (
         |  SELECT doc_id,

@@ -985,7 +985,97 @@ object Relational {
       .orderBy("rank")
   }
 
+  /** Bucket count for `rel_equiwidth_histogram`. */
+  val HistBuckets = 20L
+
+  /** Equi-width histogram over `l_extendedprice` — the
+    * statistics/data-profiling primitive (the engine-side analogue of
+    * an optimizer column histogram). Price rides as cents integers;
+    * the bucket index is PURE integer math, ((v−lo)·B) div (hi−lo+1),
+    * which lands every value in [0, B−1] with no clamp and no FP
+    * boundary to disagree across engines. Plan: one 1-row min/max
+    * aggregate broadcast into the scan, then a B-row census agg —
+    * two passes over the column, zero windows, zero joins of scale.
+    */
+  def equiwidthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bounds = li.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select(expr(s"((cents - lo) * $HistBuckets) div (hi - lo + 1)").as("bucket"),
+        col("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("bucket")
+  }
+
+  /** χ² contingency audit of returnflag × linestatus — the
+    * categorical-dependence profiling primitive (drift detection /
+    * feature selection). Per-CELL contributions, not a single χ²
+    * total: a cross-cell FP sum would accumulate in engine-specific
+    * order, while per-cell terms are pure functions of exact integer
+    * (observed, row-total, col-total, n) — num = o·n − rt·ct stays a
+    * BIGINT (< 2⁵³, so exactly representable), then one identical
+    * IEEE tree double(num)²/(n·rt·ct) on both engines, shipped as
+    * ⌊·10⁶+0.5⌋ ppm; expected counts as ×100 HALF_UP integers
+    * (rt·ct·100 < 2⁶³ up to ~3·10⁸ rows per margin; re-scale beyond).
+    * The grid is |flags|×|statuses| — a broadcast-sized aggregate;
+    * margins re-aggregate that tiny grid and attach by BROADCAST
+    * joins (no windows at all), so the corpus is touched by exactly
+    * one keyed count.
+    */
+  def crosstabChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("l_returnflag").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("l_linestatus").agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val g = cells
+      .join(broadcast(rt), Seq("l_returnflag"))
+      .join(broadcast(ct), Seq("l_linestatus"))
+      .crossJoin(broadcast(n))
+    g.select(col("l_returnflag"), col("l_linestatus"), col("o").as("observed"),
+        expr("(2*rt*ct*100 + n) div (2*n)").as("expected_x100"),
+        floor(
+          (col("o") * col("n") - col("rt") * col("ct")).cast("double") *
+            (col("o") * col("n") - col("rt") * col("ct")).cast("double") /
+            (col("n").cast("double") * col("rt").cast("double") *
+              col("ct").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("chi2_contrib_ppm"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_crosstab_chi2" -> GQuery.sql(crosstabChi2,
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS o
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |g AS (
+        |  SELECT l_returnflag, l_linestatus, o,
+        |    CAST(sum(o) OVER (PARTITION BY l_returnflag) AS BIGINT) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY l_linestatus) AS BIGINT) AS ct,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT l_returnflag, l_linestatus, o AS observed,
+        |  (2*rt*ct*100 + n) // (2*n) AS expected_x100,
+        |  CAST(floor(CAST(o*n - rt*ct AS DOUBLE) * CAST(o*n - rt*ct AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) *
+        |    1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_ppm
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "rel_equiwidth_histogram" -> GQuery.sql(equiwidthHistogram,
+      s"""WITH c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+        |SELECT ((cents - lo) * $HistBuckets) // (hi - lo + 1) AS bucket,
+        |  count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin),
     "rel_terasort" -> GQuery.sql(relTerasort,
       s"""SELECT rank, l_extendedprice, l_orderkey, l_linenumber FROM (
         |  SELECT l_extendedprice, l_orderkey, l_linenumber,

@@ -1038,7 +1038,72 @@ ORDER BY f.vec_id"""
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "bin")
 
+  /** Component quantization scale for `vec_label_cosine` — coarse
+    * (10³) so the per-(label, dim) SUM stays well inside BIGINT at any
+    * corpus size; the HALF_UP mean then re-scales to 10⁶.
+    */
+  val LcScale = 1000.0
+
+  /** Label-centroid cosine matrix — the class-separation census
+    * behind semantic-dedup thresholds and embedding-space health
+    * checks: cosine between every pair of per-label mean vectors.
+    * The scale path is the point: per-(label, dim) integer sums
+    * (posexplode + partial-agged keyed shuffle, the `vec_dim_moments`
+    * shape) reduce the corpus to a labels×dim grid, and the centroid
+    * component becomes a CORPUS-SIZE-INVARIANT ±5·10⁶-bounded HALF_UP
+    * integer, so the pairwise dot (≤ 64·(5·10⁶)² ≈ 1.6·10¹⁵) can
+    * never overflow no matter how many rows fed the mean — summing
+    * first and dotting the raw BIGINT sums would blow 2⁶³ at ~10⁵
+    * rows per label. The final cosine is one double division of
+    * exact integers (deterministic IEEE on both engines), shipped as
+    * a ppm integer. Everything past the first agg is a ≤(labels·dim)²
+    * broadcast-sized self-join.
+    */
+  def labelCosine(spark: SparkSession, dir: String): DataFrame = {
+    val cent = vecs(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(LcScale) + lit(0.5))
+          .cast("long").as("xu"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("xu")).as("su"))
+      .select(col("label"), col("dim"),
+        expr("(2*su*1000 + n) div (2*n)").as("cu"))
+    val pairs = cent.as("a").join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum(col("a.cu") * col("b.cu")).as("dot"),
+        sum(col("a.cu") * col("a.cu")).as("na2"),
+        sum(col("b.cu") * col("b.cu")).as("nb2"))
+    pairs.select(col("la"), col("lb"),
+      floor(col("dot").cast("double") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))) *
+        lit(1000000.0) + lit(0.5)).cast("long").as("cos_ppm"))
+      .orderBy("la", "lb")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_label_cosine" -> GQuery.sql(labelCosine,
+      """WITH e AS (SELECT label::BIGINT AS label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, dim - 1 AS dim,
+        |        CAST(floor(xv * 1000.0 + 0.5) AS BIGINT) AS xu
+        |      FROM (SELECT label, unnest(v) AS xv,
+        |              generate_subscripts(v, 1) AS dim FROM e)),
+        |c AS (SELECT label, dim,
+        |        (2*CAST(sum(xu) AS BIGINT)*1000 + count(*)) // (2*count(*)) AS cu
+        |      FROM x GROUP BY label, dim),
+        |p AS (SELECT a.label AS la, b.label AS lb,
+        |        CAST(sum(a.cu * b.cu) AS BIGINT) AS dot,
+        |        CAST(sum(a.cu * a.cu) AS BIGINT) AS na2,
+        |        CAST(sum(b.cu * b.cu) AS BIGINT) AS nb2
+        |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |      GROUP BY a.label, b.label)
+        |SELECT la, lb,
+        |  CAST(floor(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) *
+        |    1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+        |FROM p ORDER BY la, lb""".stripMargin),
     "vec_value_histogram" -> GQuery.sql(valueHistogram,
       """WITH x AS (
         |  SELECT label, unnest(embedding::DOUBLE[]) AS x FROM embeddings),

@@ -422,7 +422,131 @@ object TextAnalysis {
       .orderBy("s1", "s2")
   }
 
+  /** Per-language vocabulary richness census — hapax legomena and
+    * type/token ratio, the classic corpus-linguistics health signal
+    * (a spike in hapax share flags OCR noise or boilerplate
+    * injection; TTR collapse flags template spam). One
+    * (lang, word) keyed agg — the wordcount shuffle, partial-agged
+    * map-side — then a languages-sized rollup; ratios are §4 HALF_UP
+    * ppm integers so no FP division exists on either engine.
+    */
+  def hapaxCensus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("lang", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("lang"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        expr("(2*n_types*1000000 + n_tokens) div (2*n_tokens)").as("ttr_ppm"),
+        expr("(2*n_hapax*1000000 + n_types) div (2*n_types)").as("hapax_ppm"))
+      .orderBy("lang")
+
+  /** Per-source Simpson concentration of the unigram distribution —
+    * the repeated-text / template-spam detector dual to
+    * `txt_hapax_census` (hapax looks at the distribution's tail,
+    * Simpson at its head): λ = Σc(c−1) / n(n−1), the EXACT
+    * probability two sampled tokens match, as a HALF_UP ppm integer
+    * — both numerator and denominator are plain BIGINT products, so
+    * zero FP exists end to end. Same wordcount-shaped keyed agg +
+    * source-sized rollup as the hapax census. Headroom: 2·Σc(c−1)·10⁶
+    * stays in BIGINT while Σc² < 4.6·10¹²; past that (a source with
+    * trillions of near-identical tokens) move the fraction to
+    * DECIMAL(38).
+    */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * (col("c") - 1)).as("coll"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        expr("(2*coll*1000000 + n_tokens*(n_tokens-1)) div (2*n_tokens*(n_tokens-1))")
+          .as("simpson_ppm"))
+      .orderBy("source")
+
+  /** Per-document trigram novelty — the dedup-adjacent curation
+    * curve ("how much of this doc's phrasing is new to the corpus in
+    * doc_id order"): a doc's DISTINCT trigrams that first occur in
+    * it, over its distinct trigrams, as HALF_UP ppm. First
+    * occurrence is a keyed min-agg on the trigram (the wordcount
+    * shuffle shape — the trigram domain scales with the corpus and is
+    * NEVER broadcast or windowed), joined back per (doc, gram) and
+    * rolled up per doc. Trigrams come from the native `NGrams`
+    * codegen expression; docs under 3 tokens have no trigrams and are
+    * absent on both engines by inner-join semantics.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.NGrams.ngrams(col("text"), 3))).as("g"))
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(2*n_novel*1000000 + n_grams) div (2*n_grams)").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_simpson_diversity" -> GQuery.sql(simpsonDiversity,
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[[:punct:][:space:]]+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+        |r AS (
+        |  SELECT source, count(*) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c*(c-1)) AS BIGINT) AS coll
+        |  FROM cnt GROUP BY source)
+        |SELECT source, n_types, n_tokens,
+        |  (2*coll*1000000 + n_tokens*(n_tokens-1)) // (2*n_tokens*(n_tokens-1))
+        |    AS simpson_ppm
+        |FROM r ORDER BY source""".stripMargin),
+    "txt_ngram_novelty" -> GQuery.sql(ngramNovelty,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[[:punct:][:space:]]+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+        |    AS g
+        |  FROM t WHERE len(tk) >= 3),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+        |j AS (SELECT g.doc_id, f.first_doc FROM g JOIN f USING (g)),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS n_novel
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        |  (2*n_novel*1000000 + n_grams) // (2*n_grams) AS novelty_ppm
+        |FROM r ORDER BY doc_id""".stripMargin),
+    "txt_hapax_census" -> GQuery.sql(hapaxCensus,
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[[:punct:][:space:]]+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY lang, w),
+        |r AS (
+        |  SELECT lang, count(*) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        |  FROM cnt GROUP BY lang)
+        |SELECT lang, n_types, n_tokens, n_hapax,
+        |  (2*n_types*1000000 + n_tokens) // (2*n_tokens) AS ttr_ppm,
+        |  (2*n_hapax*1000000 + n_types) // (2*n_types) AS hapax_ppm
+        |FROM r ORDER BY lang""".stripMargin),
     "txt_js_divergence" -> GQuery.sql(jsDivergence,
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),

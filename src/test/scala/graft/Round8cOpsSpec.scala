@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the third round-8 operator batch beyond their
+  * DuckDB oracles.
+  */
+class Round8cOpsSpec extends SparkTestBase {
+
+  test("rfm segments partition the user base with tercile scores in 1..3") {
+    val got = operators.Events.rfmSegments(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val nUsers = Tables.events(spark, SfDir).select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n_users")).sum == nUsers)
+    val nEvents = Tables.events(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("sum_events")).sum == nEvents)
+    got.foreach { r =>
+      Seq("r", "f", "m").foreach { c =>
+        val s = r.getAs[Long](c)
+        assert(s >= 1L && s <= 3L, s"score $c=$s outside 1..3")
+      }
+      assert(r.getAs[Long]("sum_cents") >= 0L)
+    }
+    // the mean-tercile cut cannot put everyone in one cell
+    assert(got.length > 1, "degenerate single-segment RFM census")
+  }
+
+  test("interarrival census counts exactly (events - users) gaps with banded maxima") {
+    val got = operators.Events.interarrivalCensus(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, SfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n_gaps")).sum == nEvents - nUsers)
+    val hi = Map("a_lt_1h" -> 3600000L, "b_lt_6h" -> 21600000L,
+      "c_lt_1d" -> 86400000L, "d_lt_3d" -> 259200000L,
+      "e_ge_3d" -> Long.MaxValue)
+    got.foreach { r =>
+      val (band, mx, mean) = (r.getAs[String]("band"),
+        r.getAs[Long]("max_ms"), r.getAs[Long]("mean_ms"))
+      assert(mx < hi(band), s"band $band max $mx beyond its upper cut")
+      assert(mean <= mx && mean >= 0L)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_gaps"))
+    }
+  }
+
+  test("equi-width histogram partitions lineitem with in-edge bucket extrema") {
+    val got = operators.Relational.equiwidthHistogram(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, SfDir)
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    assert(got.map(_.getAs[Long]("n_rows")).sum == li.count())
+    val Array(lo, hi) = li.agg(min("cents"), max("cents")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val b = operators.Relational.HistBuckets
+    got.foreach { r =>
+      val bk = r.getAs[Long]("bucket")
+      assert(bk >= 0L && bk < b)
+      // bucket k holds cents with ((c-lo)*B) div (hi-lo+1) == k
+      val (mn, mx) = (r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))
+      assert(((mn - lo) * b) / (hi - lo + 1) == bk)
+      assert(((mx - lo) * b) / (hi - lo + 1) == bk)
+      assert(mn <= mx)
+    }
+    // extrema of the data land in the first and last occupied buckets
+    assert(got.head.getAs[Long]("min_cents") == lo)
+    assert(got.last.getAs[Long]("max_cents") == hi)
+  }
+
+  test("label cosine covers every label pair with ppm in [-1e6, 1e6]") {
+    val got = operators.Similarity.labelCosine(spark, SfDir).collect()
+    val nLabels = Tables.embeddings(spark, SfDir).select("label").distinct().count()
+    assert(got.length == (nLabels * (nLabels - 1) / 2).toInt)
+    got.foreach { r =>
+      assert(r.getAs[Long]("la") < r.getAs[Long]("lb"))
+      val c = r.getAs[Long]("cos_ppm")
+      assert(c >= -1000000L && c <= 1000000L, s"cosine ppm $c out of range")
+    }
+  }
+
+  test("token budget keeps the greedy prefix that first crosses half the tokens") {
+    val got = operators.Pipeline.tokenBudget(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nDocs, nSel) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_selected"))
+      val (tot, sel) = (r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_selected"))
+      assert(nSel >= 1L && nSel <= nDocs)
+      assert(sel <= tot)
+      // the crossing doc is included, so the selection covers the half budget
+      assert(2 * sel >= tot, s"selection $sel under half of $tot")
+    }
+  }
+
+  test("streak census: active days partition into streaks, max <= total") {
+    val got = operators.Events.streakCensus(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val du = Tables.events(spark, SfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    assert(got.map(_.getAs[Long]("n_active_days")).sum == du.count())
+    got.foreach { r =>
+      val (ns, ad, mx) = (r.getAs[Long]("n_streaks"),
+        r.getAs[Long]("n_active_days"), r.getAs[Long]("max_streak"))
+      assert(ns >= 1L && mx >= 1L)
+      assert(mx <= ad && ad <= ns * mx)
+    }
+  }
+
+  test("lang cap keeps exactly min(cap, n_docs) per language") {
+    val got = operators.Pipeline.langCap(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nd, nk) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(nk == math.min(operators.Pipeline.LangCap, nd),
+        s"lang ${r.getAs[String]("lang")} kept $nk of $nd")
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+    }
+  }
+
+  test("simpson concentration is a valid probability and matches a replay") {
+    val got = operators.TextAnalysis.simpsonDiversity(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val p = r.getAs[Long]("simpson_ppm")
+      // unbiased Simpson can reach 0 (all-hapax source), never exceed 1
+      assert(p >= 0L && p <= 1000000L)
+    }
+    // driver-side replay of one source pins the whole integer pipeline
+    val src = got.head.getAs[String]("source")
+    val counts = Tables.documents(spark, SfDir).filter(col("source") === src)
+      .select(explode(graft.functions.Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").count().collect().map(_.getAs[Long]("count"))
+    val n = counts.sum
+    val coll = counts.map(c => c * (c - 1)).sum
+    val expected = (2 * coll * 1000000L + n * (n - 1)) / (2 * n * (n - 1))
+    assert(got.head.getAs[Long]("simpson_ppm") == expected)
+    assert(got.head.getAs[Long]("n_types") == counts.length.toLong)
+  }
+
+  test("ngram novelty: doc 0 is fully novel, ppms bounded, grams consistent") {
+    val got = operators.TextAnalysis.ngramNovelty(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val first = got.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"),
+      "the earliest doc must be 100% novel")
+    got.foreach { r =>
+      val (g, nv, p) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novelty_ppm"))
+      assert(nv <= g && g >= 1L)
+      assert(p == (2 * nv * 1000000L + g) / (2 * g))
+    }
+  }
+
+  test("blob dedup: uniq <= blobs, dedup bytes <= total, kinds partition docs") {
+    val got = operators.Multimodal.blobDedup(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("n_blobs")).sum == nDocs)
+    got.foreach { r =>
+      val (nb, nu) = (r.getAs[Long]("n_blobs"), r.getAs[Long]("n_uniq"))
+      assert(nu >= 1L && nu <= nb)
+      assert(r.getAs[Long]("bytes_dedup") <= r.getAs[Long]("bytes_total"))
+      assert(r.getAs[Long]("dup_ppm") == (2 * (nb - nu) * 1000000L + nb) / (2 * nb))
+    }
+  }
+
+  test("user entropy: zero for single-type users, bounded by log2(n_types)") {
+    val got = operators.Events.userEntropy(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (k, h) = (r.getAs[Long]("n_types"), r.getAs[Double]("entropy"))
+      if (k == 1L) assert(h == 0.0)
+      assert(h >= -1e-6 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-6)
+    }
+  }
+
+  test("chi2 crosstab: expected margins reconcile and contributions are finite") {
+    val got = operators.Relational.crosstabChi2(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val n = Tables.lineitem(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("observed")).sum == n)
+    // expected counts (x100) sum back to ~100n (HALF_UP slack per cell)
+    val expSum = got.map(_.getAs[Long]("expected_x100")).sum
+    assert(math.abs(expSum - 100L * n) <= got.length.toLong,
+      s"expected_x100 sum $expSum drifted from ${100L * n}")
+    got.foreach(r => assert(r.getAs[Long]("chi2_contrib_ppm") >= 0L))
+  }
+
+  test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
+    val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val totalToks = Tables.documents(spark, SfDir)
+      .select(explode(graft.functions.Text.tokens(lower(col("text")))).as("w"))
+      .count()
+    assert(got.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    got.foreach { r =>
+      val (ty, to, ha) = (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_hapax"))
+      assert(ha <= ty && ty <= to)
+      assert(r.getAs[Long]("ttr_ppm") == (2 * ty * 1000000L + to) / (2 * to))
+      assert(r.getAs[Long]("hapax_ppm") == (2 * ha * 1000000L + ty) / (2 * ty))
+    }
+  }
+}
