@@ -620,7 +620,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-cluster size histogram — the census the exact-dedup
+    * pass reports to a curation dashboard ("how MUCH of the corpus is
+    * 2-way / k-way duplicated"): exact clusters by normalized-text
+    * md5, rolled up to (cluster size → clusters, docs). Two keyed
+    * aggs, the second over the tiny distinct-size domain; the corpus
+    * leaves the first shuffle as one row per distinct text.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(Text.normalized(col("text")).cast("binary")).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+      .orderBy("size")
+
   val queries: Map[String, GQuery] = Map(
+    "dd_cluster_size_hist" -> GQuery.sql(clusterSizeHist,
+      """WITH c AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |    count(*) AS size
+        |  FROM documents GROUP BY 1)
+        |SELECT size, count(*) AS n_clusters,
+        |  CAST(size * count(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY size ORDER BY size""".stripMargin),
     "dd_span_dedup" -> GQuery.sql(spanDedup,
       """WITH toks AS (
         |  SELECT doc_id,

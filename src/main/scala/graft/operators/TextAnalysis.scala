@@ -496,7 +496,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Long-consonant-run detector regex — 5+ consecutive ASCII
+    * consonants flags OCR garbage, mojibake, and key-mash tokens
+    * while sparing real English (strengths/lengths hold the record
+    * at 5 but sit in the long tail). Java and RE2 agree on this
+    * explicit class.
+    */
+  val GarbageRunRegex = "[bcdfghjklmnpqrstvwxz]{5}"
+
+  /** Per-source OCR-garbage census — the scanner-noise health check
+    * a crawl pipeline runs before spending GPU time on a source:
+    * tokens containing a 5+ consonant run, rolled up per source with
+    * the share of affected documents. One codegen'd scan (the
+    * filter runs inside the HOF lambda — no explode, no per-token
+    * shuffle) + a source-sized agg; ratios HALF_UP ppm.
+    */
+  def garbageTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(lower(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.rlike(GarbageRunRegex))).cast("long").as("n_bad"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bad")).as("n_garbage"),
+        count(when(col("n_bad") > 0, 1)).as("n_docs_hit"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_garbage"),
+        col("n_docs_hit"),
+        expr("(2*n_garbage*1000000 + n_tokens) div (2*n_tokens)").as("garbage_ppm"),
+        expr("(2*n_docs_hit*1000000 + n_docs) div (2*n_docs)").as("docs_hit_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_garbage_tokens" -> GQuery.sql(garbageTokens,
+      s"""WITH d AS (
+        |  SELECT source,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[[:punct:][:space:]]+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, len(tk) AS n_tok,
+        |    len(list_filter(tk, x -> regexp_matches(x, '$GarbageRunRegex')))
+        |      AS n_bad
+        |  FROM d),
+        |r AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_bad) AS BIGINT) AS n_garbage,
+        |    CAST(count(*) FILTER (WHERE n_bad > 0) AS BIGINT) AS n_docs_hit
+        |  FROM c GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_garbage, n_docs_hit,
+        |  (2*n_garbage*1000000 + n_tokens) // (2*n_tokens) AS garbage_ppm,
+        |  (2*n_docs_hit*1000000 + n_docs) // (2*n_docs) AS docs_hit_ppm
+        |FROM r ORDER BY source""".stripMargin),
     "txt_simpson_diversity" -> GQuery.sql(simpsonDiversity,
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),

@@ -186,6 +186,37 @@ class Round8cOpsSpec extends SparkTestBase {
     got.foreach(r => assert(r.getAs[Long]("chi2_contrib_ppm") >= 0L))
   }
 
+  test("garbage census flags real consonant runs and only those") {
+    import spark.implicits._
+    val got = operators.TextAnalysis.garbageTokens(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_garbage") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_docs_hit") <= r.getAs[Long]("n_docs"))
+    }
+    // the detector itself: positive and negative controls
+    val probe = Seq("strength asdfghjkl ok", "plain words only").toDF("text")
+      .select(size(filter(graft.functions.Text.tokens(lower(col("text"))),
+        t => t.rlike(operators.TextAnalysis.GarbageRunRegex))).as("n"))
+      .collect().map(_.getAs[Int]("n"))
+    assert(probe.toSeq == Seq(1, 0))
+  }
+
+  test("cluster size histogram reconciles docs and clusters with dd_exact") {
+    val got = operators.Dedup.clusterSizeHist(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val exact = operators.Dedup.exact(spark, SfDir).collect()
+    assert(got.map(_.getAs[Long]("n_clusters")).sum == exact.length.toLong)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("size") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
     val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
     assert(got.nonEmpty)
