@@ -638,7 +638,48 @@ object Dedup {
         (col("size") * col("n_clusters")).as("n_docs"))
       .orderBy("size")
 
+  /** Dedup survivorship policy — WHICH copy survives is a curation
+    * decision, not an accident: instead of `dd_exact`'s min-doc_id
+    * canonical, keep the HIGHEST-QUALITY copy per exact cluster
+    * (longest raw text — the planted perturbation pads copies, so
+    * quality differs inside planted clusters — with min doc_id as
+    * the deterministic tie-break, via one max_by(struct) keyed agg:
+    * the argmax rides the same single shuffle as the count, no
+    * window, no join-back). Planted corpus so every 4th doc has a
+    * real 2-copy cluster at EVERY SF; tie-break exercised by the
+    * natural all-singleton clusters.
+    */
+  def survivorship(spark: SparkSession, dir: String): DataFrame =
+    withPlanted(docsTable(spark, dir))
+      .select(md5(Text.normalized(col("text")).cast("binary")).as("h"),
+        col("doc_id"), length(col("text")).cast("long").as("len"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_copies"),
+        max_by(struct(col("doc_id"), col("len")),
+          struct(col("len"), -col("doc_id"))).as("s"))
+      .select(col("h"), col("s.doc_id").as("survivor_id"),
+        col("s.len").as("survivor_len"), col("n_copies"))
+      .orderBy("h")
+
   val queries: Map[String, GQuery] = Map(
+    "dd_survivorship" -> GQuery.sql(survivorship,
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ' ' || text || chr(9)
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |c AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |    doc_id, CAST(length(text) AS BIGINT) AS len
+        |  FROM docs),
+        |r AS (
+        |  SELECT h, doc_id, len, count(*) OVER (PARTITION BY h) AS n_copies,
+        |    row_number() OVER (PARTITION BY h ORDER BY len DESC, doc_id)
+        |      AS rk
+        |  FROM c)
+        |SELECT h, doc_id AS survivor_id, len AS survivor_len,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rk = 1 ORDER BY h""".stripMargin),
     "dd_cluster_size_hist" -> GQuery.sql(clusterSizeHist,
       """WITH c AS (
         |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,

@@ -815,7 +815,53 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Point-in-time-correct feature snapshot — the feature-store /
+    * leakage-guard primitive behind every supervised pipeline on
+    * event data: at each LABEL event (deterministically every 10th
+    * by event_id ending in 7), features computed from STRICTLY
+    * PRIOR events only — prior count, prior spend (cents), ms since
+    * the user's first and most recent prior events. One per-user
+    * window with an explicit rows-between-(unbounded, −1) frame —
+    * the frame IS the leakage guard; empty frames surface as −1
+    * sentinels identically on both engines. Keyed shuffle on
+    * user_id only, per-user sort bounded by user history.
+    */
+  def featureSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val pre = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("n_prior", count(lit(1)).over(pre))
+      .withColumn("cents_prior", coalesce(sum(col("cents")).over(pre), lit(0L)))
+      .withColumn("ms_since_first",
+        coalesce(col("ms") - min(col("ms")).over(pre), lit(-1L)))
+      .withColumn("ms_since_last",
+        coalesce(col("ms") - max(col("ms")).over(pre), lit(-1L)))
+      .filter(col("event_id") % 10 === 7)
+      .select("event_id", "user_id", "n_prior", "cents_prior",
+        "ms_since_first", "ms_since_last")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_feature_snapshot" -> GQuery.sql(featureSnapshot,
+      """WITH f AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, ms,
+        |    count(*) OVER pre AS n_prior,
+        |    coalesce(CAST(sum(cents) OVER pre AS BIGINT), 0) AS cents_prior,
+        |    coalesce(ms - min(ms) OVER pre, -1) AS ms_since_first,
+        |    coalesce(ms - max(ms) OVER pre, -1) AS ms_since_last
+        |  FROM f
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, n_prior, cents_prior,
+        |  ms_since_first, ms_since_last
+        |FROM w WHERE event_id % 10 = 7 ORDER BY event_id""".stripMargin),
     "ev_user_entropy" -> GQuery.sql(userEntropy,
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS c

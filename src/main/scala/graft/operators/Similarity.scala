@@ -1083,7 +1083,63 @@ ORDER BY f.vec_id"""
       .orderBy("la", "lb")
   }
 
+  /** Hyperplane count for `vec_bit_balance`. */
+  val BalanceBits = 16
+
+  /** The shared seeded hyperplanes: regenerated identically here and
+    * in the oracle-SQL builder, and exported into the DuckDB query as
+    * double literals (Scala's Double.toString round-trips exactly, so
+    * both engines hold bit-identical planes).
+    */
+  private lazy val balancePlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(4242)
+    Array.fill(BalanceBits, 64)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit balance census over the LSH hyperplane family — the
+    * health check for hyperplane LSH (a bit far from 50/50 carries
+    * little entropy, and a skewed family degrades bucket balance and
+    * recall): for each of 16 seeded hyperplanes, the share of corpus
+    * vectors on the positive side. The 16× per-vector fanout is an
+    * in-stage array explode collapsed by partial aggregation to 16
+    * cells before the only shuffle (the `vec_value_histogram` shape);
+    * the dot runs in the native codegen'd `vec_dot`, bit-identical to
+    * the oracle's `list_inner_product` (§4 PCA precedent), so even
+    * near-zero dots sign identically. Shares as HALF_UP ppm.
+    */
+  def bitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val cells = (0 until BalanceBits).map { h =>
+      struct(lit(h.toLong).as("bit"),
+        (vec_dot(col("v"), array(balancePlanes(h).toIndexedSeq.map(lit): _*)) >= 0)
+          .cast("long").as("one"))
+    }
+    vecs(spark, dir)
+      .select(explode(array(cells: _*)).as("s"))
+      .select(col("s.bit").as("bit"), col("s.one").as("one"))
+      .groupBy("bit")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("one")).as("n_ones"))
+      .select(col("bit"), col("n_vecs"), col("n_ones"),
+        expr("(2*n_ones*1000000 + n_vecs) div (2*n_vecs)").as("ones_ppm"))
+      .orderBy("bit")
+  }
+
+  private def bitBalanceOracle: String = {
+    val arms = (0 until BalanceBits).map { h =>
+      val lits = balancePlanes(h).map(_.toString).mkString("[", ", ", "]")
+      s"SELECT CAST($h AS BIGINT) AS bit, CASE WHEN list_inner_product(v, $lits) >= 0 THEN 1 ELSE 0 END AS one FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  $arms)
+       |SELECT bit, count(*) AS n_vecs, CAST(sum(one) AS BIGINT) AS n_ones,
+       |  (2*CAST(sum(one) AS BIGINT)*1000000 + count(*)) // (2*count(*))
+       |    AS ones_ppm
+       |FROM b GROUP BY bit ORDER BY bit""".stripMargin
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_bit_balance" -> GQuery.sql(bitBalance, bitBalanceOracle),
     "vec_label_cosine" -> GQuery.sql(labelCosine,
       """WITH e AS (SELECT label::BIGINT AS label, embedding::DOUBLE[] AS v FROM embeddings),
         |x AS (SELECT label, dim - 1 AS dim,

@@ -217,6 +217,45 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("feature snapshot never leaks: priors bounded by history, sentinels consistent") {
+    val got = operators.Events.featureSnapshot(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("event_id") % 10 == 7)
+      val n = r.getAs[Long]("n_prior")
+      val (sf, sl) = (r.getAs[Long]("ms_since_first"), r.getAs[Long]("ms_since_last"))
+      if (n == 0L) {
+        assert(r.getAs[Long]("cents_prior") == 0L && sf == -1L && sl == -1L)
+      } else {
+        assert(sf >= sl && sl >= 0L)
+      }
+    }
+  }
+
+  test("survivorship keeps the padded planted copy and breaks singleton ties to doc_id") {
+    val got = operators.Dedup.survivorship(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val planted = got.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(planted.nonEmpty, "planted clusters missing")
+    // planted copies are padded by 2 chars, so the survivor is the plant
+    planted.foreach(r =>
+      assert(r.getAs[Long]("survivor_id") >= operators.Dedup.PlantOffset))
+    got.filter(_.getAs[Long]("n_copies") == 1L)
+      .foreach(r => assert(r.getAs[Long]("survivor_id") < operators.Dedup.PlantOffset))
+  }
+
+  test("bit balance: every plane counts all vectors, ppm near the coin flip") {
+    val got = operators.Similarity.bitBalance(spark, SfDir).collect()
+    assert(got.length == operators.Similarity.BalanceBits)
+    val nVecs = Tables.embeddings(spark, SfDir).count()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == nVecs)
+      val p = r.getAs[Long]("ones_ppm")
+      // Gaussian planes over zero-ish-mean vectors: loose sanity band
+      assert(p > 100000L && p < 900000L, s"bit ${r.getAs[Long]("bit")} ppm $p")
+    }
+  }
+
   test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
     val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
     assert(got.nonEmpty)
