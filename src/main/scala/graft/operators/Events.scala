@@ -844,7 +844,128 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Peak session concurrency per hour — the capacity-planning
+    * sweep-line (max simultaneously-open 30-min-gap sessions), DONE
+    * DISTRIBUTED: the textbook solution is one GLOBAL ordered running
+    * sum over ±1 deltas, which is exactly the single-task window this
+    * repo bans. The decomposition: (1) deltas at session start /
+    * end+1 (ends sort before starts at ms ties via d asc, so
+    * back-to-back sessions never double-count); (2) per-HOUR partial
+    * sums — an aggregate bounded by the calendar, broadcast
+    * theta-joined into per-hour OFFSETS (prefix sums with no window
+    * at all, the pack_sequences pattern; ~10⁴ rows even at a decade
+    * of data); (3) the running sum windows only INSIDE each hour
+    * partition, offset + in-hour prefix. max(prefix) is invariant
+    * under same-(ms, d) tie orderings — equal deltas commute — so
+    * both engines agree without a total order on rows.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+      .select(col("session_start_ms").as("s"), col("session_end_ms").as("e"))
+    val deltas = s.select(col("s").as("ms"), lit(1L).as("d"))
+      .unionAll(s.select((col("e") + 1).as("ms"), lit(-1L).as("d")))
+      .withColumn("hour", expr("ms div 3600000"))
+    val hourTot = deltas.groupBy("hour").agg(sum(col("d")).as("hd"))
+    val offsets = hourTot.as("a")
+      .join(broadcast(hourTot.as("b")), col("b.hour") < col("a.hour"), "left")
+      .groupBy(col("a.hour").as("hour"))
+      .agg(coalesce(sum(col("b.hd")), lit(0L)).as("offset"))
+    val inHour = Window.partitionBy("hour").orderBy("ms", "d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), Seq("hour"))
+      .withColumn("conc", col("offset") + sum(col("d")).over(inHour))
+      .groupBy("hour")
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("n_changes"))
+      .orderBy("hour")
+  }
+
+  /** Revenue-concentration (Lorenz/Pareto) table — "the top spend
+    * bands hold X% of users and Y% of revenue": per-user cents
+    * totals bucketed into log2 spend bands (length(bin(x)) — the
+    * rankVocab band trick, identical to DuckDB's bit_length-style
+    * floor(log2)+1 via length(bin())), then cumulative-from-the-top
+    * shares computed as a broadcast theta-join over the ≤64-row band
+    * grid — NO window anywhere, every division the §4 HALF_UP ppm
+    * identity. Two keyed aggs + tiny-grid arithmetic; ppm exactness
+    * holds while 2·total_cents·10⁶ < 2⁶³ (≈4.6·10¹² cents corpus);
+    * move to DECIMAL beyond.
+    */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("user_id").agg(sum(col("cents")).as("cents"))
+    val bands = per
+      .select(length(bin(col("cents"))).cast("long").as("band"), col("cents"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sum_cents"))
+    val tot = bands.agg(sum(col("n_users")).as("tu"), sum(col("sum_cents")).as("tc"))
+    bands.as("a")
+      .join(broadcast(bands.as("b")), col("b.band") >= col("a.band"))
+      .groupBy(col("a.band").as("band"))
+      .agg(max(col("a.n_users")).as("n_users"),
+        max(col("a.sum_cents")).as("sum_cents"),
+        sum(col("b.n_users")).as("cum_users"),
+        sum(col("b.sum_cents")).as("cum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n_users"), col("sum_cents"),
+        expr("(2*cum_users*1000000 + tu) div (2*tu)").as("cum_users_ppm"),
+        expr("(2*cum_cents*1000000 + tc) div (2*tc)").as("cum_cents_ppm"))
+      .orderBy(desc("band"))
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_lorenz_curve" -> GQuery.sql(lorenzCurve,
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |bands AS (
+        |  SELECT CAST(length(bin(cents)) AS BIGINT) AS band,
+        |    count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+        |               CAST(sum(sum_cents) AS BIGINT) AS tc FROM bands),
+        |cum AS (
+        |  SELECT a.band, max(a.n_users) AS n_users,
+        |    max(a.sum_cents) AS sum_cents,
+        |    CAST(sum(b.n_users) AS BIGINT) AS cum_users,
+        |    CAST(sum(b.sum_cents) AS BIGINT) AS cum_cents
+        |  FROM bands a JOIN bands b ON b.band >= a.band
+        |  GROUP BY a.band)
+        |SELECT band, n_users, sum_cents,
+        |  (2*cum_users*1000000 + tu) // (2*tu) AS cum_users_ppm,
+        |  (2*cum_cents*1000000 + tc) // (2*tc) AS cum_cents_ppm
+        |FROM cum CROSS JOIN tot ORDER BY band DESC""".stripMargin),
+    "ev_peak_concurrency" -> GQuery.sql(peakConcurrency,
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30*60*1000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS seq
+        |  FROM flagged),
+        |iv AS (SELECT min(ms) AS s, max(ms) AS e
+        |       FROM sess GROUP BY user_id, seq),
+        |d AS (
+        |  SELECT s AS ms, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL SELECT e + 1, -1 FROM iv),
+        |r AS (
+        |  SELECT ms, d,
+        |    CAST(sum(d) OVER (ORDER BY ms, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS conc
+        |  FROM d)
+        |SELECT ms // 3600000 AS hour, max(conc) AS peak_concurrency,
+        |  count(*) AS n_changes
+        |FROM r GROUP BY 1 ORDER BY hour""".stripMargin),
     "ev_feature_snapshot" -> GQuery.sql(featureSnapshot,
       """WITH f AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ms,

@@ -529,7 +529,42 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Top templates for `txt_template_prefixes`. */
+  val TemplateTopK = 50
+
+  /** Boilerplate-template mining — the "mined from a CMS" detector
+    * that catches what exact dedup misses (same page skeleton,
+    * different fill): documents grouped by their first-5-token
+    * prefix, the TemplateTopK most common prefixes with doc counts
+    * and distinct sources. One codegen'd prefix projection + a keyed
+    * agg on the prefix domain (corpus-scaled, partial-agged, never
+    * broadcast) + TakeOrdered with a full deterministic tie-break.
+    */
+  def templatePrefixes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        array_join(slice(Text.tokens(lower(col("text"))), 1, 5), " ").as("prefix"))
+      .filter(length(col("prefix")) > 0)
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(desc("n_docs"), desc("n_sources"), asc("prefix"))
+      .limit(TemplateTopK)
+
   val queries: Map[String, GQuery] = Map(
+    "txt_template_prefixes" -> GQuery.sql(templatePrefixes,
+      s"""WITH p AS (
+        |  SELECT source,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |      '[[:punct:][:space:]]+'), x -> len(x) > 0)[1:5], ' ') AS prefix
+        |  FROM documents),
+        |c AS (
+        |  SELECT prefix, count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM p WHERE len(prefix) > 0 GROUP BY prefix)
+        |SELECT prefix, n_docs, n_sources
+        |FROM c ORDER BY n_docs DESC, n_sources DESC, prefix
+        |LIMIT $TemplateTopK""".stripMargin),
     "txt_garbage_tokens" -> GQuery.sql(garbageTokens,
       s"""WITH d AS (
         |  SELECT source,

@@ -256,6 +256,48 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("peak concurrency: change count reconciles with 2x sessions, peaks sane") {
+    val got = operators.Events.peakConcurrency(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val nSessions = operators.Events.sessionize(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("n_changes")).sum == 2 * nSessions)
+    val users = Tables.events(spark, SfDir).select("user_id").distinct().count()
+    got.foreach { r =>
+      val p = r.getAs[Long]("peak_concurrency")
+      // a user has at most one open session at a time
+      assert(p >= 0L && p <= users)
+    }
+    assert(got.map(_.getAs[Long]("peak_concurrency")).max >= 1L)
+  }
+
+  test("template prefixes are 5 tokens or fewer with bounded source counts") {
+    val got = operators.TextAnalysis.templatePrefixes(spark, SfDir).collect()
+    assert(got.nonEmpty && got.length <= operators.TextAnalysis.TemplateTopK)
+    val nSources = Tables.documents(spark, SfDir).select("source").distinct().count()
+    val counts = got.map(_.getAs[Long]("n_docs"))
+    assert(counts.sameElements(counts.sorted.reverse), "not sorted by n_docs desc")
+    got.foreach { r =>
+      assert(r.getAs[String]("prefix").split(" ").length <= 5)
+      val s = r.getAs[Long]("n_sources")
+      assert(s >= 1L && s <= math.min(nSources, r.getAs[Long]("n_docs")))
+    }
+  }
+
+  test("lorenz curve: cumulative shares are monotone and end at 100%") {
+    val got = operators.Events.lorenzCurve(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    // rows ordered band DESC; cumulative shares must be non-decreasing
+    val up = got.map(_.getAs[Long]("cum_users_ppm"))
+    val cp = got.map(_.getAs[Long]("cum_cents_ppm"))
+    assert(up.zip(up.tail).forall { case (a, b) => a <= b })
+    assert(cp.zip(cp.tail).forall { case (a, b) => a <= b })
+    assert(up.last == 1000000L && cp.last == 1000000L)
+    // concentration: at every prefix the revenue share dominates the user share
+    got.init.foreach { r =>
+      assert(r.getAs[Long]("cum_cents_ppm") >= r.getAs[Long]("cum_users_ppm") - 1)
+    }
+  }
+
   test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
     val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
     assert(got.nonEmpty)
