@@ -915,7 +915,41 @@ object Events {
       .orderBy(desc("band"))
   }
 
+  /** Dwell time after each event TYPE — "how long does a user linger
+    * after a view vs a click": the gap to the user's next event,
+    * keyed by the type of the event BEFORE the gap (the
+    * interarrival census's per-type refinement; lead instead of lag
+    * so the gap attributes to its origin). Per-user lead window +
+    * one tiny per-type agg; §4 HALF_UP integer mean, exact ms sums.
+    */
+  def dwellByType(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("dwell_ms", lead(col("ms"), 1).over(byUser) - col("ms"))
+      .filter(col("dwell_ms").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("dwell_ms")).as("sum_ms"),
+        max(col("dwell_ms")).as("max_ms"))
+      .withColumn("mean_ms", expr("(2*sum_ms + n_gaps) div (2*n_gaps)"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_dwell_by_type" -> GQuery.sql(dwellByType,
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) - epoch_ms(ts) AS dwell_ms
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(dwell_ms) AS BIGINT) AS sum_ms,
+        |  max(dwell_ms) AS max_ms,
+        |  (2*CAST(sum(dwell_ms) AS BIGINT) + count(*)) // (2*count(*)) AS mean_ms
+        |FROM g WHERE dwell_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
     "ev_lorenz_curve" -> GQuery.sql(lorenzCurve,
       """WITH per AS (
         |  SELECT user_id,

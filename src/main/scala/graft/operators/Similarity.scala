@@ -1138,7 +1138,60 @@ ORDER BY f.vec_id"""
        |FROM b GROUP BY bit ORDER BY bit""".stripMargin
   }
 
+  /** Sample budget for `vec_pair_distance_hist` (a conf knob: the
+    * sampled pair count is ≤ PdhSample², constant at any corpus
+    * size).
+    */
+  val PdhSample = 256L
+
+  /** Pairwise cosine-distance histogram on a deterministic sample —
+    * the distance-concentration / hubness diagnostic that decides
+    * whether ANN recall targets are even achievable (concentrated
+    * distances ⇒ LSH and IVF both degrade): a count-derived MODULUS
+    * sample of ≈PdhSample vectors (the IVF-PQ sampling rule — a
+    * one-line predicate on both engines, stable under corpus
+    * growth), all C(s, 2) pairs via one broadcast self-join, cosine
+    * in the 6-rounded native expression, 20 equal bins over [−1, 1].
+    * Everything after the sample filter is constant-bounded work —
+    * the corpus contributes one pushed-down scan.
+    */
+  def pairDistanceHist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val e = vecs(spark, dir)
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val s = e.crossJoin(broadcast(n))
+      .filter(pmod(col("vec_id"),
+        greatest(expr(s"n_vecs div $PdhSample"), lit(1L))) === 0L)
+      .select(col("vec_id"), col("v"))
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(vec_dot(a, b) /
+        (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b))), 6)
+    s.as("a").join(broadcast(s.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(cos(col("a.v"), col("b.v")).as("c"))
+      // bin = clamped floor((c+1)/0.1): exact on 6-rounded cosines
+      .select(least(floor((col("c") + lit(1.0)) / lit(0.1)), lit(19.0))
+        .cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_pair_distance_hist" -> GQuery.sql(pairDistanceHist,
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT count(*) AS n_vecs FROM e),
+        |s AS (
+        |  SELECT vec_id, v FROM e CROSS JOIN n
+        |  WHERE vec_id % greatest(n_vecs // $PdhSample, 1) = 0),
+        |p AS (
+        |  SELECT round(list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) *
+        |     sqrt(list_inner_product(b.v, b.v))), 6) AS c
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        |SELECT CAST(least(floor((c + 1.0) / 0.1), 19) AS BIGINT) AS bin,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin),
     "vec_bit_balance" -> GQuery.sql(bitBalance, bitBalanceOracle),
     "vec_label_cosine" -> GQuery.sql(labelCosine,
       """WITH e AS (SELECT label::BIGINT AS label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -812,7 +812,48 @@ SELECT side, node, score FROM (
 ORDER BY side, score DESC, node"""
   }
 
+  /** Weakly-connected-component size histogram of the co-purchase
+    * graph — the graph-health census ("one giant component or many
+    * islands?") and a REUSE proof for the dedup module's
+    * large/small-star contraction: `Dedup.connectedComponents` is
+    * generic over (doc_id_1, doc_id_2) pairs, so the SAME O(log n)
+    * fixpoint — per-round localCheckpoint, loud non-convergence
+    * throw — serves an arbitrary graph. Downstream is two tiny keyed
+    * rollups (label → size → histogram). The oracle walks the same
+    * components by recursive CTE, so hash equality proves the
+    * contraction labels exactly.
+    */
+  def wccSizes(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, _) = coPurchaseGraph(spark, dir)
+    Dedup.connectedComponents(
+        e.select(col("u").as("doc_id_1"), col("v").as("doc_id_2")))
+      .select(col("lbl"), col("cluster_size"))
+      .distinct()
+      .groupBy(col("cluster_size").as("size"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_nodes"))
+      .orderBy("size")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_wcc_sizes" -> GQuery.sql(wccSizes,
+      s"""WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= $TriMinOrders),
+        |edges AS (SELECT u AS i, v AS j FROM e UNION ALL SELECT v, u FROM e),
+        |cc AS (
+        |  SELECT DISTINCT i AS id, i AS lbl FROM edges
+        |  UNION
+        |  SELECT e.j AS id, cc.lbl FROM cc JOIN edges e ON e.i = cc.id),
+        |asg AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
+        |sz AS (SELECT lbl, count(*) AS size FROM asg GROUP BY lbl)
+        |SELECT size, count(*) AS n_components,
+        |  CAST(size * count(*) AS BIGINT) AS n_nodes
+        |FROM sz GROUP BY size ORDER BY size""".stripMargin),
     "wc_hits" -> GQuery.sql(hits, hitsOracle),
     "wc_heavy_hitters" -> GQuery.rowsOnly(heavyHitters),
     "wc_clustering_coeff" -> GQuery.sql(clusteringCoeff,

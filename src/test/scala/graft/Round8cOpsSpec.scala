@@ -298,6 +298,43 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("wcc sizes: components cover every edge endpoint, sizes >= 2") {
+    val got = operators.WordCount.wccSizes(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // every labeled node sits on an edge, so no singleton components
+      assert(r.getAs[Long]("size") >= 2L)
+      assert(r.getAs[Long]("n_nodes") ==
+        r.getAs[Long]("size") * r.getAs[Long]("n_components"))
+    }
+  }
+
+  test("dwell by type: gap count reconciles with events minus users") {
+    val got = operators.Events.dwellByType(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, SfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n_gaps")).sum == expected)
+    got.foreach { r =>
+      assert(r.getAs[Long]("mean_ms") <= r.getAs[Long]("max_ms"))
+      assert(r.getAs[Long]("sum_ms") >= 0L)
+    }
+  }
+
+  test("pair distance histogram counts exactly C(s,2) pairs in valid bins") {
+    val got = operators.Similarity.pairDistanceHist(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val n = Tables.embeddings(spark, SfDir).count()
+    val m = math.max(n / operators.Similarity.PdhSample, 1L)
+    val s = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id") % m === 0).count()
+    assert(got.map(_.getAs[Long]("n_pairs")).sum == s * (s - 1) / 2)
+    got.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0L && b <= 19L)
+    }
+  }
+
   test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
     val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
     assert(got.nonEmpty)
