@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -240,7 +241,71 @@ object Multimodal {
           .as("dup_ppm"))
       .orderBy("kind")
 
+  /** Frame size (chars≡bytes under the ASCII guard) and cut
+    * threshold for `mm_scene_cuts`: a jump of ≥ SceneCutJump in the
+    * per-frame HALF_UP mean byte value flags a cut.
+    */
+  val SceneFrameBytes = 256L
+  val SceneCutJump = 5L
+
+  /** Scene-cut detection plumbing — the video-pipeline shape (frame
+    * diffs over a decoded stream) on the stub decode: payload split
+    * into 256-byte frames, per-frame MEAN byte value (HALF_UP
+    * integer — mean, not sum, so the trailing partial frame doesn't
+    * register as a fake cut), consecutive-frame jumps ≥ threshold
+    * counted per doc. The char explode collapses to (doc, frame)
+    * cells by partial agg in the same stage (the dim-moments shape);
+    * the frame sequence windows per DOC only. A real pipeline swaps
+    * the stub mean for a decoded-luma mean — identical plan.
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), ""), s => length(s) === 1))
+          .as(Seq("pos", "ch")))
+      .select(col("doc_id"), expr(s"pos div $SceneFrameBytes").as("frame_idx"),
+        ascii(col("ch")).cast("long").as("v"))
+      .groupBy("doc_id", "frame_idx")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("(2*s + n) div (2*n)").as("mv"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("jump", abs(col("mv") - lag(col("mv"), 1).over(byDoc)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("jump") >= SceneCutJump, 1)).as("n_cuts"),
+        coalesce(max(col("jump")), lit(0L)).as("max_jump"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "mm_scene_cuts" -> GQuery.sql(sceneCuts,
+      s"""WITH ascii_ok AS (
+        |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok
+        |  FROM documents WHERE octet_length(encode(text)) <> length(text)),
+        |b AS (
+        |  SELECT doc_id, (idx - 1) // $SceneFrameBytes AS frame_idx,
+        |    ascii(ch) AS v
+        |  FROM (SELECT doc_id, unnest(split(text, '')) AS ch,
+        |          generate_subscripts(split(text, ''), 1) AS idx
+        |        FROM documents WHERE length(text) > 0)),
+        |f AS (
+        |  SELECT doc_id, frame_idx,
+        |    (2*CAST(sum(v) AS BIGINT) + count(*)) // (2*count(*)) AS mv
+        |  FROM b GROUP BY doc_id, frame_idx),
+        |j AS (
+        |  SELECT doc_id,
+        |    abs(mv - lag(mv) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+        |      AS jump
+        |  FROM f)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(count(*) FILTER (WHERE jump >= $SceneCutJump) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(max(jump), 0) AS BIGINT) AS max_jump
+        |FROM j
+        |WHERE (SELECT ok FROM ascii_ok) = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "mm_blob_dedup" -> GQuery.sql(blobDedup,
       """WITH b AS (
         |  SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'

@@ -1049,7 +1049,60 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Per-customer reorder-cadence census — the CRM/replenishment
+    * signal on the ORDERS table (the relational twin of
+    * `ev_interarrival_census`, in whole days): gaps between a
+    * customer's consecutive orders, banded {same week, ≤30 d, ≤90 d,
+    * longer}, with contributing customers and the §4 HALF_UP mean.
+    * One per-customer window (keyed, history-bounded) + a 4-row
+    * band agg; days are pure integer epoch math.
+    */
+  def reorderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+      .withColumn("gap_d", col("day") - lag(col("day"), 1).over(byCust))
+      .filter(col("gap_d").isNotNull)
+      .select(col("o_custkey"),
+        when(col("gap_d") <= 7, "a_within_week")
+          .when(col("gap_d") <= 30, "b_within_month")
+          .when(col("gap_d") <= 90, "c_within_quarter")
+          .otherwise("d_longer").as("band"),
+        col("gap_d"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("gap_d")).as("sum_days"),
+        max(col("gap_d")).as("max_days"))
+      .withColumn("mean_days", expr("(2*sum_days + n_gaps) div (2*n_gaps)"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_reorder_gaps" -> GQuery.sql(reorderGaps,
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    epoch_ms(o_orderdate) // 86400000 -
+        |      lag(epoch_ms(o_orderdate) // 86400000) OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY epoch_ms(o_orderdate) // 86400000, o_orderkey)
+        |      AS gap_d
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN gap_d <= 7 THEN 'a_within_week'
+        |         WHEN gap_d <= 30 THEN 'b_within_month'
+        |         WHEN gap_d <= 90 THEN 'c_within_quarter'
+        |         ELSE 'd_longer' END AS band,
+        |    gap_d
+        |  FROM g WHERE gap_d IS NOT NULL)
+        |SELECT band, count(*) AS n_gaps,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  CAST(sum(gap_d) AS BIGINT) AS sum_days,
+        |  max(gap_d) AS max_days,
+        |  (2*CAST(sum(gap_d) AS BIGINT) + count(*)) // (2*count(*)) AS mean_days
+        |FROM b GROUP BY band ORDER BY band""".stripMargin),
     "rel_crosstab_chi2" -> GQuery.sql(crosstabChi2,
       """WITH cells AS (
         |  SELECT l_returnflag, l_linestatus, count(*) AS o

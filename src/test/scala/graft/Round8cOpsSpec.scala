@@ -335,6 +335,38 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("scene cuts: frame counts match payload geometry, cuts bounded") {
+    val got = operators.Multimodal.sceneCuts(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val lens = Tables.documents(spark, SfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("len")).toMap
+    assert(got.length == lens.size)
+    got.foreach { r =>
+      val (id, nf) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_frames"))
+      val fb = operators.Multimodal.SceneFrameBytes
+      assert(nf == (lens(id) - 1) / fb + 1, s"doc $id frame count")
+      assert(r.getAs[Long]("n_cuts") <= nf - 1 || nf == 1)
+      if (nf == 1) assert(r.getAs[Long]("max_jump") == 0L)
+    }
+  }
+
+  test("reorder gaps: per-band bounds hold and gaps reconcile") {
+    val got = operators.Relational.reorderGaps(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val o = Tables.orders(spark, SfDir)
+    val expected = o.count() - o.select("o_custkey").distinct().count()
+    assert(got.map(_.getAs[Long]("n_gaps")).sum == expected)
+    val hi = Map("a_within_week" -> 7L, "b_within_month" -> 30L,
+      "c_within_quarter" -> 90L, "d_longer" -> Long.MaxValue)
+    got.foreach { r =>
+      assert(r.getAs[Long]("max_days") <= hi(r.getAs[String]("band")))
+      assert(r.getAs[Long]("mean_days") <= r.getAs[Long]("max_days"))
+      assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("n_gaps"))
+    }
+  }
+
   test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
     val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
     assert(got.nonEmpty)
