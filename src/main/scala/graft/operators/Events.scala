@@ -937,7 +937,65 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecaster must beat, evaluated in-engine: predict each hour's
+    * event count per type by (a) the previous hour, (b) the same
+    * hour yesterday, (c) the same hour last week, and report per-type
+    * MAE ×100 for each horizon. Counts and absolute errors are exact
+    * integers; each MAE is a ratio-of-sums HALF_UP division, so zero
+    * FP exists. Plan: one keyed hourly rollup, three self-equi-joins
+    * on (type, hour±lag) — co-partitioned, no window, no explosion —
+    * each evaluated over the hours where both sides exist (the
+    * standard backtest convention; identical on both engines by
+    * inner-join semantics), then a types-sized merge.
+    */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(expr("unix_millis(ts) div 3600000").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    def horizon(lagH: Long, tag: String): DataFrame =
+      hourly.as("a").join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.hour") === col("b.hour") + lagH)
+        .select(col("a.event_type").as("event_type"),
+          abs(col("a.cnt") - col("b.cnt")).as("ae"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          expr("(2*sum(ae)*100 + count(1)) div (2*count(1))").as(s"mae_${tag}_x100"))
+    horizon(1L, "h1")
+      .join(horizon(24L, "h24"), Seq("event_type"))
+      .join(horizon(168L, "h168"), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_seasonal_baseline" -> GQuery.sql(seasonalBaseline,
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hour, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |e1 AS (
+        |  SELECT a.event_type, count(*) AS n_h1,
+        |    (2*CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT)*100 + count(*))
+        |      // (2*count(*)) AS mae_h1_x100
+        |  FROM h a JOIN h b ON a.event_type = b.event_type
+        |    AND a.hour = b.hour + 1 GROUP BY a.event_type),
+        |e24 AS (
+        |  SELECT a.event_type, count(*) AS n_h24,
+        |    (2*CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT)*100 + count(*))
+        |      // (2*count(*)) AS mae_h24_x100
+        |  FROM h a JOIN h b ON a.event_type = b.event_type
+        |    AND a.hour = b.hour + 24 GROUP BY a.event_type),
+        |e168 AS (
+        |  SELECT a.event_type, count(*) AS n_h168,
+        |    (2*CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT)*100 + count(*))
+        |      // (2*count(*)) AS mae_h168_x100
+        |  FROM h a JOIN h b ON a.event_type = b.event_type
+        |    AND a.hour = b.hour + 168 GROUP BY a.event_type)
+        |SELECT event_type, n_h1, mae_h1_x100, n_h24, mae_h24_x100,
+        |  n_h168, mae_h168_x100
+        |FROM e1 JOIN e24 USING (event_type) JOIN e168 USING (event_type)
+        |ORDER BY event_type""".stripMargin),
     "ev_dwell_by_type" -> GQuery.sql(dwellByType,
       """WITH g AS (
         |  SELECT event_type,

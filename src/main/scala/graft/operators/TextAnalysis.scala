@@ -551,7 +551,48 @@ object TextAnalysis {
       .orderBy(desc("n_docs"), desc("n_sources"), asc("prefix"))
       .limit(TemplateTopK)
 
+  /** Church–Gale burstiness census — cf/df per collection-frequency
+    * band (a bursty word concentrates its occurrences in few docs;
+    * content words are bursty, function words are not — the signal
+    * behind IDF variants and stopword induction): per word the
+    * collection frequency cf and document frequency df from ONE
+    * (word, doc) partial-agged stream, rolled into log2(cf) bands
+    * with the ratio-of-sums mean cf/df ×100 as a HALF_UP integer.
+    * Two keyed aggs over the corpus-scaled word domain + a ≤64-row
+    * band rollup; zero FP.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .groupBy("w", "doc_id")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("w")
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .groupBy(length(bin(col("cf"))).cast("long").as("cf_band"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("cf")).as("sum_cf"),
+        sum(col("df")).as("sum_df"))
+      .withColumn("burst_x100", expr("(2*sum_cf*100 + sum_df) div (2*sum_df)"))
+      .orderBy("cf_band")
+
   val queries: Map[String, GQuery] = Map(
+    "txt_burstiness" -> GQuery.sql(burstiness,
+      """WITH wd AS (
+        |  SELECT w, doc_id, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |          lower(text), '[[:punct:][:space:]]+'), x -> len(x) > 0)) AS w
+        |        FROM documents)
+        |  GROUP BY w, doc_id),
+        |wf AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df
+        |  FROM wd GROUP BY w)
+        |SELECT CAST(length(bin(cf)) AS BIGINT) AS cf_band,
+        |  count(*) AS n_words,
+        |  CAST(sum(cf) AS BIGINT) AS sum_cf,
+        |  CAST(sum(df) AS BIGINT) AS sum_df,
+        |  (2*CAST(sum(cf) AS BIGINT)*100 + CAST(sum(df) AS BIGINT))
+        |    // (2*CAST(sum(df) AS BIGINT)) AS burst_x100
+        |FROM wf GROUP BY cf_band ORDER BY cf_band""".stripMargin),
     "txt_template_prefixes" -> GQuery.sql(templatePrefixes,
       s"""WITH p AS (
         |  SELECT source,

@@ -836,7 +836,50 @@ ORDER BY side, score DESC, node"""
       .orderBy("size")
   }
 
+  /** Average-neighbor-degree curve k_nn(k) — the degree-correlation
+    * refinement of `wc_assortativity`'s single coefficient (rising
+    * curve = assortative hubs-with-hubs, falling = disassortative):
+    * per degree class k, the edge-weighted mean neighbor degree over
+    * all edge endpoints at nodes of degree k, as a ratio-of-sums
+    * HALF_UP ×100 integer (no nested means, no FP). Symmetrized
+    * edges join the degree table twice (keyed), then one tiny
+    * degree-class agg.
+    */
+  def knnDegree(spark: SparkSession, dir: String): DataFrame = {
+    val (e, deg, _) = coPurchaseGraph(spark, dir)
+    val sym = e.select(col("u").as("s"), col("v").as("t"))
+      .union(e.select(col("v").as("s"), col("u").as("t")))
+    sym
+      .join(deg.withColumnsRenamed(Map("x" -> "s", "d" -> "ds")), Seq("s"))
+      .join(deg.withColumnsRenamed(Map("x" -> "t", "d" -> "dt")), Seq("t"))
+      .groupBy(col("ds").as("degree"))
+      .agg(countDistinct(col("s")).as("n_nodes"),
+        count(lit(1)).as("n_edge_ends"),
+        sum(col("dt")).as("sum_nbr_deg"))
+      .withColumn("mean_nbr_deg_x100",
+        expr("(2*sum_nbr_deg*100 + n_edge_ends) div (2*n_edge_ends)"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_knn_degree" -> GQuery.sql(knnDegree,
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= $TriMinOrders),
+        |sym AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s AS x, count(*) AS d FROM sym GROUP BY s),
+        |j AS (
+        |  SELECT ds.d AS degree, sym.s, dt.d AS dt
+        |  FROM sym JOIN deg ds ON ds.x = sym.s JOIN deg dt ON dt.x = sym.t)
+        |SELECT degree, count(DISTINCT s) AS n_nodes,
+        |  count(*) AS n_edge_ends,
+        |  CAST(sum(dt) AS BIGINT) AS sum_nbr_deg,
+        |  (2*CAST(sum(dt) AS BIGINT)*100 + count(*)) // (2*count(*))
+        |    AS mean_nbr_deg_x100
+        |FROM j GROUP BY degree ORDER BY degree""".stripMargin),
     "wc_wcc_sizes" -> GQuery.sql(wccSizes,
       s"""WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -367,6 +367,45 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("seasonal baseline: horizons cover fewer pairs as lag grows") {
+    val got = operators.Events.seasonalBaseline(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // longer lags can only lose co-present hours
+      assert(r.getAs[Long]("n_h1") >= r.getAs[Long]("n_h24"))
+      assert(r.getAs[Long]("n_h24") >= r.getAs[Long]("n_h168"))
+      Seq("mae_h1_x100", "mae_h24_x100", "mae_h168_x100")
+        .foreach(c => assert(r.getAs[Long](c) >= 0L))
+    }
+  }
+
+  test("knn degree curve: edge ends reconcile with the handshake sum") {
+    val got = operators.WordCount.knnDegree(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    // sum over degree classes of edge-ends == 2|E| == sum of degree*n_nodes
+    val ends = got.map(_.getAs[Long]("n_edge_ends")).sum
+    val handshake = got.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(ends == handshake)
+    got.foreach { r =>
+      val m = r.getAs[Long]("mean_nbr_deg_x100")
+      assert(m >= 100L, s"mean neighbor degree below 1: $m")
+    }
+  }
+
+  test("burstiness: cf >= df per band, band-1 words are all hapax-like") {
+    val got = operators.TextAnalysis.burstiness(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("sum_cf") >= r.getAs[Long]("sum_df"))
+      assert(r.getAs[Long]("burst_x100") >= 100L)
+    }
+    // band 1 = cf in [1,1]: cf == df == n_words there
+    got.find(_.getAs[Long]("cf_band") == 1L).foreach { r =>
+      assert(r.getAs[Long]("sum_cf") == r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("burst_x100") == 100L)
+    }
+  }
+
   test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
     val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
     assert(got.nonEmpty)
