@@ -968,7 +968,62 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Time-to-convert histogram — the product metric `ev_funnel`
+    * doesn't give (funnel reports per-stage first-completion times;
+    * this is the DISTRIBUTION of view→purchase latency): per user
+    * the first view and first purchase from one filtered keyed
+    * min-agg each, converted = first purchase at-or-after first
+    * view, delays banded {<1 h, <1 d, <3 d, ≥3 d} into a 4-row
+    * census plus the never-converted and purchase-before-view
+    * remainder classes, so the output partitions the viewing
+    * population exactly. Two keyed aggs + one keyed join; pure
+    * integer epoch-ms bands.
+    */
+  def conversionDelay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("v_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ms")).as("p_ms"))
+    v.join(p, Seq("user_id"), "left")
+      .select(
+        when(col("p_ms").isNull, "e_no_purchase")
+          .when(col("p_ms") < col("v_ms"), "f_purchase_first")
+          .when(col("p_ms") - col("v_ms") < 3600000L, "a_lt_1h")
+          .when(col("p_ms") - col("v_ms") < 86400000L, "b_lt_1d")
+          .when(col("p_ms") - col("v_ms") < 259200000L, "c_lt_3d")
+          .otherwise("d_ge_3d").as("band"),
+        when(col("p_ms") >= col("v_ms"), col("p_ms") - col("v_ms")).as("delay_ms"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        coalesce(sum(col("delay_ms")), lit(0L)).as("sum_delay_ms"),
+        coalesce(max(col("delay_ms")), lit(0L)).as("max_delay_ms"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_conversion_delay" -> GQuery.sql(conversionDelay,
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS p_ms FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |b AS (
+        |  SELECT
+        |    CASE WHEN p.p_ms IS NULL THEN 'e_no_purchase'
+        |         WHEN p.p_ms < v.v_ms THEN 'f_purchase_first'
+        |         WHEN p.p_ms - v.v_ms < 3600000 THEN 'a_lt_1h'
+        |         WHEN p.p_ms - v.v_ms < 86400000 THEN 'b_lt_1d'
+        |         WHEN p.p_ms - v.v_ms < 259200000 THEN 'c_lt_3d'
+        |         ELSE 'd_ge_3d' END AS band,
+        |    CASE WHEN p.p_ms >= v.v_ms THEN p.p_ms - v.v_ms END AS delay_ms
+        |  FROM v LEFT JOIN p USING (user_id))
+        |SELECT band, count(*) AS n_users,
+        |  CAST(coalesce(sum(delay_ms), 0) AS BIGINT) AS sum_delay_ms,
+        |  CAST(coalesce(max(delay_ms), 0) AS BIGINT) AS max_delay_ms
+        |FROM b GROUP BY band ORDER BY band""".stripMargin),
     "ev_seasonal_baseline" -> GQuery.sql(seasonalBaseline,
       """WITH h AS (
         |  SELECT epoch_ms(ts) // 3600000 AS hour, event_type,

@@ -1176,7 +1176,63 @@ ORDER BY f.vec_id"""
       .orderBy("bin")
   }
 
+  /** Mean-direction concentration census — the von-Mises-Fisher-ish
+    * anisotropy check ("is the embedding cloud a cone?" — the
+    * all-but-the-top / outlier-dimension pathology at corpus level):
+    * cosine of every vector to the CORPUS mean direction, banded
+    * into the 20-bin [−1, 1] histogram. The centroid is the
+    * labelCosine trick globalized: per-dim integer sums → HALF_UP
+    * ±5·10⁶-bounded component integers, corpus-size-invariant, then
+    * COLLECTED as 64 longs (the k-means constant-size driver
+    * contract) and re-broadcast as an array literal so the scoring
+    * pass is a zero-join codegen projection. The oracle rebuilds the
+    * same integers relationally and ORDERS its list aggregation by
+    * dim, making `list_inner_product` bitwise-identical to
+    * `vec_dot` on the literal.
+    */
+  def meanDirectionCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val cu = vecs(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(LcScale) + lit(0.5))
+          .cast("long").as("xu"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xu")).as("su"))
+      .select(col("dim"), expr("(2*su*1000 + n) div (2*n)").as("cu"))
+      .orderBy("dim")
+      .collect() // 64 longs — the constant-size driver contract
+      .map(r => r.getAs[Long]("cu").toDouble)
+    val cl = array(cu.toIndexedSeq.map(lit): _*)
+    vecs(spark, dir)
+      .select(round(vec_dot(col("v"), cl) /
+        (sqrt(vec_dot(col("v"), col("v"))) * sqrt(vec_dot(cl, cl))), 6).as("c"))
+      .select(least(floor((col("c") + lit(1.0)) / lit(0.1)), lit(19.0))
+        .cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_mean_direction_census" -> GQuery.sql(meanDirectionCensus,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT dim - 1 AS dim,
+        |        CAST(floor(xv * 1000.0 + 0.5) AS BIGINT) AS xu
+        |      FROM (SELECT unnest(v) AS xv,
+        |              generate_subscripts(v, 1) AS dim FROM e)),
+        |c AS (SELECT dim,
+        |        (2*CAST(sum(xu) AS BIGINT)*1000 + count(*)) // (2*count(*)) AS cu
+        |      FROM x GROUP BY dim),
+        |cl AS (SELECT list(CAST(cu AS DOUBLE) ORDER BY dim) AS c FROM c),
+        |s AS (
+        |  SELECT round(list_inner_product(e.v, cl.c) /
+        |    (sqrt(list_inner_product(e.v, e.v)) *
+        |     sqrt(list_inner_product(cl.c, cl.c))), 6) AS cos
+        |  FROM e CROSS JOIN cl)
+        |SELECT CAST(least(floor((cos + 1.0) / 0.1), 19) AS BIGINT) AS bin,
+        |  count(*) AS n_vecs
+        |FROM s GROUP BY bin ORDER BY bin""".stripMargin),
     "vec_pair_distance_hist" -> GQuery.sql(pairDistanceHist,
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

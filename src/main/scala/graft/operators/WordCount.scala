@@ -861,7 +861,64 @@ ORDER BY side, score DESC, node"""
       .orderBy("degree")
   }
 
+  /** Rich-club thresholds. */
+  val RichClubKs: Seq[Long] = Seq(4L, 8L, 16L, 32L)
+
+  /** Rich-club density — do hubs preferentially interlink? For each
+    * degree threshold k: the subgraph on nodes with degree ≥ k, its
+    * edge count, and density 2E/(n(n−1)) as a HALF_UP ppm integer
+    * (all-integer; n < 2 → 0 by explicit CASE on both engines). The
+    * threshold fanout explodes a 4-literal array against the DEGREE
+    * table and the degree-joined edge list — both already keyed —
+    * and collapses to a 4-row census by partial agg.
+    */
+  def richClub(spark: SparkSession, dir: String): DataFrame = {
+    val (e, deg, _) = coPurchaseGraph(spark, dir)
+    val ks = array(RichClubKs.map(lit): _*)
+    val nodes = deg.select(explode(ks).as("k"), col("d"))
+      .filter(col("d") >= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val edges = e
+      .join(deg.withColumnsRenamed(Map("x" -> "u", "d" -> "du")), Seq("u"))
+      .join(deg.withColumnsRenamed(Map("x" -> "v", "d" -> "dv")), Seq("v"))
+      .select(explode(ks).as("k"), least(col("du"), col("dv")).as("md"))
+      .filter(col("md") >= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edges, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("density_ppm",
+        when(col("n_nodes") < 2, 0L).otherwise(
+          expr("(2*(2*n_edges)*1000000 + n_nodes*(n_nodes-1)) div (2*n_nodes*(n_nodes-1))")))
+      .orderBy("k")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "wc_rich_club" -> GQuery.sql(richClub, {
+      val kList = RichClubKs.mkString(", ")
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= $TriMinOrders),
+        |sym AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s AS x, count(*) AS d FROM sym GROUP BY s),
+        |ks AS (SELECT CAST(unnest([$kList]) AS BIGINT) AS k),
+        |n AS (
+        |  SELECT k, count(*) AS n_nodes FROM ks JOIN deg ON d >= k GROUP BY k),
+        |ej AS (
+        |  SELECT ks.k, count(*) AS n_edges
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+        |  JOIN ks ON least(du.d, dv.d) >= ks.k
+        |  GROUP BY ks.k)
+        |SELECT n.k AS k, n.n_nodes AS n_nodes,
+        |  CAST(coalesce(ej.n_edges, 0) AS BIGINT) AS n_edges,
+        |  CAST(CASE WHEN n.n_nodes < 2 THEN 0 ELSE
+        |    (2*(2*coalesce(ej.n_edges, 0))*1000000 + n.n_nodes*(n.n_nodes-1))
+        |      // (2*n.n_nodes*(n.n_nodes-1)) END AS BIGINT) AS density_ppm
+        |FROM n LEFT JOIN ej ON n.k = ej.k ORDER BY k""".stripMargin
+    }),
     "wc_knn_degree" -> GQuery.sql(knnDegree,
       s"""WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -406,6 +406,55 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
+  test("conversion delay bands partition the viewing population") {
+    val got = operators.Events.conversionDelay(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val nViewers = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n_users")).sum == nViewers)
+    got.foreach { r =>
+      val band = r.getAs[String]("band")
+      val mx = r.getAs[Long]("max_delay_ms")
+      if (band == "e_no_purchase" || band == "f_purchase_first")
+        assert(mx == 0L && r.getAs[Long]("sum_delay_ms") == 0L)
+      else assert(r.getAs[Long]("sum_delay_ms") >= mx)
+    }
+  }
+
+  test("rich club: density is monotone checkable and node counts shrink with k") {
+    val got = operators.WordCount.richClub(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val byK = got.map(r => r.getAs[Long]("k") ->
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"), r.getAs[Long]("density_ppm"))).toMap
+    val ks = byK.keys.toSeq.sorted
+    ks.zip(ks.tail).foreach { case (a, b) =>
+      assert(byK(a)._1 >= byK(b)._1, s"nodes grew from k=$a to k=$b")
+      assert(byK(a)._2 >= byK(b)._2)
+    }
+    got.foreach { r =>
+      val (n, e, d) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("density_ppm"))
+      assert(e <= n * (n - 1) / 2)
+      assert(d >= 0L && d <= 1000000L)
+    }
+  }
+
+  test("mean direction census covers all vectors with a skew toward +1") {
+    val got = operators.Similarity.meanDirectionCensus(spark, SfDir).collect()
+    assert(got.nonEmpty)
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum == n)
+    got.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0L && b <= 19L)
+    }
+    // cosine to the MEAN direction must average positive: upper half > lower half
+    val hi = got.filter(_.getAs[Long]("bin") >= 10L).map(_.getAs[Long]("n_vecs")).sum
+    val lo = got.filter(_.getAs[Long]("bin") < 10L).map(_.getAs[Long]("n_vecs")).sum
+    assert(hi > lo, s"mean-direction cosines skew negative ($hi vs $lo)")
+  }
+
   test("hapax census bounds: hapax <= types <= tokens, ppms consistent") {
     val got = operators.TextAnalysis.hapaxCensus(spark, SfDir).collect()
     assert(got.nonEmpty)
