@@ -1002,7 +1002,157 @@ object Events {
       .orderBy("band")
   }
 
+  /** Multi-touch lookback: touches within 7 days before the purchase. */
+  val MtaWindowMs = 7L * 86400000L
+
+  /** Linear multi-touch attribution — the marketing-analytics standard
+    * `ev_funnel` and `stream_click_attribution` don't cover (funnel is
+    * per-stage firsts; the streaming op is last-touch): every view or
+    * click in the 7 days at-or-before a purchase shares that
+    * purchase's credit equally. Per-touch credit is the HALF_UP ppm
+    * integer ⌈10⁶/n⌋ (§4 identity), so per-type credit sums are exact
+    * integers with no FP and no order sensitivity. Plan: one per-user
+    * equi-join of purchases to touches with the lookback as a join-time
+    * range predicate (per-user event counts bound the pair fan-out),
+    * one fine-grained groupBy(purchase) for n, one types-sized final
+    * agg — no window over the corpus anywhere.
+    */
+  def multitouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("p_ms"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"), col("ms").as("t_ms"))
+    val j = p.join(t,
+      p("user_id") === t("user_id") &&
+        col("t_ms") <= col("p_ms") &&
+        col("p_ms") - col("t_ms") < MtaWindowMs)
+      .select("p_id", "touch_type")
+    val n = j.groupBy("p_id").agg(count(lit(1)).as("n_touch"))
+    j.join(n, Seq("p_id"))
+      .withColumn("credit_ppm", expr("(2*1000000 + n_touch) div (2*n_touch)"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_ppm")).as("credit_ppm_sum"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy("touch_type")
+  }
+
+  /** Global outage / coverage census — the SRE "did ingestion ever go
+    * dark?" check over the WHOLE stream, not per user: distinct
+    * event-minutes, gaps to the next present minute banded
+    * {adjacent, 2–4, 5–9, 10–29, ≥30 min} with max gap and total
+    * missing minutes. The textbook form is one global lead() — a
+    * single-task sort forever — so the lead decomposes exactly like
+    * `ev_peak_concurrency`'s running sum: in-HOUR leads from an
+    * hour-partitioned window, and each hour's LAST minute closed by
+    * the next present hour's first minute from a broadcast theta-join
+    * over the hour grid (grid rows scale with the time range, not the
+    * corpus). The stream's one true last minute has no successor and
+    * is excluded on both engines (lead IS NULL).
+    */
+  def outageCensus(spark: SparkSession, dir: String): DataFrame = {
+    val minutes = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 60000").as("minute")).distinct()
+      .withColumn("hour", expr("minute div 60"))
+    val inHour = Window.partitionBy("hour").orderBy("minute")
+    val led = minutes.withColumn("nxt_in", lead(col("minute"), 1).over(inHour))
+    val grid = minutes.groupBy("hour").agg(min(col("minute")).as("first_min"))
+    val nextHourFirst = grid.as("a")
+      .join(broadcast(grid.as("b")), col("b.hour") > col("a.hour"), "left")
+      .groupBy(col("a.hour").as("hour"))
+      .agg(min(col("b.first_min")).as("nxt_hour_min"))
+    led.join(broadcast(nextHourFirst), Seq("hour"))
+      .select(col("minute"),
+        coalesce(col("nxt_in"), col("nxt_hour_min")).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select((col("nxt") - col("minute")).as("gap"))
+      .select(
+        when(col("gap") <= 1, "a_adjacent")
+          .when(col("gap") < 5, "b_2_4")
+          .when(col("gap") < 10, "c_5_9")
+          .when(col("gap") < 30, "d_10_29")
+          .otherwise("e_ge_30").as("band"),
+        col("gap"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap")).as("max_gap"),
+        sum(col("gap") - 1).as("missing_minutes"))
+      .orderBy("band")
+  }
+
+  /** Velocity-rule threshold for `ev_velocity_flags`. */
+  val VelocityBurstN = 6L
+
+  /** Velocity / burst flagging — the fraud-ops rule "more than N
+    * events from one account inside a trailing day": per event, the
+    * count of that user's events in the trailing 24 h via a per-user
+    * RANGE frame (peers at the same millisecond count together, so
+    * the result is tie-order-invariant); per user, the max burst and
+    * a flag at ≥ VelocityBurstN. Per-user window only — partition
+    * cardinality is the user base, per-partition work the user's own
+    * history. Output is the per-user audit row, so the op is
+    * non-degenerate at any SF while the flag subset varies.
+    */
+  def velocityFlags(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-86399999L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("burst", count(lit(1)).over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst_1d"))
+      .withColumn("flagged",
+        (col("max_burst_1d") >= VelocityBurstN).cast("long"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_outage_census" -> GQuery.sql(outageCensus,
+      """WITH m AS (
+        |  SELECT DISTINCT epoch_ms(ts) // 60000 AS minute FROM events),
+        |g AS (
+        |  SELECT lead(minute) OVER (ORDER BY minute) - minute AS gap FROM m),
+        |b AS (
+        |  SELECT CASE WHEN gap <= 1 THEN 'a_adjacent'
+        |              WHEN gap < 5 THEN 'b_2_4'
+        |              WHEN gap < 10 THEN 'c_5_9'
+        |              WHEN gap < 30 THEN 'd_10_29'
+        |              ELSE 'e_ge_30' END AS band, gap
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT band, count(*) AS n_gaps, max(gap) AS max_gap,
+        |  CAST(sum(gap - 1) AS BIGINT) AS missing_minutes
+        |FROM b GROUP BY band ORDER BY band""".stripMargin),
+    "ev_velocity_flags" -> GQuery.sql(velocityFlags,
+      s"""WITH w AS (
+        |  SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |      RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS burst
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  max(burst) AS max_burst_1d,
+        |  CAST(max(burst) >= $VelocityBurstN AS BIGINT) AS flagged
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "ev_multitouch_attribution" -> GQuery.sql(multitouchAttribution,
+      s"""WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_type AS touch_type, epoch_ms(ts) AS t_ms
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.p_id, t.touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_ms <= p.p_ms AND p.p_ms - t.t_ms < $MtaWindowMs),
+        |n AS (SELECT p_id, count(*) AS n_touch FROM j GROUP BY p_id)
+        |SELECT j.touch_type, count(*) AS n_touches,
+        |  CAST(sum((2*1000000 + n.n_touch) // (2*n.n_touch)) AS BIGINT)
+        |    AS credit_ppm_sum,
+        |  count(DISTINCT j.p_id) AS n_purchases
+        |FROM j JOIN n ON j.p_id = n.p_id
+        |GROUP BY j.touch_type ORDER BY j.touch_type""".stripMargin),
     "ev_conversion_delay" -> GQuery.sql(conversionDelay,
       """WITH v AS (
         |  SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events

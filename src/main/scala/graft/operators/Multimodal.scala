@@ -280,7 +280,62 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Byte-level Shannon entropy per media kind — the compressibility
+    * / corruption screen a blob-ingest pipeline runs before paying for
+    * decode (truncated or constant-filled payloads crater the
+    * entropy; encrypted or random blobs max it out): per (kind, byte
+    * value) counts from one char-explode scan (the corpus's payloads
+    * are ASCII text-as-bytes, so ascii(char) IS the byte; a real
+    * binary corpus would explode hex pairs the same way), rolled into
+    * H = log2(n) − Σc·log2(c)/n per kind. The byte census is a
+    * map-side-combinable agg onto ≤ kinds×256 keys; the FP log sum
+    * has ≤ 256 terms per kind, rounded to 6 like `ev_user_entropy`.
+    */
+  def payloadEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        when(length(col("text")) % 3 === 0, "image")
+          .when(length(col("text")) % 3 === 1, "audio")
+          .otherwise("video").as("kind"))
+    val nPayloads = d.groupBy("kind").agg(count(lit(1)).as("n_payloads"))
+    val bytes = d
+      .select(col("kind"),
+        explode(filter(split(col("text"), ""), s => length(s) === 1)).as("ch"))
+      .select(col("kind"), ascii(col("ch")).cast("long").as("b"))
+      .groupBy("kind", "b").agg(count(lit(1)).as("c"))
+    bytes.groupBy("kind")
+      .agg(sum(col("c")).as("n_bytes"),
+        count(lit(1)).as("n_distinct_bytes"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clog"))
+      .join(nPayloads, Seq("kind"))
+      .select(col("kind"), col("n_payloads"), col("n_bytes"),
+        col("n_distinct_bytes"),
+        round(log2(col("n_bytes").cast("double")) -
+          col("clog") / col("n_bytes").cast("double"), 6).as("entropy_bits"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "mm_payload_entropy" -> GQuery.sql(payloadEntropy,
+      """WITH d AS (
+        |  SELECT CASE WHEN length(text) % 3 = 0 THEN 'image'
+        |              WHEN length(text) % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind, text
+        |  FROM documents),
+        |np AS (SELECT kind, count(*) AS n_payloads FROM d GROUP BY kind),
+        |ch AS (
+        |  SELECT kind, ord(c) AS b
+        |  FROM d, unnest(list_filter(string_split(text, ''),
+        |    x -> len(x) = 1)) AS t(c)),
+        |cnt AS (SELECT kind, b, count(*) AS c FROM ch GROUP BY kind, b),
+        |k AS (
+        |  SELECT kind, CAST(sum(c) AS BIGINT) AS n_bytes,
+        |    count(*) AS n_distinct_bytes,
+        |    sum(c * log2(c)) AS clog
+        |  FROM cnt GROUP BY kind)
+        |SELECT k.kind, np.n_payloads, k.n_bytes, k.n_distinct_bytes,
+        |  round(log2(k.n_bytes) - k.clog / k.n_bytes, 6) AS entropy_bits
+        |FROM k JOIN np ON k.kind = np.kind ORDER BY k.kind""".stripMargin),
     "mm_scene_cuts" -> GQuery.sql(sceneCuts,
       s"""WITH ascii_ok AS (
         |  SELECT CASE WHEN count(*) = 0 THEN 1 END AS ok

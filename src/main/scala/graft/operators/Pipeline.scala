@@ -30,6 +30,27 @@ object Pipeline {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Folds for `pipe_kfold_assign`. */
+  val KFolds = 5L
+
+  /** Deterministic k-fold assignment with a per-source stratification
+    * audit — the cross-validation primitive `pipe_train_test_split`'s
+    * two-way split doesn't give: fold = Knuth multiplicative hash of
+    * doc_id under a DIFFERENT prime multiplier than the percent
+    * bucket (decorrelated, so fold and split can stack), reported as
+    * the (fold × source) census a practitioner reads to confirm every
+    * fold sees every source in proportion. One scan, one keyed agg
+    * onto K×sources keys; the hash is replayed verbatim in the
+    * oracle. Reduced mod 999983 before the multiply so the product
+    * stays < 2⁶³ under ANSI.
+    */
+  def kfoldAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fold", expr(s"((doc_id % 999983) * 2246822519) % $KFolds"))
+      .groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("fold", "source")
+
   /** Deterministic train/val/test split on the same hash. */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1117,6 +1138,11 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
     "pipe_decontaminate" -> GQuery.sql(decontaminate, decontaminateOracle),
     "pipe_bloom_decontaminate" -> GQuery.sql(bloomDecontaminate, decontaminateOracle),
+    "pipe_kfold_assign" -> GQuery.sql(kfoldAssign,
+      s"""SELECT ((doc_id % 999983) * 2246822519) % $KFolds AS fold,
+        |  source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, source""".stripMargin),
     "pipe_hash_sample" -> GQuery.sql(hashSample,
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ((doc_id % 999983) * 2654435761) % 100 < 5

@@ -1012,6 +1012,97 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Tile count for `rel_equidepth_histogram`. */
+  val EquidepthTiles = 8L
+
+  /** Equi-DEPTH histogram (ntile boundaries) of line-item price — the
+    * optimizer-statistics companion to `rel_equiwidth_histogram`:
+    * eight tiles of (near-)equal row count with per-tile count /
+    * min / max / sum, i.e. exact global quantile boundaries. A naive
+    * `ntile(8) OVER (ORDER BY …)` is a single-task global sort
+    * forever; instead the `rel_distributed_rank` decomposition goes
+    * global: integer equi-width pre-buckets over the broadcast cents
+    * range, per-bucket counts prefix-summed by a broadcast THETA-JOIN
+    * over the ≤`RankBuckets`-row grid (no window over any
+    * corpus-scaled input, no unpartitioned window at all), global
+    * rank = bucket offset + in-bucket row_number on the unique
+    * (cents, orderkey, linenumber) key, and the SQL ntile
+    * first-(n mod T)-tiles-get-the-extra rule applied in closed form.
+    * The DuckDB oracle uses its NATIVE ntile window — hash equality
+    * proves the decomposition, tile by tile, on exact integer cents.
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val bounds = li.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val bucketed = li.crossJoin(broadcast(bounds))
+      .select(expr(s"((cents - lo) * $RankBuckets) div (hi - lo + 1)").as("bucket"),
+        col("cents"), col("ok"), col("ln"))
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"), col("a.cnt").as("cnt"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("offset"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    val inBucket = Window.partitionBy("bucket").orderBy("cents", "ok", "ln")
+    val t = EquidepthTiles
+    bucketed.join(broadcast(offsets.select("bucket", "offset")), Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", col("offset") + row_number().over(inBucket))
+      // ntile(T): first (n mod T) tiles take (n div T)+1 rows; the else
+      // branch needs rnk > rmd*(small+1) which is impossible when
+      // small == 0, so greatest() only shields the not-taken division.
+      .withColumn("tile",
+        when(col("rnk") <= (col("n") % t) * (expr(s"n div $t") + 1),
+          expr(s"(rnk - 1) div ((n div $t) + 1) + 1"))
+          .otherwise(col("n") % t +
+            expr(s"(rnk - (n % $t) * ((n div $t) + 1) - 1) div greatest(n div $t, 1)") + 1))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("tile")
+  }
+
+  /** Benford first-digit reference shares in ppm — log10(1+1/d)
+    * quantized HALF_UP; the nine constants sum to exactly 10⁶ and are
+    * LITERALS on both engines (an in-plan log10 would differ in the
+    * last ulp between libm and the JVM).
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit of order totals — the classic
+    * forensic/data-quality screen (synthetic or tampered monetary
+    * data drifts from log10(1+1/d)): totals ride as exact cents
+    * integers, the leading digit is a pure string-head on the
+    * engine-identical decimal rendering of a BIGINT, observed shares
+    * are HALF_UP ppm against the broadcast 1-row total, and the
+    * reference shares are shared literals. One scan + a 9-row census;
+    * delta_ppm is the per-digit deviation the auditor reads.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+    val total = cents.agg(count(lit(1)).as("n_total"))
+    val bf = BenfordPpm.foldLeft(lit(null).cast("long")) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    cents
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(2*n_orders*1000000 + n_total) div (2*n_total)"))
+      .withColumn("benford_ppm", bf)
+      .select(col("digit"), col("n_orders"), col("share_ppm"), col("benford_ppm"),
+        (col("share_ppm") - col("benford_ppm")).as("delta_ppm"))
+      .orderBy("digit")
+  }
+
   /** χ² contingency audit of returnflag × linestatus — the
     * categorical-dependence profiling primitive (drift detection /
     * feature selection). Per-CELL contributions, not a single χ²
@@ -1119,6 +1210,40 @@ object Relational {
         |    (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) *
         |    1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_ppm
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "rel_benford_audit" -> GQuery.sql(benfordAudit,
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+        |t AS (SELECT count(*) AS n_total FROM c),
+        |d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n_orders
+        |  FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT digit, n_orders,
+        |    (2*n_orders*1000000 + n_total) // (2*n_total) AS share_ppm,
+        |    CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |      WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm
+        |  FROM d, t)
+        |SELECT digit, n_orders, share_ppm, benford_ppm,
+        |  share_ppm - benford_ppm AS delta_ppm
+        |FROM s ORDER BY digit""".stripMargin),
+    "rel_equidepth_histogram" -> GQuery.sql(equidepthHistogram,
+      s"""WITH c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT cents,
+        |    CAST(ntile($EquidepthTiles) OVER (ORDER BY cents, ok, ln) AS BIGINT) AS tile
+        |  FROM c)
+        |SELECT tile, count(*) AS n_rows,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin),
     "rel_equiwidth_histogram" -> GQuery.sql(equiwidthHistogram,
       s"""WITH c AS (
         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents

@@ -1203,7 +1203,12 @@ ORDER BY f.vec_id"""
       .orderBy("dim")
       .collect() // 64 longs — the constant-size driver contract
       .map(r => r.getAs[Long]("cu").toDouble)
-    val cl = array(cu.toIndexedSeq.map(lit): _*)
+    // typed literal so the empty-input case still passes DotProduct's
+    // type check (bare array() is array<null>); with zero rows the
+    // expression is never evaluated, only resolved
+    val cl =
+      if (cu.isEmpty) typedlit(Array.empty[Double])
+      else array(cu.toIndexedSeq.map(lit): _*)
     vecs(spark, dir)
       .select(round(vec_dot(col("v"), cl) /
         (sqrt(vec_dot(col("v"), col("v"))) * sqrt(vec_dot(cl, cl))), 6).as("c"))

@@ -575,7 +575,89 @@ object TextAnalysis {
       .withColumn("burst_x100", expr("(2*sum_cf*100 + sum_df) div (2*sum_df)"))
       .orderBy("cf_band")
 
+  /** Corpus-prefix deciles for `txt_vocab_growth`. */
+  val VocabDeciles = 10L
+
+  /** Heaps-law vocabulary growth curve — the "is more data still
+    * buying new vocabulary?" curation diagnostic: the corpus is cut
+    * into ten prefix deciles by doc id (the ingest order of this
+    * corpus), and each decile reports its doc/token mass plus how many
+    * distinct token TYPES appear there for the FIRST time; cumulative
+    * columns give the Heaps curve V(n) directly. First-appearance is a
+    * single min(doc_id) per type (wordcount-shaped shuffle — the only
+    * corpus-scaled exchange); the decile index is the pure-integer
+    * equi-width formula over the broadcast id range; cumulatives ride
+    * the broadcast theta-join over the 10-row grid, so no window over
+    * any corpus-scaled input exists. The DuckDB oracle may use native
+    * windows over its own 10-row aggregate — the decomposition is
+    * what the hash match proves.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    def decile(c: Column): Column =
+      expr(s"((${c.toString} - lo) * $VocabDeciles) div (hi - lo + 1)")
+    val tok = docs
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+    val nDocs = docs.crossJoin(broadcast(bounds))
+      .groupBy(decile(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nToks = tok.crossJoin(broadcast(bounds))
+      .groupBy(decile(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy("term").agg(min(col("doc_id")).as("fdoc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(decile(col("fdoc")).as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val grid = nDocs
+      .join(nToks, Seq("decile"), "full_outer")
+      .join(newTypes, Seq("decile"), "full_outer")
+      .select(col("decile"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    grid.as("a")
+      .join(broadcast(grid.as("b")), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"), col("a.n_docs").as("n_docs"),
+        col("a.n_tokens").as("n_tokens"), col("a.new_types").as("new_types"))
+      .agg(sum(col("b.n_tokens")).as("cum_tokens"),
+        sum(col("b.new_types")).as("cum_types"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_vocab_growth" -> GQuery.sql(vocabGrowth,
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |tok AS (
+        |  SELECT d.doc_id, t.term
+        |  FROM documents d,
+        |    unnest(list_filter(regexp_split_to_array(lower(d.text),
+        |      '[[:punct:][:space:]]+'), x -> len(x) > 0)) AS t(term)),
+        |nd AS (
+        |  SELECT ((doc_id - lo) * $VocabDeciles) // (hi - lo + 1) AS decile,
+        |    count(*) AS n_docs
+        |  FROM documents, b GROUP BY 1),
+        |nt AS (
+        |  SELECT ((doc_id - lo) * $VocabDeciles) // (hi - lo + 1) AS decile,
+        |    count(*) AS n_tokens
+        |  FROM tok, b GROUP BY 1),
+        |fd AS (SELECT term, min(doc_id) AS fdoc FROM tok GROUP BY term),
+        |nv AS (
+        |  SELECT ((fdoc - lo) * $VocabDeciles) // (hi - lo + 1) AS decile,
+        |    count(*) AS new_types
+        |  FROM fd, b GROUP BY 1),
+        |grid AS (
+        |  SELECT coalesce(nd.decile, nt.decile, nv.decile) AS decile,
+        |    coalesce(n_docs, 0) AS n_docs,
+        |    coalesce(n_tokens, 0) AS n_tokens,
+        |    coalesce(new_types, 0) AS new_types
+        |  FROM nd
+        |  FULL OUTER JOIN nt ON nd.decile = nt.decile
+        |  FULL OUTER JOIN nv ON coalesce(nd.decile, nt.decile) = nv.decile)
+        |SELECT decile, n_docs, n_tokens, new_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types
+        |FROM grid ORDER BY decile""".stripMargin),
     "txt_burstiness" -> GQuery.sql(burstiness,
       """WITH wd AS (
         |  SELECT w, doc_id, count(*) AS c

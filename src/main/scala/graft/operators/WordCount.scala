@@ -693,6 +693,43 @@ SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
       .limit(100)
   }
 
+  /** Resource-allocation link prediction — the degree-weighted
+    * refinement of `wc_common_neighbors` (Zhou et al.'s RA index,
+    * the empirically strongest of the local similarity indices): for
+    * non-adjacent pairs (a, b), score = Σ_z 1/deg(z) over shared
+    * neighbors z, so rare shared neighbors count more than hubs.
+    * Every 1/deg term rides as the HALF_UP ppm integer ⌈10⁶/d⌋ and the
+    * score is their exact integer SUM — order-free, no FP anywhere.
+    * Same hub-capped subgraph and cap²-bounded wedge enumeration as
+    * the CN op, but the wedge keeps its CENTER so the degree join
+    * prices each term before the (a,b) aggregation. Deterministic
+    * top-100 by (ra_ppm, cn, a, b).
+    */
+  def resourceAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val (e, deg, _) = coPurchaseGraph(spark, dir)
+    val keep = deg.filter(col("d") <= CnDegCap).select("x")
+    val sub = e
+      .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+    val sdeg = sub.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val adj = sub.select(col("u").as("s"), col("v").as("t"))
+      .union(sub.select(col("v").as("s"), col("u").as("t")))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("a"), col("y.t").as("b"), col("x.s").as("z"))
+    val scored = wedges
+      .join(sdeg.withColumnsRenamed(Map("x" -> "z", "d" -> "dz")), Seq("z"))
+      .withColumn("term_ppm", expr("(2*1000000 + dz) div (2*dz)"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(col("term_ppm")).as("ra_ppm"))
+      .join(sub.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    scored.select(col("a"), col("b"), col("cn"), col("ra_ppm"))
+      .orderBy(desc("ra_ppm"), desc("cn"), asc("a"), asc("b"))
+      .limit(100)
+  }
+
   /** Per-node LOCAL clustering coefficient — the node-level refinement
     * of `wc_triangle_count`'s single global figure: for every node with
     * degree ≥ 2, c(x) = triangles_at(x) / C(deg(x), 2). The plan reuses
@@ -1054,6 +1091,38 @@ ORDER BY side, score DESC, node"""
         |    AS jaccard_ppm
         |FROM cand c JOIN sdeg da ON da.x = c.a JOIN sdeg db ON db.x = c.b
         |ORDER BY cn DESC, jaccard_ppm DESC, a, b LIMIT 100""".stripMargin),
+    "wc_resource_allocation" -> GQuery.sql(resourceAllocation,
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinOrders),
+        |deg AS (
+        |  SELECT x, count(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |keep AS (SELECT x FROM deg WHERE d <= $CnDegCap),
+        |sub AS (
+        |  SELECT u, v FROM e
+        |  WHERE u IN (SELECT x FROM keep) AND v IN (SELECT x FROM keep)),
+        |sdeg AS (
+        |  SELECT x, count(*) AS d
+        |  FROM (SELECT u AS x FROM sub UNION ALL SELECT v AS x FROM sub)
+        |  GROUP BY x),
+        |adj AS (SELECT u AS s, v AS t FROM sub
+        |        UNION ALL SELECT v AS s, u AS t FROM sub),
+        |wedge AS (
+        |  SELECT x.t AS a, y.t AS b, x.s AS z
+        |  FROM adj x JOIN adj y ON x.s = y.s AND x.t < y.t),
+        |scored AS (
+        |  SELECT w.a, w.b, count(*) AS cn,
+        |    CAST(sum((2*1000000 + dz.d) // (2*dz.d)) AS BIGINT) AS ra_ppm
+        |  FROM wedge w JOIN sdeg dz ON dz.x = w.z
+        |  GROUP BY w.a, w.b),
+        |cand AS (
+        |  SELECT a, b, cn, ra_ppm FROM scored
+        |  WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.u = scored.a AND sub.v = scored.b))
+        |SELECT a, b, cn, ra_ppm FROM cand
+        |ORDER BY ra_ppm DESC, cn DESC, a, b LIMIT 100""".stripMargin),
     "wc_pagerank" -> GQuery.sql(pagerank, pagerankOracle),
     "wc_kcore" -> GQuery.sql(kcore, kcoreOracle),
     "wc_bfs_distance" -> GQuery.sql(bfsDistance, bfsOracle),
