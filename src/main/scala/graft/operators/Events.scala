@@ -1109,7 +1109,52 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Candidates reported by `ev_cusum_changepoints`. */
+  val CusumTopK = 10
+
+  /** CUSUM changepoint scan over the hourly arrival rate — the
+    * level-shift detector (deploys, incidents, seasonality breaks)
+    * `ev_anomaly`'s pointwise z-score can't see: the classic
+    * S_h = Σ_{h'≤h} (cnt − mean) drift, kept EXACT by scaling with
+    * the hour count (n·S_h = n·cum_h − k_h·T — pure BIGINT, no mean
+    * division ever happens), computed per hour by the broadcast
+    * theta-join over the hour grid (cum and k from the same join;
+    * grid scales with the time range, not the corpus). The top-|S|
+    * hours are where the pre/post means differ most — the CUSUM
+    * changepoint estimate. Deterministic (|drift|, hour) ranking.
+    */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(expr("unix_millis(ts) div 3600000").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hourly.agg(sum(col("cnt")).as("t"), count(lit(1)).as("n"))
+    hourly.as("a")
+      .join(broadcast(hourly.as("b")), col("b.hour") <= col("a.hour"))
+      .groupBy(col("a.hour").as("hour"), col("a.cnt").as("cnt"))
+      .agg(sum(col("b.cnt")).as("cum_events"), count(lit(1)).as("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("hour"), col("cnt"), col("cum_events"),
+        (col("n") * col("cum_events") - col("k") * col("t")).as("drift_xn"))
+      .orderBy(abs(col("drift_xn")).desc, col("hour").asc)
+      .limit(CusumTopK)
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_cusum_changepoints" -> GQuery.sql(cusumChangepoints,
+      s"""WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS n FROM h),
+        |c AS (
+        |  SELECT hour, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY hour) AS BIGINT) AS cum_events,
+        |    CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS k
+        |  FROM h)
+        |SELECT hour, cnt, cum_events,
+        |  n * cum_events - k * t AS drift_xn
+        |FROM c, t
+        |ORDER BY abs(n * cum_events - k * t) DESC, hour
+        |LIMIT $CusumTopK""".stripMargin),
     "ev_outage_census" -> GQuery.sql(outageCensus,
       """WITH m AS (
         |  SELECT DISTINCT epoch_ms(ts) // 60000 AS minute FROM events),

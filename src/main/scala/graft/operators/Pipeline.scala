@@ -30,6 +30,43 @@ object Pipeline {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Chunk size / stride for `pipe_rag_chunks` (64-char overlap). */
+  val RagChunkChars = 256L
+  val RagStrideChars = 192L
+
+  /** RAG chunking plan — the retrieval-indexing shape every RAG
+    * pipeline runs (fixed-size windows with overlap so no answer
+    * spans a boundary): chunks of 256 chars at stride 192 per doc,
+    * reported as the per-source census an indexing budget is planned
+    * from (chunks, chars in, chars indexed, overlap waste in HALF_UP
+    * ppm). Chunk count AND total chunk chars have closed integer
+    * forms ((k−1)·C + tail — every chunk but the last is full), so
+    * the whole op is ONE scan + a sources-sized agg with no explode:
+    * the 100 TB plan costs the same as a row count. The sibling
+    * materializer (explode over the same start sequence) shares the
+    * formulas; `mm_chunk`/`pipe_long_doc_split` cover that shape.
+    */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = (RagChunkChars, RagStrideChars)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .withColumn("n_chunks",
+        when(col("n_chars") <= c, lit(1L))
+          .otherwise(expr(s"(n_chars - $c + $s - 1) div $s + 1")))
+      .withColumn("chunk_chars",
+        when(col("n_chars") <= c, col("n_chars"))
+          .otherwise((col("n_chunks") - 1) * c +
+            (col("n_chars") - (col("n_chunks") - 1) * s)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_chars")).as("sum_chunk_chars"))
+      .withColumn("overlap_ppm",
+        expr("(2*(sum_chunk_chars - sum_chars)*1000000 + sum_chunk_chars) div (2*sum_chunk_chars)"))
+      .orderBy("source")
+  }
+
   /** Folds for `pipe_kfold_assign`. */
   val KFolds = 5L
 
@@ -1138,6 +1175,30 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
     "pipe_decontaminate" -> GQuery.sql(decontaminate, decontaminateOracle),
     "pipe_bloom_decontaminate" -> GQuery.sql(bloomDecontaminate, decontaminateOracle),
+    "pipe_rag_chunks" -> GQuery.sql(ragChunks,
+      s"""WITH d AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN n_chars <= $RagChunkChars THEN 1
+        |         ELSE (n_chars - $RagChunkChars + $RagStrideChars - 1)
+        |              // $RagStrideChars + 1 END AS n_chunks
+        |  FROM documents),
+        |e AS (
+        |  SELECT source, n_chars, n_chunks,
+        |    CASE WHEN n_chars <= $RagChunkChars THEN n_chars
+        |         ELSE (n_chunks - 1) * $RagChunkChars +
+        |              (n_chars - (n_chunks - 1) * $RagStrideChars)
+        |    END AS chunk_chars
+        |  FROM d),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |    CAST(sum(chunk_chars) AS BIGINT) AS sum_chunk_chars
+        |  FROM e GROUP BY source)
+        |SELECT source, n_docs, sum_chars, n_chunks, sum_chunk_chars,
+        |  (2*(sum_chunk_chars - sum_chars)*1000000 + sum_chunk_chars)
+        |    // (2*sum_chunk_chars) AS overlap_ppm
+        |FROM g ORDER BY source""".stripMargin),
     "pipe_kfold_assign" -> GQuery.sql(kfoldAssign,
       s"""SELECT ((doc_id % 999983) * 2246822519) % $KFolds AS fold,
         |  source, count(*) AS n_docs,

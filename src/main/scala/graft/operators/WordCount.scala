@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GQuery, Tables}
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's entire shipped algorithm surface
@@ -504,7 +505,10 @@ SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
     labels.select(col("node"), col("lbl").as("community")).orderBy("node")
   }
 
-  private def lpaOracle: String = {
+  /** Shared LPA CTE prefix (graph + LpaRounds label rounds); callers
+    * append their final SELECT over `l$LpaRounds` / `eraw` / `eall`.
+    */
+  private def lpaOracleCtes: String = {
     // AS MATERIALIZED for the same inliner reason as bfsOracle.
     def round(i: Int): String = s""",
 s$i AS MATERIALIZED (SELECT e.dst AS node, l.lbl, count(*) AS c
@@ -517,8 +521,151 @@ l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
 l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM eall)""" +
-      (1 to LpaRounds).map(round).mkString + s"""
+      (1 to LpaRounds).map(round).mkString
+  }
+
+  private def lpaOracle: String =
+    lpaOracleCtes + s"""
 SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node"""
+
+  private def modularityOracle: String =
+    lpaOracleCtes + s""",
+lab AS (SELECT node, lbl AS community FROM l$LpaRounds),
+m AS (SELECT count(*) AS m FROM eraw),
+ic AS (
+  SELECT la.community, count(*) AS internal_edges
+  FROM eraw e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+  WHERE la.community = lb.community GROUP BY la.community),
+dg AS (SELECT src AS node, count(*) AS d FROM eall GROUP BY src),
+dc AS (
+  SELECT lab.community, count(*) AS n_nodes,
+    CAST(sum(dg.d) AS BIGINT) AS degree_sum
+  FROM lab JOIN dg ON dg.node = lab.node GROUP BY lab.community)
+SELECT dc.community, dc.n_nodes,
+  CAST(coalesce(ic.internal_edges, 0) AS BIGINT) AS internal_edges,
+  dc.degree_sum,
+  CAST(4*m.m*coalesce(ic.internal_edges, 0) - dc.degree_sum*dc.degree_sum
+    AS BIGINT) AS mod_num
+FROM dc LEFT JOIN ic ON ic.community = dc.community CROSS JOIN m
+ORDER BY dc.community"""
+
+  /** Modularity decomposition of the LPA partition — the "are these
+    * communities real?" follow-up to `wc_lpa_communities`: Newman's
+    * Q = Σ_c [e_c/m − (d_c/2m)²] reported as PER-COMMUNITY EXACT
+    * INTEGER numerators mod_num = 4·m·e_c − d_c² over the shared
+    * denominator 4m² (Q = Σ mod_num / 4m²) — no FP exists, so no
+    * cross-community FP summation order can diverge, and the consumer
+    * still gets exact Q by integer summation. e_c (both-ends-in-c
+    * edges) is two label joins on the undirected edge list; d_c one
+    * degree join; m a broadcast 1-row count. Bounded: products stay
+    * < 2⁶³ while m < 1.5·10⁹ edges per partitioned community grid.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = lpaCommunities(spark, dir)
+      .select(col("node"), col("community"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    val m = eraw.agg(count(lit(1)).as("m"))
+    val ic = eraw
+      .join(labels.withColumnsRenamed(Map("node" -> "a", "community" -> "ca")), Seq("a"))
+      .join(labels.withColumnsRenamed(Map("node" -> "b", "community" -> "cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = eraw.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = labels.join(deg, Seq("node"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    dc.join(ic, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        (lit(4L) * col("m") * coalesce(col("internal_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("mod_num"))
+      .orderBy("community")
+  }
+
+  /** Walk length and seed modulus for `wc_random_walks`. */
+  val WalkSteps = 8
+  val WalkSeedMod = 37L
+
+  /** Deterministic "random" walks over the customer–supplier purchase
+    * graph — the corpus-generation step for DeepWalk/node2vec-style
+    * graph embeddings, made REPRODUCIBLE: the next hop from node u at
+    * step i is neighbor index h(walk, i) mod deg(u), where h is the
+    * Knuth multiplicative hash on (seed, step) — pure BIGINT
+    * arithmetic both engines replay exactly (seed reduced mod 999983
+    * first, so products stay < 2⁶³ under ANSI). Neighbor indexing is
+    * row_number per source node (per-node partitions — bounded by the
+    * node's own degree), seeds are a modulus sample of the node set,
+    * and each of the `WalkSteps` extensions is one keyed join of the
+    * frontier against the indexed adjacency — the PageRank loop
+    * discipline with the adjacency pre-partitioned and checkpointed
+    * once. Output: every (walk, step, node) visit.
+    */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    val eall = eraw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+    val byNode = Window.partitionBy("src").orderBy("dst")
+    val adj = eall
+      .withColumn("idx", row_number().over(byNode).cast("long") - 1L)
+      .repartition(col("src")).localCheckpoint()
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var frontier = adj.select(col("src").as("walk_id")).distinct()
+      .filter(col("walk_id") % WalkSeedMod === 0)
+      .select(col("walk_id"), col("walk_id").as("node"), lit(0L).as("step"))
+    var visits = frontier
+    for (i <- 1 to WalkSteps) {
+      frontier = frontier
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .withColumn("nxt_idx",
+          expr(s"((walk_id % 999983) * 2654435761 + $i * 2246822519) % deg"))
+        .join(adj, col("node") === col("src") && col("nxt_idx") === col("idx"))
+        .select(col("walk_id"), col("dst").as("node"), lit(i.toLong).as("step"))
+        .localCheckpoint()
+      visits = visits.unionByName(frontier)
+    }
+    visits.orderBy("walk_id", "step")
+  }
+
+  private def randomWalksOracle: String = {
+    def step(i: Int): String = s""",
+w$i AS MATERIALIZED (
+  SELECT w.walk_id, a.dst AS node
+  FROM w${i - 1} w
+  JOIN deg d ON d.src = w.node
+  JOIN adj a ON a.src = w.node
+    AND a.idx = ((w.walk_id % 999983) * 2654435761 + $i * 2246822519) % d.deg)"""
+    s"""WITH eraw AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+adj AS (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM eall),
+deg AS (SELECT src, count(*) AS deg FROM eall GROUP BY src),
+w0 AS (
+  SELECT DISTINCT src AS walk_id, src AS node FROM eall
+  WHERE src % $WalkSeedMod = 0)""" +
+      (1 to WalkSteps).map(step).mkString + s"""
+SELECT walk_id, step, node FROM (""" +
+      (0 to WalkSteps).map(i =>
+        s"\n  SELECT walk_id, CAST($i AS BIGINT) AS step, node FROM w$i")
+        .mkString(" UNION ALL") + s"""
+) ORDER BY walk_id, step"""
   }
 
   val HeavyHitterCap = 16
@@ -1127,6 +1274,8 @@ ORDER BY side, score DESC, node"""
     "wc_kcore" -> GQuery.sql(kcore, kcoreOracle),
     "wc_bfs_distance" -> GQuery.sql(bfsDistance, bfsOracle),
     "wc_lpa_communities" -> GQuery.sql(lpaCommunities, lpaOracle),
+    "wc_modularity" -> GQuery.sql(modularity, modularityOracle),
+    "wc_random_walks" -> GQuery.sql(randomWalks, randomWalksOracle),
     "wc_degree_dist" -> GQuery.sql(degreeDist,
       s"""WITH eraw AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
