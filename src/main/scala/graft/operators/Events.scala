@@ -1139,7 +1139,51 @@ object Events {
       .limit(CusumTopK)
   }
 
+  /** Error budget for `ev_slo_burn` (ppm of events allowed to error). */
+  val SloBudgetPpm = 200000L
+
+  /** SLO error-budget burn by day — the SRE reliability report: per
+    * UTC day, events vs errors, the burn rate as a HALF_UP ppm
+    * integer, breach flag against the budget, and the running count
+    * of breach days (computed by a broadcast theta-join over the
+    * day grid — no global window). One keyed daily rollup; the day
+    * grid scales with the time range, not the corpus.
+    */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .withColumn("burn_ppm",
+        expr("(2*n_errors*1000000 + n_events) div (2*n_events)"))
+      .withColumn("breached",
+        (col("burn_ppm") > SloBudgetPpm).cast("long"))
+    daily.as("a")
+      .join(broadcast(daily.select("day", "breached").as("b")),
+        col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"), col("a.n_events").as("n_events"),
+        col("a.n_errors").as("n_errors"), col("a.burn_ppm").as("burn_ppm"),
+        col("a.breached").as("breached"))
+      .agg(sum(col("b.breached")).as("breach_days_to_date"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_slo_burn" -> GQuery.sql(sloBurn,
+      s"""WITH d AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n_events,
+        |    count(*) FILTER (event_type = 'error') AS n_errors
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT day, n_events, n_errors,
+        |    (2*n_errors*1000000 + n_events) // (2*n_events) AS burn_ppm,
+        |    CAST((2*n_errors*1000000 + n_events) // (2*n_events)
+        |      > $SloBudgetPpm AS BIGINT) AS breached
+        |  FROM d)
+        |SELECT day, n_events, n_errors, burn_ppm, breached,
+        |  CAST(sum(breached) OVER (ORDER BY day) AS BIGINT)
+        |    AS breach_days_to_date
+        |FROM b ORDER BY day""".stripMargin),
     "ev_cusum_changepoints" -> GQuery.sql(cusumChangepoints,
       s"""WITH h AS (
         |  SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS cnt

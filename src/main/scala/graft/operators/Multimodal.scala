@@ -315,7 +315,90 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** dHash signature width (first N+1 frames → N difference bits). */
+  val PhashBits = 16
+
+  /** Perceptual-hash (dHash-style) payload dedup census — the
+    * near-dup detector for media that exact byte hashing
+    * (`mm_blob_dedup`) can't give: per payload, the classic
+    * difference hash packs sign bits of CONSECUTIVE frame-mean deltas
+    * (same HALF_UP per-frame means as `mm_scene_cuts`, so partial
+    * frames can't flip a bit) into one integer signature; payloads
+    * sharing a (kind, signature) bucket are perceptual duplicates.
+    * Everything is exact integer arithmetic — frame means, deltas,
+    * shiftleft packing — so both engines derive bit-identical
+    * signatures. Census per kind: payloads, distinct signatures,
+    * surplus (duplicate) payloads, and the largest bucket. One
+    * char-explode scan + per-doc window (bounded by payload length).
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        when(length(col("text")) % 3 === 0, "image")
+          .when(length(col("text")) % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        posexplode(filter(split(col("text"), ""), s => length(s) === 1))
+          .as(Seq("pos", "ch")))
+      .filter(expr(s"pos div $SceneFrameBytes") <= PhashBits)
+      .select(col("doc_id"), col("kind"),
+        expr(s"pos div $SceneFrameBytes").as("frame_idx"),
+        ascii(col("ch")).cast("long").as("v"))
+      .groupBy("doc_id", "kind", "frame_idx")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("doc_id"), col("kind"), col("frame_idx"),
+        expr("(2*s + n) div (2*n)").as("mv"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val sig = frames
+      .withColumn("prev", lag(col("mv"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("kind"),
+        when(col("mv") > col("prev"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_idx AS INT) - 1)"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("doc_id", "kind")
+      .agg(sum(col("bit")).as("signature"))
+    sig.groupBy("kind", "signature").agg(count(lit(1)).as("n_b"))
+      .groupBy("kind")
+      .agg(sum(col("n_b")).as("n_payloads"),
+        count(lit(1)).as("n_signatures"),
+        sum(col("n_b") - 1).as("dup_payloads"),
+        max(col("n_b")).as("max_bucket"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "mm_phash_dedup" -> GQuery.sql(phashDedup,
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) % 3 = 0 THEN 'image'
+        |         WHEN length(text) % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    (idx - 1) // $SceneFrameBytes AS frame_idx, ascii(ch) AS v
+        |  FROM (SELECT doc_id, text, unnest(split(text, '')) AS ch,
+        |          generate_subscripts(split(text, ''), 1) AS idx
+        |        FROM documents WHERE length(text) > 0)
+        |  WHERE (idx - 1) // $SceneFrameBytes <= $PhashBits),
+        |f AS (
+        |  SELECT doc_id, kind, frame_idx,
+        |    (2*CAST(sum(v) AS BIGINT) + count(*)) // (2*count(*)) AS mv
+        |  FROM b GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT doc_id, kind, frame_idx, mv,
+        |    lag(mv) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, kind,
+        |    CAST(sum(CASE WHEN mv > prev
+        |      THEN (1::BIGINT << CAST(frame_idx - 1 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS signature
+        |  FROM d WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT kind, signature, count(*) AS n_b FROM s GROUP BY 1, 2)
+        |SELECT kind, CAST(sum(n_b) AS BIGINT) AS n_payloads,
+        |  count(*) AS n_signatures,
+        |  CAST(sum(n_b - 1) AS BIGINT) AS dup_payloads,
+        |  max(n_b) AS max_bucket
+        |FROM g GROUP BY kind ORDER BY kind""".stripMargin),
     "mm_payload_entropy" -> GQuery.sql(payloadEntropy,
       """WITH d AS (
         |  SELECT CASE WHEN length(text) % 3 = 0 THEN 'image'

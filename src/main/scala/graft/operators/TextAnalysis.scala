@@ -575,6 +575,57 @@ object TextAnalysis {
       .withColumn("burst_x100", expr("(2*sum_cf*100 + sum_df) div (2*sum_df)"))
       .orderBy("cf_band")
 
+  /** Phrases reported by `txt_rake_keyphrases`. */
+  val RakeTopK = 20
+
+  /** RAKE keyphrase extraction (Rose et al.) — the classic
+    * unsupervised keyword miner: candidate phrases are maximal runs
+    * of non-stopword tokens (stopwords and punctuation delimit),
+    * each word scores deg/freq over the phrase corpus (deg = Σ phrase
+    * length over the word's occurrences — co-membership counts;
+    * freq = occurrence count), and a phrase scores the sum of its
+    * members' scores. Every statistic is an exact integer and the
+    * deg/freq ratio rides the §4 HALF_UP ppm identity, so phrase
+    * scores are order-free integer sums — no FP anywhere. Runs are
+    * found by the gaps-and-islands lag/cumsum under per-DOC windows
+    * (bounded by the doc's own length); phrase text reassembles via
+    * sort-by-position array_join, identical to the oracle's ordered
+    * string_agg. Deterministic top-K by (score, phrase).
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
+    val ns = toks.filter(!col("w").isInCollection(Stopwords))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = ns
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc) === col("pos") - 1, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ph = isl.groupBy("doc_id", "island")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos").as("p"), col("w").as("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+    val wordScore = isl.join(ph, Seq("doc_id", "island"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"), expr("(2*deg*1000000 + freq) div (2*freq)").as("wscore"))
+    val perOcc = isl.join(ph, Seq("doc_id", "island"))
+      .join(wordScore, Seq("w"))
+      .groupBy("doc_id", "island", "phrase", "len")
+      .agg(sum(col("wscore")).as("score"))
+    perOcc.groupBy("phrase")
+      .agg(max(col("len")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score")).as("score_ppm"))
+      .orderBy(desc("score_ppm"), asc("phrase"))
+      .limit(RakeTopK)
+  }
+
   /** Corpus-prefix deciles for `txt_vocab_growth`. */
   val VocabDeciles = 10L
 
@@ -626,6 +677,47 @@ object TextAnalysis {
   }
 
   val queries: Map[String, GQuery] = Map(
+    "txt_rake_keyphrases" -> GQuery.sql(rakeKeyphrases,
+      s"""WITH arr AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[[:punct:][:space:]]+'), x -> len(x) > 0) AS a
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(a) AS w,
+        |    generate_subscripts(a, 1) - 1 AS pos
+        |  FROM arr),
+        |ns AS (
+        |  SELECT * FROM toks
+        |  WHERE w NOT IN (${Stopwords.map(w => s"'$w'").mkString(", ")})),
+        |isl AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           = pos - 1 THEN 0 ELSE 1 END AS brk
+        |  FROM ns),
+        |isl2 AS (
+        |  SELECT doc_id, pos, w,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |ph AS (
+        |  SELECT doc_id, island,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase, count(*) AS len
+        |  FROM isl2 GROUP BY 1, 2),
+        |ws AS (
+        |  SELECT w, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+        |  FROM isl2 i JOIN ph USING (doc_id, island) GROUP BY w),
+        |sc AS (
+        |  SELECT w, (2*deg*1000000 + freq) // (2*freq) AS wscore FROM ws),
+        |po AS (
+        |  SELECT i.doc_id, i.island, ph.phrase, ph.len,
+        |    CAST(sum(sc.wscore) AS BIGINT) AS score
+        |  FROM isl2 i JOIN ph USING (doc_id, island) JOIN sc USING (w)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT phrase, max(len) AS n_words, count(*) AS n_occurrences,
+        |  max(score) AS score_ppm
+        |FROM po GROUP BY phrase
+        |ORDER BY score_ppm DESC, phrase LIMIT $RakeTopK""".stripMargin),
     "txt_vocab_growth" -> GQuery.sql(vocabGrowth,
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
         |tok AS (
