@@ -1168,7 +1168,140 @@ object Events {
       .orderBy("day")
   }
 
+  /** A/B experiment readout — deterministic variant assignment (Knuth
+    * multiplicative hash of user_id mod 2, the same reproducible-split
+    * discipline as `pipe_kfold_assign`) and the two-proportion
+    * z-test on signup→purchase conversion. All counts are exact
+    * integers; conversion rates ride the §4 HALF_UP ppm; the z
+    * statistic is the one place FP exists — a single identical
+    * expression tree over four exact integers on both engines,
+    * rounded to 3 (the `pipe_group_stats` corr precedent). One scan,
+    * two keyed aggs, a 1-row output.
+    */
+  def abtestZscore(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant", expr("((user_id % 999983) * 2654435761) % 2"))
+    perUser.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("(2*conv_a*1000000 + n_a) div (2*n_a)").as("rate_a_ppm"),
+        expr("(2*conv_b*1000000 + n_b) div (2*n_b)").as("rate_b_ppm"),
+        // degenerate pooled rate (0 or 1) zeroes the variance; the z
+        // statistic is undefined there — NULL on BOTH engines (ANSI
+        // Spark would otherwise throw on the 0-divisor; DuckDB would
+        // emit NaN)
+        when(col("conv_a") + col("conv_b") === 0 ||
+          col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("conv_a").cast("double") / col("n_a") -
+              col("conv_b").cast("double") / col("n_b")) /
+              sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+                (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b"))) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 3))
+          .as("z"))
+  }
+
+  /** Bot / automation scoring — the trust-and-safety composite that
+    * joins this module's individual signals into one audit: per user,
+    * three integer rules — (1) burst: ≥ `VelocityBurstN` events in a
+    * trailing day (the `ev_velocity_flags` frame); (2) low diversity:
+    * ≤ 2 distinct event types; (3) metronome regularity: ≥ 5
+    * inter-event gaps with coefficient of variation < 0.5, tested by
+    * the CROSS-MULTIPLIED integer form 4·(n·Σg² − (Σg)²) < (Σg)² on
+    * second-quantized gaps, so no variance division or sqrt ever
+    * happens. Score = flags fired (0–3). Per-user windows only;
+    * gap seconds keep Σg² < 2⁶³ for any 90-day user history (re-scale
+    * to minutes beyond). Humans are bursty-but-diverse; bots are
+    * fast, narrow, and regular — the score separates exactly that.
+    */
+  def botScore(spark: SparkSession, dir: String): DataFrame = {
+    val byUserRange = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-86399999L, 0L)
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("burst", count(lit(1)).over(byUserRange))
+      .withColumn("gap_s",
+        ((col("ms") - lag(col("ms"), 1).over(byUser)) / 1000).cast("long"))
+    base.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("burst")).as("max_burst_1d"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(col("gap_s")).as("n_g"),
+        coalesce(sum(col("gap_s")), lit(0L)).as("sg"),
+        coalesce(sum(col("gap_s") * col("gap_s")), lit(0L)).as("sg2"))
+      .select(col("user_id"), col("n_events"), col("max_burst_1d"),
+        col("n_types"),
+        (col("max_burst_1d") >= VelocityBurstN).cast("long").as("r_burst"),
+        (col("n_types") <= 2).cast("long").as("r_lowdiv"),
+        (col("n_g") >= 5 && col("sg") > 0 &&
+          (col("n_g") * col("sg2") - col("sg") * col("sg")) * 4 <
+            col("sg") * col("sg")).cast("long").as("r_regular"))
+      .withColumn("score", col("r_burst") + col("r_lowdiv") + col("r_regular"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_abtest_zscore" -> GQuery.sql(abtestZscore,
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    ((user_id % 999983) * 2654435761) % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  (2*conv_a*1000000 + n_a) // (2*n_a) AS rate_a_ppm,
+        |  (2*conv_b*1000000 + n_b) // (2*n_b) AS rate_b_ppm,
+        |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |    THEN NULL
+        |    ELSE round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+        |      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |        (1.0 / n_a + 1.0 / n_b)), 3) END AS z
+        |FROM c""".stripMargin),
+    "ev_bot_score" -> GQuery.sql(botScore,
+      s"""WITH b AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |      RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS burst,
+        |    (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id)) // 1000 AS gap_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    max(burst) AS max_burst_1d,
+        |    count(DISTINCT event_type) AS n_types,
+        |    count(gap_s) AS n_g,
+        |    CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS sg,
+        |    CAST(coalesce(sum(gap_s*gap_s), 0) AS BIGINT) AS sg2
+        |  FROM b GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events, max_burst_1d, n_types,
+        |    CAST(max_burst_1d >= $VelocityBurstN AS BIGINT) AS r_burst,
+        |    CAST(n_types <= 2 AS BIGINT) AS r_lowdiv,
+        |    CAST(n_g >= 5 AND sg > 0
+        |      AND (n_g*sg2 - sg*sg)*4 < sg*sg AS BIGINT) AS r_regular
+        |  FROM g)
+        |SELECT user_id, n_events, max_burst_1d, n_types,
+        |  r_burst, r_lowdiv, r_regular,
+        |  r_burst + r_lowdiv + r_regular AS score
+        |FROM f ORDER BY user_id""".stripMargin),
     "ev_slo_burn" -> GQuery.sql(sloBurn,
       s"""WITH d AS (
         |  SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n_events,

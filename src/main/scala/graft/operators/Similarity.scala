@@ -1219,7 +1219,78 @@ ORDER BY f.vec_id"""
       .orderBy("bin")
   }
 
+  /** One-way ANOVA F statistic per embedding dimension — "which dims
+    * actually separate the labels?", the feature-discriminance census
+    * behind probe classifiers and dim-pruning decisions. Values are
+    * ×1000-quantized to integers, and the classic decomposition
+    * SSB = Σ_l S_l²/n_l − S²/n is kept ORDER-FREE by e6-quantizing
+    * each per-label term with the §4 HALF_UP identity before the
+    * integer sum (an FP Σ over labels would accumulate in
+    * engine-specific order); SSW = ΣX²·10⁶ − Σ_l ⌈S_l²·10⁶/n_l⌋.
+    * F×1000 is then one pure-integer HALF_UP division. Shuffle: one
+    * posexplode agg onto dim×label keys (640 rows), then a dims-sized
+    * rollup. Integer bounds hold while S_l² · 2·10⁶ < 2⁶³ (≈ 4·10⁷
+    * quantized mass per label-dim — re-scale the quantizer beyond).
+    */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val perLbl = vecs(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(LcScale) + lit(0.5))
+          .cast("long").as("xu"))
+      .groupBy("dim", "label")
+      .agg(count(lit(1)).as("n_l"), sum(col("xu")).as("s_l"),
+        sum(col("xu") * col("xu")).as("ss_l"))
+      // e6-quantized per-label between-class term, exact and order-free
+      .withColumn("b_l", expr("(2*s_l*s_l*1000000 + n_l) div (2*n_l)"))
+    perLbl.groupBy("dim")
+      .agg(sum(col("n_l")).as("n"), count(lit(1)).as("k"),
+        sum(col("s_l")).as("s"), sum(col("ss_l")).as("ssx"),
+        sum(col("b_l")).as("b"))
+      .select(col("dim").cast("long").as("dim"), col("n"), col("k"),
+        // clamp: per-term quantization can push a true-zero SSB a few
+        // units negative, where Spark div (truncate) and DuckDB //
+        // (floor) disagree — the §4 identity needs non-negative p
+        greatest(col("b") - expr("(2*s*s*1000000 + n) div (2*n)"), lit(0L))
+          .as("ssb_e6"),
+        (col("ssx") * lit(1000000L) - col("b")).as("ssw_e6"))
+      .withColumn("f_x1000",
+        expr("(2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1)) div (2*ssw_e6*(k - 1))"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_anova_f" -> GQuery.sql(anovaF,
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (
+        |  SELECT label, dim - 1 AS dim,
+        |    CAST(floor(xv * 1000.0 + 0.5) AS BIGINT) AS xu
+        |  FROM (SELECT label, unnest(v) AS xv,
+        |          generate_subscripts(v, 1) AS dim FROM e)),
+        |pl AS (
+        |  SELECT dim, label, count(*) AS n_l,
+        |    CAST(sum(xu) AS BIGINT) AS s_l,
+        |    CAST(sum(xu*xu) AS BIGINT) AS ss_l
+        |  FROM x GROUP BY 1, 2),
+        |pl2 AS (
+        |  SELECT dim, n_l, s_l, ss_l,
+        |    (2*s_l*s_l*1000000 + n_l) // (2*n_l) AS b_l
+        |  FROM pl),
+        |d AS (
+        |  SELECT dim, CAST(sum(n_l) AS BIGINT) AS n, count(*) AS k,
+        |    CAST(sum(s_l) AS BIGINT) AS s,
+        |    CAST(sum(ss_l) AS BIGINT) AS ssx,
+        |    CAST(sum(b_l) AS BIGINT) AS b
+        |  FROM pl2 GROUP BY dim),
+        |f AS (
+        |  SELECT dim, n, k,
+        |    greatest(b - (2*s*s*1000000 + n) // (2*n), 0) AS ssb_e6,
+        |    ssx * 1000000 - b AS ssw_e6
+        |  FROM d)
+        |SELECT dim, n, k, ssb_e6, ssw_e6,
+        |  (2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1))
+        |    // (2*ssw_e6*(k - 1)) AS f_x1000
+        |FROM f ORDER BY dim""".stripMargin),
     "vec_mean_direction_census" -> GQuery.sql(meanDirectionCensus,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |x AS (SELECT dim - 1 AS dim,
