@@ -661,7 +661,83 @@ object Dedup {
         col("s.len").as("survivor_len"), col("n_copies"))
       .orderBy("h")
 
+  /** Minimum shared shingles for an edit-distance candidate pair. */
+  val EditMinShared = 3L
+
+  /** Edit-distance near-dup verification — the character-level
+    * arbiter the shingle family can't give (Jaccard sees SETS of
+    * trigrams; two docs differing by a small in-place edit keep high
+    * Jaccard AND low edit distance, but a reordered doc keeps Jaccard
+    * while edit distance explodes — this op tells them apart):
+    * candidates are the same source-blocked shared-shingle equi-join
+    * as `dd_ngram_jaccard` (≥ `EditMinShared` shared trigram hashes,
+    * so the quadratic DP only ever runs on plausible pairs), then
+    * EXACT Levenshtein on normalized text with the relative cut
+    * 5·dist ≤ max(len) (≤20% of the longer doc) applied
+    * CROSS-MULTIPLIED — no ratio division; the reported rel_ppm is
+    * the §4 HALF_UP integer. Both engines' `levenshtein` is the
+    * unit-cost DP, so distances are identical integers.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTable(spark, dir)
+    val cand = shingleHashRowsOf(docs)
+      .select(col("source"), col("doc_id").as("doc_id_1"), col("sh"))
+      .join(shingleHashRowsOf(docs)
+        .select(col("source"), col("doc_id").as("doc_id_2"), col("sh")),
+        Seq("source", "sh"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= EditMinShared)
+    val norm = docs.select(col("doc_id"),
+      graft.functions.Text.normalized(col("text")).as("nt"))
+    cand
+      .join(norm.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "nt" -> "t1")),
+        Seq("doc_id_1"))
+      .join(norm.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "nt" -> "t2")),
+        Seq("doc_id_2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      .filter(col("dist") * 5 <= col("max_len"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_shared"),
+        col("dist"), col("max_len"),
+        expr("(2*dist*1000000 + max_len) div (2*max_len)").as("rel_ppm"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "dd_edit_distance" -> GQuery.sql(editDistance,
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) >= $EditMinShared),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |v AS (
+        |  SELECT c.doc_id_1, c.doc_id_2, c.n_shared,
+        |    CAST(levenshtein(n1.nt, n2.nt) AS BIGINT) AS dist,
+        |    CAST(greatest(length(n1.nt), length(n2.nt)) AS BIGINT) AS max_len
+        |  FROM cand c
+        |  JOIN norm n1 ON n1.doc_id = c.doc_id_1
+        |  JOIN norm n2 ON n2.doc_id = c.doc_id_2)
+        |SELECT doc_id_1, doc_id_2, n_shared, dist, max_len,
+        |  (2*dist*1000000 + max_len) // (2*max_len) AS rel_ppm
+        |FROM v WHERE dist * 5 <= max_len
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "dd_survivorship" -> GQuery.sql(survivorship,
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

@@ -1066,6 +1066,54 @@ object Relational {
       .orderBy("tile")
   }
 
+  /** Constraint audit — the dbt-test / Great-Expectations data-quality
+    * pass as one engine query: primary-key uniqueness (violations =
+    * rows − distinct keys), referential integrity (orphan counts via
+    * LEFT ANTI joins — the probe side is the fact table, the build
+    * side the key set), a deliberately-false functional dependency
+    * (l_orderkey → l_suppkey: LHS keys with >1 distinct RHS — multi-
+    * supplier orders exist by construction, so the audit must be
+    * non-degenerate), and a NOT NULL check. Every check is one keyed
+    * agg or one anti join; the union is a fixed 6-row report. At
+    * 100 TB each check is an independent scan — they parallelize and
+    * none carries per-key state beyond the count.
+    */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def row(name: String, rows: Column, viol: Column, df: DataFrame): DataFrame =
+      df.agg(rows.as("n_rows"), viol.as("n_violations"))
+        .select(lit(name).as("constraint_name"), col("n_rows"), col("n_violations"))
+    val pkO = row("pk_orders_orderkey", count(lit(1)),
+      count(lit(1)) - countDistinct(col("o_orderkey")), o)
+    val pkL = row("pk_lineitem_orderkey_linenumber", count(lit(1)),
+      count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")), li)
+    val fkLO = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n"))))
+      .select(lit("fk_lineitem_orders").as("constraint_name"),
+        col("n").as("n_rows"), col("orphans").as("n_violations"))
+    val fkOC = o.join(c.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+      .select(lit("fk_orders_customer").as("constraint_name"),
+        col("n").as("n_rows"), col("orphans").as("n_violations"))
+    val fd = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("nd"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("nd") > 1, 1)).as("n_violations"))
+      .select(lit("fd_orderkey_to_suppkey").as("constraint_name"),
+        col("n_rows"), col("n_violations"))
+    val nn = row("nn_orders_custkey", count(lit(1)),
+      count(when(col("o_custkey").isNull, 1)), o)
+    pkO.unionByName(pkL).unionByName(fkLO).unionByName(fkOC)
+      .unionByName(fd).unionByName(nn)
+      .orderBy("constraint_name")
+  }
+
   /** Benford first-digit reference shares in ppm — log10(1+1/d)
     * quantized HALF_UP; the nine constants sum to exactly 10⁶ and are
     * LITERALS on both engines (an in-plan log10 would differ in the
@@ -1210,6 +1258,36 @@ object Relational {
         |    (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) *
         |    1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_ppm
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "rel_constraint_audit" -> GQuery.sql(constraintAudit,
+      """SELECT * FROM (
+        |  SELECT 'pk_orders_orderkey' AS constraint_name,
+        |    count(*) AS n_rows,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'pk_lineitem_orderkey_linenumber', count(*),
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    count(*) FILTER (o_orderkey IS NULL)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer',
+        |    (SELECT count(*) FROM orders),
+        |    count(*) FILTER (c_custkey IS NULL)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'fd_orderkey_to_suppkey', count(*),
+        |    count(*) FILTER (nd > 1)
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'nn_orders_custkey', count(*),
+        |    count(*) FILTER (o_custkey IS NULL)
+        |  FROM orders)
+        |ORDER BY constraint_name""".stripMargin),
     "rel_benford_audit" -> GQuery.sql(benfordAudit,
       """WITH c AS (
         |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

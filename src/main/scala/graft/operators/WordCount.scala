@@ -877,6 +877,41 @@ SELECT walk_id, step, node FROM (""" +
       .limit(100)
   }
 
+  /** Per-EDGE triangle-support histogram (the k-truss profile): for
+    * every co-purchase edge, how many triangles contain it, rolled
+    * into a support → edge-count census (support ≥ k−2 is exactly the
+    * k-truss membership condition, so the histogram reads off the
+    * truss decomposition's population without the iterative peel).
+    * Triangles come from the degree-ordered wedge enumeration (O(√m)
+    * out-degrees, `wc_triangle_count`'s plan) with an INNER close so
+    * each triangle surfaces once carrying all three corner edges,
+    * which explode into canonical (u<v) form for a map-side-combinable
+    * per-edge count; zero-support edges re-enter via one left join.
+    * The DuckDB oracle enumerates triangles by the id-ordered 3-way
+    * self-join instead — the match re-proves the orientation rewrite
+    * at EDGE granularity.
+    */
+  def trussCensus(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, oriented) = coPurchaseGraph(spark, dir)
+    val triEdges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("x"), col("e1.t").as("a"), col("e2.t").as("b"))
+      .join(oriented.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"), "left_semi")
+      .select(explode(array(
+        struct(least(col("x"), col("a")).as("u"), greatest(col("x"), col("a")).as("v")),
+        struct(least(col("x"), col("b")).as("u"), greatest(col("x"), col("b")).as("v")),
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))))
+        .as("edge"))
+      .select(col("edge.u").as("u"), col("edge.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    e.join(triEdges, Seq("u", "v"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy("support").agg(count(lit(1)).as("n_edges"))
+      .orderBy("support")
+  }
+
   /** Per-node LOCAL clustering coefficient — the node-level refinement
     * of `wc_triangle_count`'s single global figure: for every node with
     * degree ≥ 2, c(x) = triangles_at(x) / C(deg(x), 2). The plan reuses
@@ -1275,6 +1310,26 @@ ORDER BY side, score DESC, node"""
     "wc_bfs_distance" -> GQuery.sql(bfsDistance, bfsOracle),
     "wc_lpa_communities" -> GQuery.sql(lpaCommunities, lpaOracle),
     "wc_modularity" -> GQuery.sql(modularity, modularityOracle),
+    "wc_truss_census" -> GQuery.sql(trussCensus,
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinOrders),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |sup AS (
+        |  SELECT u, v, count(*) AS support FROM (
+        |    SELECT x AS u, y AS v FROM tri
+        |    UNION ALL SELECT x, z FROM tri
+        |    UNION ALL SELECT y, z FROM tri)
+        |  GROUP BY u, v),
+        |se AS (
+        |  SELECT coalesce(sup.support, 0) AS support
+        |  FROM e LEFT JOIN sup ON e.u = sup.u AND e.v = sup.v)
+        |SELECT CAST(support AS BIGINT) AS support, count(*) AS n_edges
+        |FROM se GROUP BY support ORDER BY support""".stripMargin),
     "wc_random_walks" -> GQuery.sql(randomWalks, randomWalksOracle),
     "wc_degree_dist" -> GQuery.sql(degreeDist,
       s"""WITH eraw AS (
