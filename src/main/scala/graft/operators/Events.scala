@@ -1022,11 +1022,13 @@ object Events {
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_millis(col("ts")).as("ms"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("p_ms"))
+      .select(col("user_id").as("p_uid"), col("event_id").as("p_id"),
+        col("ms").as("p_ms"))
     val t = ev.filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_type").as("touch_type"), col("ms").as("t_ms"))
+      .select(col("user_id").as("t_uid"), col("event_type").as("touch_type"),
+        col("ms").as("t_ms"))
     val j = p.join(t,
-      p("user_id") === t("user_id") &&
+      col("p_uid") === col("t_uid") &&
         col("t_ms") <= col("p_ms") &&
         col("p_ms") - col("t_ms") < MtaWindowMs)
       .select("p_id", "touch_type")
@@ -1251,7 +1253,74 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Censoring horizon and band width (days) for `ev_hazard_table`. */
+  val HazardCensorDays = 7L
+  val HazardBandDays = 7L
+  val HazardMaxBand = 12L
+
+  /** Discrete-time survival (hazard) table — churn modeling's
+    * Kaplan-Meier prep without the cross-band FP product: per user,
+    * lifetime = last − first event, right-CENSORED if the user was
+    * still active within `HazardCensorDays` of the corpus end (the
+    * standard observation-window rule); lifetimes band into 7-day
+    * buckets (capped at 12+). Per band: the at-risk population
+    * (lifetime reaching the band — a theta-join suffix sum over the
+    * 13-row grid), churn events (uncensored lifetimes ENDING there),
+    * censored exits, and the discrete hazard d/n as HALF_UP ppm.
+    * All integers; one keyed per-user agg + grid arithmetic.
+    */
+  def hazardTable(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .groupBy("user_id")
+      .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+    val horizon = per.agg(max(col("last_ms")).as("end_ms"))
+    val banded = per.crossJoin(broadcast(horizon))
+      .select(
+        least(expr(s"((last_ms - first_ms) div 86400000) div $HazardBandDays"),
+          lit(HazardMaxBand)).as("band"),
+        (col("end_ms") - col("last_ms") <
+          HazardCensorDays * 86400000L).cast("long").as("censored"))
+    val grid = banded.groupBy("band")
+      .agg(count(when(col("censored") === 0, 1)).as("n_churned"),
+        count(when(col("censored") === 1, 1)).as("n_censored"))
+    grid.as("a")
+      .join(broadcast(grid.as("b")), col("b.band") >= col("a.band"))
+      .groupBy(col("a.band").as("band"), col("a.n_churned").as("n_churned"),
+        col("a.n_censored").as("n_censored"))
+      .agg(sum(col("b.n_churned") + col("b.n_censored")).as("n_at_risk"))
+      .withColumn("hazard_ppm",
+        expr("(2*n_churned*1000000 + n_at_risk) div (2*n_at_risk)"))
+      .select("band", "n_at_risk", "n_churned", "n_censored", "hazard_ppm")
+      .orderBy("band")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_hazard_table" -> GQuery.sql(hazardTable,
+      s"""WITH per AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+        |    max(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT max(last_ms) AS end_ms FROM per),
+        |banded AS (
+        |  SELECT least(((last_ms - first_ms) // 86400000) // $HazardBandDays,
+        |      $HazardMaxBand) AS band,
+        |    CAST(end_ms - last_ms < ${HazardCensorDays * 86400000L}
+        |      AS BIGINT) AS censored
+        |  FROM per, h),
+        |grid AS (
+        |  SELECT band,
+        |    count(*) FILTER (censored = 0) AS n_churned,
+        |    count(*) FILTER (censored = 1) AS n_censored
+        |  FROM banded GROUP BY band),
+        |ar AS (
+        |  SELECT a.band, a.n_churned, a.n_censored,
+        |    CAST(sum(b.n_churned + b.n_censored) AS BIGINT) AS n_at_risk
+        |  FROM grid a JOIN grid b ON b.band >= a.band
+        |  GROUP BY 1, 2, 3)
+        |SELECT band, n_at_risk, n_churned, n_censored,
+        |  (2*n_churned*1000000 + n_at_risk) // (2*n_at_risk) AS hazard_ppm
+        |FROM ar ORDER BY band""".stripMargin),
     "ev_abtest_zscore" -> GQuery.sql(abtestZscore,
       """WITH u AS (
         |  SELECT user_id,

@@ -1066,6 +1066,42 @@ object Relational {
       .orderBy("tile")
   }
 
+  /** Population-stability-index drift monitor — the ML-monitoring
+    * standard for "did the feature distribution move between
+    * snapshots": baseline vs current = the deterministic orderkey
+    * parity split (stand-in for two table snapshots), equi-width
+    * cents buckets over the COMBINED broadcast range (shared edges,
+    * or PSI is meaningless), Laplace-smoothed shares as HALF_UP ppm
+    * integers ((n+1)/(N+B) — zero buckets stay finite), and the PSI
+    * term (p−q)·ln(p/q) emitted PER BUCKET from the two exact ppm
+    * integers in one identical FP tree rounded to 6 — the χ²-op
+    * discipline: no cross-bucket FP sum exists, the consumer adds
+    * exact per-bucket terms. One scan + a B-row census.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        (col("o_orderkey") % 2).as("side"))
+    val bounds = cents.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val grid = cents.crossJoin(broadcast(bounds))
+      .select(expr(s"((cents - lo) * $HistBuckets) div (hi - lo + 1)").as("bucket"),
+        col("side"))
+      .groupBy("bucket")
+      .agg(count(when(col("side") === 0, 1)).as("n_base"),
+        count(when(col("side") === 1, 1)).as("n_cur"))
+    val tot = grid.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("p_ppm",
+        expr(s"(2*(n_base + 1)*1000000 + (tb + $HistBuckets)) div (2*(tb + $HistBuckets))"))
+      .withColumn("q_ppm",
+        expr(s"(2*(n_cur + 1)*1000000 + (tc + $HistBuckets)) div (2*(tc + $HistBuckets))"))
+      .select(col("bucket"), col("n_base"), col("n_cur"), col("p_ppm"), col("q_ppm"),
+        round(((col("p_ppm") - col("q_ppm")).cast("double") / 1000000.0) *
+          (log(col("p_ppm").cast("double")) - log(col("q_ppm").cast("double"))), 6)
+          .as("psi_term"))
+      .orderBy("bucket")
+  }
+
   /** Constraint audit — the dbt-test / Great-Expectations data-quality
     * pass as one engine query: primary-key uniqueness (violations =
     * rows − distinct keys), referential integrity (orphan counts via
@@ -1258,6 +1294,33 @@ object Relational {
         |    (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) *
         |    1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_ppm
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "rel_psi_drift" -> GQuery.sql(psiDrift,
+      s"""WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey % 2 AS side
+        |  FROM orders),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+        |g AS (
+        |  SELECT ((cents - lo) * $HistBuckets) // (hi - lo + 1) AS bucket,
+        |    count(*) FILTER (side = 0) AS n_base,
+        |    count(*) FILTER (side = 1) AS n_cur
+        |  FROM c, b GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc
+        |  FROM g),
+        |s AS (
+        |  SELECT bucket, n_base, n_cur,
+        |    (2*(n_base + 1)*1000000 + (tb + $HistBuckets))
+        |      // (2*(tb + $HistBuckets)) AS p_ppm,
+        |    (2*(n_cur + 1)*1000000 + (tc + $HistBuckets))
+        |      // (2*(tc + $HistBuckets)) AS q_ppm
+        |  FROM g, t)
+        |SELECT bucket, n_base, n_cur, p_ppm, q_ppm,
+        |  round((CAST(p_ppm - q_ppm AS DOUBLE) / 1000000.0) *
+        |    (ln(CAST(p_ppm AS DOUBLE)) - ln(CAST(q_ppm AS DOUBLE))), 6)
+        |    AS psi_term
+        |FROM s ORDER BY bucket""".stripMargin),
     "rel_constraint_audit" -> GQuery.sql(constraintAudit,
       """SELECT * FROM (
         |  SELECT 'pk_orders_orderkey' AS constraint_name,

@@ -1259,7 +1259,80 @@ ORDER BY f.vec_id"""
       .orderBy("dim")
   }
 
+  /** Triplet-margin audit of the embedding space — the metric-learning
+    * acceptance test (is same-label closer than different-label?):
+    * deterministic triplets with anchor a = every vector, positive =
+    * the next same-label vector by id, negative = the next vector of
+    * the NEXT label class by id (both picks are min-id theta-joins
+    * inside label blocks — the `dd_embed_cosine` blocking shape, no
+    * windows); violation counted at margins 0 / 0.05 / 0.10 on
+    * ROUND-6 cosines compared in exact 1e6-units integers, so the
+    * margin test cannot straddle an FP boundary differently per
+    * engine. Output: one census row — triplets, violations per
+    * margin, violation ppm at margin 0.
+    */
+  def tripletAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val e = vecs(spark, dir).select(col("vec_id"), col("label"), col("v"))
+    def nextBy(partnerLabel: Column, tag: String): DataFrame =
+      e.as("a").join(e.as("b"),
+          col("b.label") === partnerLabel && col("b.vec_id") > col("a.vec_id"))
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(min(col("b.vec_id")).as(s"${tag}_id"))
+    val pos = nextBy(col("a.label"), "pos")
+    val neg = nextBy((col("a.label") + 1) % 10, "neg")
+    def cos(x: Column, y: Column): Column =
+      round(vec_dot(x, y) /
+        (sqrt(vec_dot(x, x)) * sqrt(vec_dot(y, y))), 6)
+    val trip = e.select(col("vec_id"), col("v").as("va"))
+      .join(pos, Seq("vec_id")).join(neg, Seq("vec_id"))
+      .join(e.select(col("vec_id").as("pos_id"), col("v").as("vp")), Seq("pos_id"))
+      .join(e.select(col("vec_id").as("neg_id"), col("v").as("vn")), Seq("neg_id"))
+      // floor(x*1e6 + 0.5): Spark's double→long cast truncates while
+      // DuckDB's rounds, so the quantizer must be explicit (§4)
+      .select(
+        floor(cos(col("va"), col("vp")) * 1000000 + 0.5).cast("long").as("cap"),
+        floor(cos(col("va"), col("vn")) * 1000000 + 0.5).cast("long").as("can"))
+    trip.agg(count(lit(1)).as("n_triplets"),
+        count(when(col("cap") < col("can"), 1)).as("viol_m0"),
+        count(when(col("cap") < col("can") + 50000L, 1)).as("viol_m05"),
+        count(when(col("cap") < col("can") + 100000L, 1)).as("viol_m10"))
+      .withColumn("viol_ppm",
+        expr("(2*viol_m0*1000000 + n_triplets) div (2*n_triplets)"))
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_triplet_audit" -> GQuery.sql(tripletAudit,
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |pos AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS pos_id
+        |  FROM e a JOIN e b ON b.label = a.label AND b.vec_id > a.vec_id
+        |  GROUP BY a.vec_id),
+        |neg AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS neg_id
+        |  FROM e a JOIN e b ON b.label = (a.label + 1) % 10
+        |    AND b.vec_id > a.vec_id
+        |  GROUP BY a.vec_id),
+        |t AS (
+        |  SELECT
+        |    CAST(floor(round(list_inner_product(a.v, p.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) *
+        |       sqrt(list_inner_product(p.v, p.v))), 6) * 1000000 + 0.5) AS BIGINT) AS cap,
+        |    CAST(floor(round(list_inner_product(a.v, n.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) *
+        |       sqrt(list_inner_product(n.v, n.v))), 6) * 1000000 + 0.5) AS BIGINT) AS can
+        |  FROM e a
+        |  JOIN pos ON pos.vec_id = a.vec_id
+        |  JOIN neg ON neg.vec_id = a.vec_id
+        |  JOIN e p ON p.vec_id = pos.pos_id
+        |  JOIN e n ON n.vec_id = neg.neg_id)
+        |SELECT count(*) AS n_triplets,
+        |  count(*) FILTER (cap < can) AS viol_m0,
+        |  count(*) FILTER (cap < can + 50000) AS viol_m05,
+        |  count(*) FILTER (cap < can + 100000) AS viol_m10,
+        |  (2*(count(*) FILTER (cap < can))*1000000 + count(*))
+        |    // (2*count(*)) AS viol_ppm
+        |FROM t""".stripMargin),
     "vec_anova_f" -> GQuery.sql(anovaF,
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |x AS (

@@ -20,11 +20,12 @@ class Round8dOpsSpec extends SparkTestBase {
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_millis(col("ts")).as("ms"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("p_ms"))
+      .select(col("user_id").as("p_uid"), col("event_id").as("p_id"),
+        col("ms").as("p_ms"))
     val t = ev.filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("ms").as("t_ms"))
+      .select(col("user_id").as("t_uid"), col("ms").as("t_ms"))
     val nAttributed = p.join(t,
-        p("user_id") === t("user_id") && col("t_ms") <= col("p_ms") &&
+        col("p_uid") === col("t_uid") && col("t_ms") <= col("p_ms") &&
           col("p_ms") - col("t_ms") < operators.Events.MtaWindowMs)
       .select("p_id").distinct().count()
     assert(math.abs(totCredit - nAttributed * 1000000L) <= totTouches / 2 + got.length,
