@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Pipeline.queries ++
-      operators.StreamingOps.queries
+      operators.StreamingOps.queries ++
+      operators.Sources.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

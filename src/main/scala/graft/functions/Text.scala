@@ -38,6 +38,29 @@ object Text {
   def normalized(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Unicode-aware tokenizer twin: tokens are maximal runs of Unicode
+    * letters/digits (`\p{L}\p{N}`), so accented Latin, CJK, and
+    * non-ASCII digits tokenize as words instead of being split on as
+    * "punctuation" the way the ASCII reference tokenizer (`tokens`,
+    * pinned to the reference semantics — do NOT change it) would.
+    * `regexp_extract_all` rather than split: no empty-fragment edge
+    * at delimiters. UnicodeTokensSpec pins the non-ASCII behavior;
+    * the `txt_token_count_unicode` oracle pins cross-engine parity.
+    */
+  val UnicodeTokenRegex = "[\\p{L}\\p{N}]+"
+  def unicodeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(UnicodeTokenRegex), lit(0))
+
+  /** Corpus-wide tokenizer selector: set the Spark conf
+    * `graft.tokenizer=unicode` to run the txt_/dd_ tokenization
+    * through the Unicode twin; default (or `ascii`) keeps the
+    * reference-conformant ASCII split.
+    */
+  def tokensFor(mode: String)(c: Column): Column = mode match {
+    case "unicode" => unicodeTokens(c)
+    case _         => tokens(c)
+  }
+
   /** Ratio of ASCII punctuation chars to total chars. */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.Text
+import graft.Ckpt.TruncOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -523,11 +524,11 @@ object Dedup {
         .unionByName(m.select(col("m").as("lo"), col("c").as("hi"))))
     }
     var edges = canon(pairs.select(col("doc_id_1").as("lo"),
-      col("doc_id_2").as("hi"))).localCheckpoint()
+      col("doc_id_2").as("hi"))).truncated
     var converged = false
     var rounds = 0
     while (!converged && rounds < MaxCcRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).truncated
       // exact set equality in ONE job: both sides are distinct
       // canonical sets, so tagging each side and grouping on the edge
       // leaves every agreeing edge with tag-sum 3; any edge present on
@@ -676,7 +677,14 @@ object Dedup {
     * 5·dist ≤ max(len) (≤20% of the longer doc) applied
     * CROSS-MULTIPLIED — no ratio division; the reported rel_ppm is
     * the §4 HALF_UP integer. Both engines' `levenshtein` is the
-    * unit-cost DP, so distances are identical integers.
+    * unit-cost DP, so distances are identical integers. Spark runs
+    * the BANDED 3-arg form with threshold = max_len div 5 — the
+    * exact cut bound — so the per-pair cost is O(len·band), not
+    * O(len²); above the band it returns −1, which the `dist >= 0`
+    * guard excludes (the −1 sentinel would otherwise PASS the
+    * cross-multiplied cut). Within the band the distance is exact,
+    * so the surviving pair set and every reported column are
+    * identical to the unbounded DP (EditDistanceBandSpec pins this).
     */
   def editDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsTable(spark, dir)
@@ -696,10 +704,11 @@ object Dedup {
         Seq("doc_id_1"))
       .join(norm.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "nt" -> "t2")),
         Seq("doc_id_2"))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
       .withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
-      .filter(col("dist") * 5 <= col("max_len"))
+      .withColumn("dist",
+        expr("levenshtein(t1, t2, CAST(max_len div 5 AS INT))").cast("long"))
+      .filter(col("dist") >= 0 && col("dist") * 5 <= col("max_len"))
       .select(col("doc_id_1"), col("doc_id_2"), col("n_shared"),
         col("dist"), col("max_len"),
         expr("(2*dist*1000000 + max_len) div (2*max_len)").as("rel_ppm"))

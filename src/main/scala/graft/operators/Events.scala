@@ -1170,9 +1170,11 @@ object Events {
       .orderBy("day")
   }
 
-  /** A/B experiment readout — deterministic variant assignment (Knuth
-    * multiplicative hash of user_id mod 2, the same reproducible-split
-    * discipline as `pipe_kfold_assign`) and the two-proportion
+  /** A/B experiment readout — deterministic variant assignment (bit
+    * 31 of a Knuth multiplicative hash of user_id: the multiplier is
+    * odd, so the raw LOW bit would be literal user_id parity — a
+    * poor assignment when ids correlate with parity — whereas a high
+    * bit genuinely mixes) and the two-proportion
     * z-test on signup→purchase conversion. All counts are exact
     * integers; conversion rates ride the §4 HALF_UP ppm; the z
     * statistic is the one place FP exists — a single identical
@@ -1185,7 +1187,8 @@ object Events {
       .groupBy("user_id")
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("converted"))
-      .withColumn("variant", expr("((user_id % 999983) * 2654435761) % 2"))
+      .withColumn("variant",
+        expr("(((user_id % 999983) * 2654435761) div 2147483648) % 2"))
     perUser.agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
@@ -1325,7 +1328,7 @@ object Events {
       """WITH u AS (
         |  SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
-        |    ((user_id % 999983) * 2654435761) % 2 AS variant
+        |    (((user_id % 999983) * 2654435761) // 2147483648) % 2 AS variant
         |  FROM events GROUP BY user_id),
         |c AS (
         |  SELECT

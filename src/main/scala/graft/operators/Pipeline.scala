@@ -62,8 +62,14 @@ object Pipeline {
         sum(col("n_chars")).as("sum_chars"),
         sum(col("n_chunks")).as("n_chunks"),
         sum(col("chunk_chars")).as("sum_chunk_chars"))
+      // a source of all-empty docs has sum_chunk_chars = 0 (empty
+      // docs still count one 0-char chunk): overlap is 0 by
+      // definition, and the guard keeps ANSI Spark from throwing on
+      // the 0 divisor (DuckDB would NULL differently)
       .withColumn("overlap_ppm",
-        expr("(2*(sum_chunk_chars - sum_chars)*1000000 + sum_chunk_chars) div (2*sum_chunk_chars)"))
+        expr("""CASE WHEN sum_chunk_chars = 0 THEN 0
+               ELSE (2*(sum_chunk_chars - sum_chars)*1000000
+                     + sum_chunk_chars) div (2*sum_chunk_chars) END"""))
       .orderBy("source")
   }
 
@@ -73,8 +79,12 @@ object Pipeline {
   /** Deterministic k-fold assignment with a per-source stratification
     * audit — the cross-validation primitive `pipe_train_test_split`'s
     * two-way split doesn't give: fold = Knuth multiplicative hash of
-    * doc_id under a DIFFERENT prime multiplier than the percent
-    * bucket (decorrelated, so fold and split can stack), reported as
+    * doc_id under a different multiplier than the percent bucket,
+    * taken from the HIGH bits (div 2^20 before the mod — the low
+    * bits of k·r mod small m are a deterministic function of
+    * r mod m, so a low-bit fold would collapse onto the percent
+    * bucket; the high bits genuinely mix, so fold and split can
+    * stack), reported as
     * the (fold × source) census a practitioner reads to confirm every
     * fold sees every source in proportion. One scan, one keyed agg
     * onto K×sources keys; the hash is replayed verbatim in the
@@ -83,7 +93,8 @@ object Pipeline {
     */
   def kfoldAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("fold", expr(s"((doc_id % 999983) * 2246822519) % $KFolds"))
+      .withColumn("fold",
+        expr(s"(((doc_id % 999983) * 2246822519) div 1048576) % $KFolds"))
       .groupBy("fold", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("fold", "source")
@@ -1196,11 +1207,13 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |    CAST(sum(chunk_chars) AS BIGINT) AS sum_chunk_chars
         |  FROM e GROUP BY source)
         |SELECT source, n_docs, sum_chars, n_chunks, sum_chunk_chars,
-        |  (2*(sum_chunk_chars - sum_chars)*1000000 + sum_chunk_chars)
-        |    // (2*sum_chunk_chars) AS overlap_ppm
+        |  CASE WHEN sum_chunk_chars = 0 THEN 0
+        |       ELSE (2*(sum_chunk_chars - sum_chars)*1000000
+        |              + sum_chunk_chars) // (2*sum_chunk_chars)
+        |  END AS overlap_ppm
         |FROM g ORDER BY source""".stripMargin),
     "pipe_kfold_assign" -> GQuery.sql(kfoldAssign,
-      s"""SELECT ((doc_id % 999983) * 2246822519) % $KFolds AS fold,
+      s"""SELECT (((doc_id % 999983) * 2246822519) // 1048576) % $KFolds AS fold,
         |  source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY fold, source""".stripMargin),

@@ -1254,8 +1254,13 @@ ORDER BY f.vec_id"""
         greatest(col("b") - expr("(2*s*s*1000000 + n) div (2*n)"), lit(0L))
           .as("ssb_e6"),
         (col("ssx") * lit(1000000L) - col("b")).as("ssw_e6"))
+      // ssw can be quantization-pushed to <= 0 (and k = 1 zeroes the
+      // denominator): F is undefined there — NULL on BOTH engines, so
+      // the ANSI-div-vs-floor disagreement on negatives never fires
       .withColumn("f_x1000",
-        expr("(2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1)) div (2*ssw_e6*(k - 1))"))
+        expr("""CASE WHEN ssw_e6 <= 0 OR k <= 1 THEN NULL
+               ELSE (2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1))
+                      div (2*ssw_e6*(k - 1)) END"""))
       .orderBy("dim")
   }
 
@@ -1361,8 +1366,9 @@ ORDER BY f.vec_id"""
         |    ssx * 1000000 - b AS ssw_e6
         |  FROM d)
         |SELECT dim, n, k, ssb_e6, ssw_e6,
-        |  (2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1))
-        |    // (2*ssw_e6*(k - 1)) AS f_x1000
+        |  CASE WHEN ssw_e6 <= 0 OR k <= 1 THEN NULL
+        |       ELSE (2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1))
+        |              // (2*ssw_e6*(k - 1)) END AS f_x1000
         |FROM f ORDER BY dim""".stripMargin),
     "vec_mean_direction_census" -> GQuery.sql(meanDirectionCensus,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -21,6 +21,24 @@ object TextAnalysis {
         Text.bpeIshTokenCount(col("text")).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Unicode-tokenizer twin of `txt_token_count`: tokens are maximal
+    * `\p{L}\p{N}` runs (Text.unicodeTokens), so a multilingual corpus
+    * counts accented/CJK words as words — the reference-conformant
+    * ASCII tokenizer stays pinned for the `wc_*`/`dd_*` families.
+    * Cross-engine parity rides EXPLICIT Unicode category classes on
+    * both regex engines (Java `\p{L}\p{N}` vs RE2 `\pL\pN` — same
+    * category tables on this corpus, pinned by the oracle hash; the
+    * non-ASCII semantics themselves are pinned by UnicodeTokensSpec,
+    * where no cross-engine trust is needed).
+    */
+  def tokenCountUnicode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Text.unicodeTokens(col("text"))).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^\\p{L}\\p{N}]", ""))
+          .cast("long").as("n_alnum_chars"))
+      .orderBy("doc_id")
+
   val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
 
   /** Flesch-style readability per document — the classic curation
@@ -1029,6 +1047,12 @@ object TextAnalysis {
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "txt_token_count_unicode" -> GQuery.sql(tokenCountUnicode,
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[\pL\pN]+')) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^\pL\pN]', '', 'g')) AS BIGINT)
+        |    AS n_alnum_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
     "txt_readability" -> GQuery.sql(readability,
       """WITH t AS (

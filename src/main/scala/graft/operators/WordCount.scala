@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.Text
+import graft.Ckpt.TruncOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -255,8 +256,8 @@ object WordCount {
     // 2-deep lineage — was no faster at sf0.1 (min 4.1 vs 3.7 s,
     // identical medians); the per-round boundary is not the
     // bottleneck, so the simpler per-round form stays.
-    val edges = eall.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    val edges = eall.join(deg, "src").repartition(col("src")).truncated
+    val nodes = deg.select(col("src").as("node")).truncated
     var ranks = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to PageRankIters) {
       val contribs = edges.join(ranks, edges("src") === ranks("node"))
@@ -265,7 +266,7 @@ object WordCount {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           round(lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0)), 8).as("pr"))
-        .localCheckpoint()
+        .truncated
     }
     ranks.orderBy(desc("pr"), asc("node")).limit(100)
   }
@@ -347,7 +348,7 @@ SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
       .distinct()
     var edges = eraw.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).truncated
     var prev = edges.count()
     var converged = false
     var round = 0
@@ -357,7 +358,7 @@ SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
       edges = edges
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .repartition(col("src")).localCheckpoint()
+        .repartition(col("src")).truncated
       val cur = edges.count()
       converged = cur == prev
       prev = cur
@@ -416,9 +417,9 @@ GROUP BY src ORDER BY node"""
       .distinct()
     val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).truncated
     var reached = edges.agg(min(col("src")).as("node"))
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).truncated
     var frontier = reached.select("node")
     var round = 0
     var done = false
@@ -428,10 +429,10 @@ GROUP BY src ORDER BY node"""
         .select(col("dst").as("node")).distinct()
         .join(reached, Seq("node"), "left_anti")
         .withColumn("dist", lit(round.toLong))
-        .localCheckpoint()
+        .truncated
       if (next.isEmpty) done = true
       else {
-        reached = reached.unionByName(next).localCheckpoint()
+        reached = reached.unionByName(next).truncated
         frontier = next.select("node")
       }
     }
@@ -479,19 +480,30 @@ SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
     * different construction, so hash equality proves the packed-struct
     * argmax. Labels checkpointed per round (PageRank discipline).
     */
-  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaCommunitiesWithEdges(spark, dir)._1
+
+  /** LPA plus the DISTINCT directed co-purchase edge list it was run
+    * on (checkpointed, so the orders⋈lineitem→distinct fact join is
+    * materialized exactly once) — consumers like `wc_modularity`
+    * that need both the partition AND the graph reuse it instead of
+    * rebuilding the fact join.
+    */
+  def lpaCommunitiesWithEdges(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("a"),
         (col("l_suppkey") + PageRankSuppOffset).as("b"))
       .distinct()
+      .truncated
     val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).truncated
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .truncated
     for (_ <- 1 to LpaRounds) {
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -500,9 +512,10 @@ SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+        .truncated
     }
-    labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+    (labels.select(col("node"), col("lbl").as("community")).orderBy("node"),
+      eraw)
   }
 
   /** Shared LPA CTE prefix (graph + LpaRounds label rounds); callers
@@ -561,14 +574,10 @@ ORDER BY dc.community"""
     * < 2⁶³ while m < 1.5·10⁹ edges per partitioned community grid.
     */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val labels = lpaCommunities(spark, dir)
-      .select(col("node"), col("community"))
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("a"),
-        (col("l_suppkey") + PageRankSuppOffset).as("b"))
-      .distinct()
+    // one fact join for both the partition and the graph: LPA hands
+    // back the checkpointed edge list it propagated over
+    val (labelsRaw, eraw) = lpaCommunitiesWithEdges(spark, dir)
+    val labels = labelsRaw.select(col("node"), col("community"))
     val m = eraw.agg(count(lit(1)).as("m"))
     val ic = eraw
       .join(labels.withColumnsRenamed(Map("node" -> "a", "community" -> "ca")), Seq("a"))
@@ -621,7 +630,7 @@ ORDER BY dc.community"""
     val byNode = Window.partitionBy("src").orderBy("dst")
     val adj = eall
       .withColumn("idx", row_number().over(byNode).cast("long") - 1L)
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).truncated
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var frontier = adj.select(col("src").as("walk_id")).distinct()
       .filter(col("walk_id") % WalkSeedMod === 0)
@@ -634,7 +643,7 @@ ORDER BY dc.community"""
           expr(s"((walk_id % 999983) * 2654435761 + $i * 2246822519) % deg"))
         .join(adj, col("node") === col("src") && col("nxt_idx") === col("idx"))
         .select(col("walk_id"), col("dst").as("node"), lit(i.toLong).as("step"))
-        .localCheckpoint()
+        .truncated
       visits = visits.unionByName(frontier)
     }
     visits.orderBy("walk_id", "step")
@@ -694,6 +703,18 @@ SELECT walk_id, step, node FROM (""" +
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersWith(HeavyHitterCap)(spark, dir)
+
+  /** Exact-degeneration twin of `wc_heavy_hitters`: capacity 64 ≥ the
+    * corpus vocabulary, so no summary ever evicts — err is 0 for
+    * every entry and count_ub IS the exact count, which means the
+    * very same SpaceSaving code path (per-partition summaries, merge,
+    * head extraction) hash-checks against plain word-count top-k in
+    * DuckDB. The sketch twin keeps its quantitative-bound spec; this
+    * row gives the sketch CODE an oracle-green certification.
+    */
+  val HeavyHitterExactCap = 64
+  def heavyHittersExact(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersWith(HeavyHitterExactCap)(spark, dir)
 
   /** Minimum co-purchase orders for a part-graph edge. */
   val TriMinOrders = 2L
@@ -968,9 +989,9 @@ SELECT walk_id, step, node FROM (""" +
       .select(col("o_custkey").as("cust"),
         (col("l_suppkey") + PageRankSuppOffset).as("supp"))
       .distinct()
-      .repartition(col("cust")).localCheckpoint()
+      .repartition(col("cust")).truncated
     val hubs0 = e.select(col("cust")).distinct()
-      .withColumn("h", lit(1.0)).localCheckpoint()
+      .withColumn("h", lit(1.0)).truncated
     var hubs = hubs0
     var auths: DataFrame = null
     for (_ <- 1 to HitsIters) {
@@ -980,13 +1001,13 @@ SELECT walk_id, step, node FROM (""" +
       // one barrier per half-round, not two
       val araw = e.join(hubs, Seq("cust"))
         .groupBy("supp").agg(round(sum(col("h")), 8).as("a_raw"))
-        .localCheckpoint()
+        .truncated
       val amax = araw.agg(max(col("a_raw")).as("mx"))
       auths = araw.crossJoin(broadcast(amax))
         .select(col("supp"), round(col("a_raw") / col("mx"), 8).as("a"))
       val hraw = e.join(auths, Seq("supp"))
         .groupBy("cust").agg(round(sum(col("a")), 8).as("h_raw"))
-        .localCheckpoint()
+        .truncated
       val hmax = hraw.agg(max(col("h_raw")).as("mx"))
       hubs = hraw.crossJoin(broadcast(hmax))
         .select(col("cust"), round(col("h_raw") / col("mx"), 8).as("h"))
@@ -1175,6 +1196,14 @@ ORDER BY side, score DESC, node"""
         |FROM sz GROUP BY size ORDER BY size""".stripMargin),
     "wc_hits" -> GQuery.sql(hits, hitsOracle),
     "wc_heavy_hitters" -> GQuery.rowsOnly(heavyHitters),
+    "wc_heavy_hitters_exact" -> GQuery.sql(heavyHittersExact,
+      s"""WITH wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '[[:punct:][:space:]]+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word)
+        |SELECT word AS token, cnt AS count_ub, CAST(0 AS BIGINT) AS err
+        |FROM wc ORDER BY count_ub DESC, token LIMIT $HeavyHitterK""".stripMargin),
     "wc_clustering_coeff" -> GQuery.sql(clusteringCoeff,
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS (
