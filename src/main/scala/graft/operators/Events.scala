@@ -1298,7 +1298,61 @@ object Events {
       .orderBy("band")
   }
 
+  /** Burst detection over the hourly grid — the rate-spike monitor
+    * (traffic surges, abuse onset, incident load) run the scalable
+    * way: the corpus first reduces to the (event_type, hour) COUNT
+    * GRID (a map-side-combinable keyed agg, the only corpus-sized
+    * pass), and the trailing-baseline window runs over that tiny
+    * grid, partitioned by event_type. An hour is a burst when its
+    * count more than doubles the trailing-24-bucket mean — exact
+    * cross-multiplied integers (cnt·n_prev > 2·sum_prev), no rate
+    * division; lift ×1000 is §4 HALF_UP, NULL when the trailing sum
+    * is zero (a burst out of silence has no finite lift). Warm-up
+    * hours (fewer than 6 trailing buckets) can't fire.
+    */
+  val BurstTrailing = 24
+  val BurstMinPrev = 6L
+  def burstWindows(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ms")
+      .rowsBetween(-BurstTrailing, -1)
+    hourly
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("sum_prev", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .filter(col("n_prev") >= BurstMinPrev &&
+        col("n_events") * col("n_prev") > lit(2L) * col("sum_prev"))
+      .select(col("event_type"), col("hour_ms"), col("n_events"),
+        col("n_prev"), col("sum_prev"),
+        when(col("sum_prev") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(2*n_events*n_prev*1000 + sum_prev) div (2*sum_prev)"))
+          .as("lift_x1000"))
+      .orderBy("event_type", "hour_ms")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_burst_windows" -> GQuery.sql(burstWindows,
+      s"""WITH h AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, hour_ms, n_events,
+        |    count(*) OVER w AS n_prev,
+        |    coalesce(CAST(sum(n_events) OVER w AS BIGINT), 0) AS sum_prev
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+        |    ROWS BETWEEN $BurstTrailing PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_ms, n_events, n_prev, sum_prev,
+        |  CASE WHEN sum_prev = 0 THEN NULL
+        |       ELSE (2*n_events*n_prev*1000 + sum_prev) // (2*sum_prev)
+        |  END AS lift_x1000
+        |FROM t
+        |WHERE n_prev >= $BurstMinPrev AND n_events * n_prev > 2 * sum_prev
+        |ORDER BY event_type, hour_ms""".stripMargin),
     "ev_hazard_table" -> GQuery.sql(hazardTable,
       s"""WITH per AS (
         |  SELECT user_id, min(epoch_ms(ts)) AS first_ms,

@@ -1254,7 +1254,52 @@ object Relational {
       .orderBy("band")
   }
 
+  /** Join-key skew audit — the measurement that decides BEFORE a big
+    * join whether it needs `rel_salted_skew_join`'s salting or AQE
+    * skew splitting: per candidate join key of the fact table, the
+    * per-key frequency profile reduced to the numbers a planner
+    * reads — total rows, distinct keys, min/max per-key count, the
+    * heaviest key's share (ppm), and skew = max/avg ×1000 (a skew of
+    * 1000 is perfectly uniform; ≥ ~10⁴ means one task gets 10× the
+    * mean partition and salting pays). Pure integers, §4 HALF_UP.
+    * Shape: one scan per key column, map-side-combinable keyed agg,
+    * then a 1-row reduce over the key-count domain — no windows, no
+    * sort, nothing scales with skew itself.
+    */
+  def skewCensus(spark: SparkSession, dir: String): DataFrame = {
+    def censusOf(keyCol: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
+        .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+          col("min_cnt"), col("max_cnt"),
+          expr("(2*max_cnt*1000000 + n_rows) div (2*n_rows)")
+            .as("top1_ppm"),
+          expr("(2*max_cnt*n_keys*1000 + n_rows) div (2*n_rows)")
+            .as("skew_x1000"))
+    censusOf("l_suppkey").unionByName(censusOf("l_partkey"))
+      .orderBy("key_col")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_skew_census" -> GQuery.sql(skewCensus,
+      """WITH c1 AS (SELECT l_suppkey AS k, count(*) AS cnt
+        |            FROM lineitem GROUP BY 1),
+        |c2 AS (SELECT l_partkey AS k, count(*) AS cnt
+        |       FROM lineitem GROUP BY 1),
+        |a1 AS (SELECT 'l_suppkey' AS key_col,
+        |         CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |         min(cnt) AS min_cnt, max(cnt) AS max_cnt FROM c1),
+        |a2 AS (SELECT 'l_partkey' AS key_col,
+        |         CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |         min(cnt) AS min_cnt, max(cnt) AS max_cnt FROM c2),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |SELECT key_col, n_rows, n_keys, min_cnt, max_cnt,
+        |  (2*max_cnt*1000000 + n_rows) // (2*n_rows) AS top1_ppm,
+        |  (2*max_cnt*n_keys*1000 + n_rows) // (2*n_rows) AS skew_x1000
+        |FROM u ORDER BY key_col""".stripMargin),
     "rel_reorder_gaps" -> GQuery.sql(reorderGaps,
       """WITH g AS (
         |  SELECT o_custkey,

@@ -1306,7 +1306,75 @@ ORDER BY f.vec_id"""
         expr("(2*viol_m0*1000000 + n_triplets) div (2*n_triplets)"))
   }
 
+  /** Diagonal-Mahalanobis outlier census — the embedding-space data
+    * quality gate (mis-embedded, truncated, or off-manifold vectors)
+    * at corpus scale: per dim, GLOBAL (n, Σx, Σx²) on the e3-quantized
+    * grid; per vector, the z²-sum against those dim stats with every
+    * ratio cross-multiplied exact — dev = n·xu − Σx and
+    * n²var = n·Σx² − (Σx)² share the n² scale, so z²×100 per dim is
+    * ONE §4 HALF_UP division of non-negative integers (identical div
+    * and // semantics; constant dims contribute 0). A vector is an
+    * outlier when its mean per-dim z² exceeds 4. Shape: one explode
+    * pass to the dims-sized stats grid (broadcast back, 64 rows), one
+    * explode+join+per-vec agg pass, then a labels-sized census — no
+    * windows, no per-pair work. Integer bound: |dev|²·200 < 2⁶³ holds
+    * to ~2·10⁵ vectors at e3 quantization; coarsen the quantizer
+    * beyond (the `vec_anova_f` discipline).
+    */
+  val OutlierZ2x100 = 400L
+  def outlierCensus(spark: SparkSession, dir: String): DataFrame = {
+    val xu = vecs(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(LcScale) + lit(0.5))
+          .cast("long").as("xu"))
+    val dimStats = xu.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xu")).as("s"),
+        sum(col("xu") * col("xu")).as("ssx"))
+    val scored = xu.join(broadcast(dimStats), Seq("dim"))
+      .select(col("vec_id"), col("label"),
+        (col("n") * col("xu") - col("s")).as("dev"),
+        (col("n") * col("ssx") - col("s") * col("s")).as("varn"))
+      .select(col("vec_id"), col("label"),
+        expr("""CASE WHEN varn = 0 THEN 0
+               ELSE (2*dev*dev*100 + varn) div (2*varn) END""").as("z2_x100"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("z2_x100")).as("score_x100"), count(lit(1)).as("dims"))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("score_x100") > col("dims") * OutlierZ2x100, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("score_x100")).as("max_score_x100"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_outlier_census" -> GQuery.sql(outlierCensus,
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, label, dim - 1 AS dim,
+        |        CAST(floor(xv * 1000.0 + 0.5) AS BIGINT) AS xu
+        |      FROM (SELECT vec_id, label, unnest(v) AS xv,
+        |              generate_subscripts(v, 1) AS dim FROM e)),
+        |ds AS (SELECT dim, count(*) AS n,
+        |         CAST(sum(xu) AS BIGINT) AS s,
+        |         CAST(sum(xu*xu) AS BIGINT) AS ssx
+        |       FROM x GROUP BY dim),
+        |z AS (SELECT x.vec_id, x.label,
+        |        CASE WHEN ds.n*ds.ssx - ds.s*ds.s = 0 THEN 0
+        |             ELSE (2*(ds.n*x.xu - ds.s)*(ds.n*x.xu - ds.s)*100
+        |                   + (ds.n*ds.ssx - ds.s*ds.s))
+        |                  // (2*(ds.n*ds.ssx - ds.s*ds.s)) END AS z2_x100
+        |      FROM x JOIN ds ON x.dim = ds.dim),
+        |sc AS (SELECT vec_id, label,
+        |         CAST(sum(z2_x100) AS BIGINT) AS score_x100,
+        |         count(*) AS dims
+        |       FROM z GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN score_x100 > dims * $OutlierZ2x100
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(score_x100) AS max_score_x100
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin),
     "vec_triplet_audit" -> GQuery.sql(tripletAudit,
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |pos AS (

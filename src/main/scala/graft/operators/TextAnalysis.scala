@@ -694,7 +694,75 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** Code-vs-prose routing — the corpus-mix classifier an LLM data
+    * pipeline runs before weighting code and natural language
+    * differently. Signal: the code-symbol density `[{};=()]` per
+    * char in HALF_UP ppm; docs at or above `CodeSymbolPpm` route as
+    * code. The natural corpus is prose (density 0), so the detector
+    * is exercised the `withPlanted` way: every 8th doc gets a
+    * code-ified twin (tokens joined with `;`, wrapped in braces) at
+    * doc_id + 2,000,000, and the oracle-hashed census proves the
+    * detector separates the two populations exactly — planted docs
+    * all route code, naturals all route prose. One scan, two
+    * codegen'd regexp lengths per doc, a (source × route)-sized agg.
+    */
+  val CodeSymbolPpm = 20000L
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val planted = docs.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        concat(lit("{"), regexp_replace(col("text"), " ", "; "), lit(";}"))
+          .as("text"))
+    docs.unionByName(planted)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[{};=()]", "")))
+          .cast("long").as("n_sym"))
+      .withColumn("symbol_ppm",
+        expr("CASE WHEN len = 0 THEN 0 ELSE (2*n_sym*1000000 + len) div (2*len) END"))
+      .withColumn("route",
+        when(col("symbol_ppm") >= CodeSymbolPpm, "code").otherwise("prose"))
+      .groupBy("source", "route")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_chars"),
+        sum(col("symbol_ppm")).as("sum_ppm"))
+      .withColumn("avg_ppm", expr("(2*sum_ppm + n_docs) div (2*n_docs)"))
+      .drop("sum_ppm")
+      .orderBy("source", "route")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_code_detect" -> GQuery.sql(codeDetect,
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source,
+        |    '{' || replace(text, ' ', '; ') || ';}'
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |m AS (
+        |  SELECT source, doc_id,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[{};=()]', '', 'g')) AS BIGINT)
+        |      AS n_sym
+        |  FROM all_docs),
+        |p AS (
+        |  SELECT source, len,
+        |    CASE WHEN len = 0 THEN 0
+        |         ELSE (2*n_sym*1000000 + len) // (2*len) END AS symbol_ppm
+        |  FROM m),
+        |r AS (
+        |  SELECT source,
+        |    CASE WHEN symbol_ppm >= $CodeSymbolPpm THEN 'code'
+        |         ELSE 'prose' END AS route,
+        |    len, symbol_ppm
+        |  FROM p)
+        |SELECT source, route, count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS sum_chars,
+        |  (2*CAST(sum(symbol_ppm) AS BIGINT) + count(*)) // (2*count(*))
+        |    AS avg_ppm
+        |FROM r GROUP BY 1, 2 ORDER BY source, route""".stripMargin),
     "txt_rake_keyphrases" -> GQuery.sql(rakeKeyphrases,
       s"""WITH arr AS (
         |  SELECT doc_id,
