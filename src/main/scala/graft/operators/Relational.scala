@@ -1283,7 +1283,95 @@ object Relational {
       .orderBy("key_col")
   }
 
+  /** Join-size prediction WITHOUT executing the join — the planner
+    * primitive behind join reordering and shuffle sizing: the exact
+    * output cardinality of an equi-join is Σ_k cA(k)·cB(k), computed
+    * from the two per-key count aggregates joined on the key domain —
+    * each side reduces to its distinct-key grid first, so the cost is
+    * two keyed aggs + a key-domain join, never the fact⋈fact output
+    * itself (which is the thing being predicted). Reported next to
+    * the textbook System-R independence estimate |A|·|B|/max(dA,dB)
+    * and its signed error ×1000 (HALF_UP on the absolute value) — the
+    * number that tells a planner how wrong uniform-key assumptions
+    * are on THIS data before it picks a plan.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def estimateOf(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val ca = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+      val cb = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
+      ca.join(cb, Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
+        .crossJoin(broadcast(
+          ca.agg(sum(col("ca")).as("n_left"), count(lit(1)).as("d_left"))))
+        .crossJoin(broadcast(
+          cb.agg(sum(col("cb")).as("n_right"), count(lit(1)).as("d_right"))))
+        .select(lit(name).as("join_key"),
+          col("n_left"), col("n_right"), col("d_left"), col("d_right"),
+          coalesce(col("exact_pairs"), lit(0L)).as("exact_pairs"),
+          expr("""(2*n_left*n_right + greatest(d_left, d_right))
+                 div (2*greatest(d_left, d_right))""").as("sysr_estimate"))
+        .withColumn("err_x1000", expr(
+          """CASE WHEN exact_pairs = 0 THEN NULL
+             ELSE (2*abs(sysr_estimate - exact_pairs)*1000 + exact_pairs)
+                  div (2*exact_pairs) END"""))
+    }
+    estimateOf("o_orderkey=l_orderkey",
+      Tables.orders(spark, dir), "o_orderkey",
+      Tables.lineitem(spark, dir), "l_orderkey")
+      .unionByName(estimateOf("c_custkey=o_custkey",
+        Tables.customer(spark, dir), "c_custkey",
+        Tables.orders(spark, dir), "o_custkey"))
+      .orderBy("join_key")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_join_size_estimate" -> GQuery.sql(joinSizeEstimate,
+      """WITH e1 AS (
+        |  SELECT 'o_orderkey=l_orderkey' AS join_key, *
+        |  FROM (
+        |    WITH ca AS (SELECT o_orderkey AS k, count(*) AS ca
+        |                FROM orders GROUP BY 1),
+        |    cb AS (SELECT l_orderkey AS k, count(*) AS cb
+        |           FROM lineitem GROUP BY 1),
+        |    j AS (SELECT coalesce(CAST(sum(ca.ca * cb.cb) AS BIGINT), 0)
+        |            AS exact_pairs
+        |          FROM ca JOIN cb ON ca.k = cb.k),
+        |    sa AS (SELECT CAST(sum(ca) AS BIGINT) AS n_left,
+        |             count(*) AS d_left FROM ca),
+        |    sb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_right,
+        |             count(*) AS d_right FROM cb)
+        |    SELECT sa.n_left, sb.n_right, sa.d_left, sb.d_right,
+        |      j.exact_pairs,
+        |      (2*sa.n_left*sb.n_right + greatest(sa.d_left, sb.d_right))
+        |        // (2*greatest(sa.d_left, sb.d_right)) AS sysr_estimate
+        |    FROM j CROSS JOIN sa CROSS JOIN sb)),
+        |e2 AS (
+        |  SELECT 'c_custkey=o_custkey' AS join_key, *
+        |  FROM (
+        |    WITH ca AS (SELECT c_custkey AS k, count(*) AS ca
+        |                FROM customer GROUP BY 1),
+        |    cb AS (SELECT o_custkey AS k, count(*) AS cb
+        |           FROM orders GROUP BY 1),
+        |    j AS (SELECT coalesce(CAST(sum(ca.ca * cb.cb) AS BIGINT), 0)
+        |            AS exact_pairs
+        |          FROM ca JOIN cb ON ca.k = cb.k),
+        |    sa AS (SELECT CAST(sum(ca) AS BIGINT) AS n_left,
+        |             count(*) AS d_left FROM ca),
+        |    sb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_right,
+        |             count(*) AS d_right FROM cb)
+        |    SELECT sa.n_left, sb.n_right, sa.d_left, sb.d_right,
+        |      j.exact_pairs,
+        |      (2*sa.n_left*sb.n_right + greatest(sa.d_left, sb.d_right))
+        |        // (2*greatest(sa.d_left, sb.d_right)) AS sysr_estimate
+        |    FROM j CROSS JOIN sa CROSS JOIN sb)),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |SELECT join_key, n_left, n_right, d_left, d_right, exact_pairs,
+        |  sysr_estimate,
+        |  CASE WHEN exact_pairs = 0 THEN NULL
+        |       ELSE (2*abs(sysr_estimate - exact_pairs)*1000 + exact_pairs)
+        |            // (2*exact_pairs) END AS err_x1000
+        |FROM u ORDER BY join_key""".stripMargin),
     "rel_skew_census" -> GQuery.sql(skewCensus,
       """WITH c1 AS (SELECT l_suppkey AS k, count(*) AS cnt
         |            FROM lineitem GROUP BY 1),

@@ -22,6 +22,19 @@ class Round9OpsSpec extends SparkTestBase {
     }
   }
 
+  test("rel_join_size_estimate: exact_pairs equals the executed join") {
+    val out = graft.operators.Relational.joinSizeEstimate(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val ol = Tables.orders(spark, SfDir).join(
+      Tables.lineitem(spark, SfDir),
+      col("o_orderkey") === col("l_orderkey")).count()
+    val co = Tables.customer(spark, SfDir).join(
+      Tables.orders(spark, SfDir),
+      col("c_custkey") === col("o_custkey")).count()
+    assert(out("o_orderkey=l_orderkey") == ol)
+    assert(out("c_custkey=o_custkey") == co)
+  }
+
   test("ev_burst_windows: every row is a genuine burst past warm-up") {
     val out = graft.operators.Events.burstWindows(spark, SfDir)
     val bad = out.filter(col("n_prev") < graft.operators.Events.BurstMinPrev ||
