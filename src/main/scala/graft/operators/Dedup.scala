@@ -251,6 +251,129 @@ object Dedup {
     minhashLshOn(withPlanted(docsTable(spark, dir)))
       .filter(col("doc_id_2") === col("doc_id_1") + PlantOffset)
 
+  /** MinHash estimator-calibration constants: K affine permutations
+    * h_i(u) = (aᵢ·u + bᵢ) mod p over rolling-hashed shingles — unlike
+    * the xxhash64 signatures of `dd_minhash_lsh` (not computable in
+    * DuckDB, hence its planted-pair oracle), every piece here replays
+    * exactly in SQL, so the CENSUS of estimate-vs-truth is hash-green
+    * end to end. 1e6/K is integral (62,500), so the estimate is an
+    * exact integer too.
+    */
+  val MinhashErrK = 16
+  val MinhashErrP = 1000000007L
+  val MinhashErrOffset = 3000000L
+  private def minhashErrA(i: Int): Long = (2654435761L + 40503L * i) % MinhashErrP
+  private def minhashErrB(i: Int): Long = (97781L * i + 12289L) % MinhashErrP
+
+  /** Sketch-accuracy census — the calibration a pipeline owner runs
+    * BEFORE trusting MinHash at corpus scale: for a planted near-dup
+    * pair per 4th doc (twin = doc + 4 appended tokens, so true
+    * Jaccard sits strictly inside (0, 1), not at the degenerate 1.0
+    * of the LSH planting), compare the K-permutation MinHash estimate
+    * matches/K against the EXACT shingle-set Jaccard, both as ×1e6
+    * integers, with the absolute error per pair. E[matches/K] = J is
+    * the Broder identity being audited. Shape: one shingle explode +
+    * distinct, one keyed agg building the K-slot signature (map-side
+    * partials), one collect_set per doc (bounded by doc length), one
+    * equi-join on the planted pair key — pair domain is O(n/4), never
+    * all-pairs. Everything integer: rolling-hash shingles, affine
+    * permutations mod p, cross-multiplied HALF_UP Jaccard.
+    */
+  def minhashErrorCensus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(assert_true(col("doc_id") < MinhashErrOffset,
+        lit("minhashErrorCensus: doc_id collides with twin ids")).isNull)
+    val twins = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + MinhashErrOffset).as("doc_id"),
+        concat(col("text"), lit(" omega kappa sigma delta")).as("text"))
+    val sh = base.unionByName(twins)
+      .select(col("doc_id"),
+        explode(graft.functions.NGrams.ngrams(col("text"), 3)).as("span"))
+      .select(col("doc_id"), Text.rollingHash(col("span")).as("u"))
+      .distinct()
+    val sigCols = (0 until MinhashErrK).map { i =>
+      min((col("u") * minhashErrA(i) + minhashErrB(i)) % MinhashErrP).as(s"h$i")
+    }
+    val docStats = sh.groupBy("doc_id")
+      .agg(collect_set(col("u")).as("shs"), sigCols: _*)
+      .select(col("doc_id"), col("shs"),
+        array((0 until MinhashErrK).map(i => col(s"h$i")): _*).as("sig"))
+    val left = docStats.filter(col("doc_id") % 4 === 0 &&
+      col("doc_id") < MinhashErrOffset)
+    val right = docStats.filter(col("doc_id") >= MinhashErrOffset)
+      .select((col("doc_id") - MinhashErrOffset).as("doc_id"),
+        col("shs").as("shs2"), col("sig").as("sig2"))
+    left.join(right, "doc_id")
+      .select(col("doc_id"),
+        size(col("shs")).cast("long").as("n_sh_1"),
+        size(col("shs2")).cast("long").as("n_sh_2"),
+        size(filter(zip_with(col("sig"), col("sig2"),
+          (x, y) => x === y), b => b)).cast("long").as("matches"),
+        size(array_intersect(col("shs"), col("shs2"))).cast("long").as("n_inter"))
+      .withColumn("est_x1e6", col("matches") * lit(1000000L / MinhashErrK))
+      .withColumn("uni", col("n_sh_1") + col("n_sh_2") - col("n_inter"))
+      .withColumn("jaccard_x1e6",
+        expr("(2*n_inter*1000000 + uni) div (2*uni)"))
+      .withColumn("err_x1e6", abs(col("est_x1e6") - col("jaccard_x1e6")))
+      .drop("uni")
+      .orderBy("doc_id")
+  }
+
+  private def minhashErrorOracle: String = {
+    val sigExprs = (0 until MinhashErrK).map(i =>
+      s"min((u * ${minhashErrA(i)} + ${minhashErrB(i)}) % $MinhashErrP) AS h$i")
+      .mkString(",\n    ")
+    val matchExpr = (0 until MinhashErrK).map(i =>
+      s"CASE WHEN l.h$i = r.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $MinhashErrOffset, text || ' omega kappa sigma delta'
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM docs),
+      |spans AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS span
+      |  FROM toks),
+      |u AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(span) + 1),
+      |          i -> CAST(ascii(span[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % $MinhashErrP) AS BIGINT) AS u
+      |  FROM spans),
+      |sig AS (
+      |  SELECT doc_id, count(*) AS sz,
+      |    $sigExprs
+      |  FROM u GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id, count(*) AS n_inter
+      |  FROM u a JOIN u b ON b.doc_id = a.doc_id + $MinhashErrOffset
+      |    AND b.u = a.u
+      |  WHERE a.doc_id % 4 = 0 AND a.doc_id < $MinhashErrOffset
+      |  GROUP BY a.doc_id)
+      |SELECT l.doc_id, l.sz AS n_sh_1, r.sz AS n_sh_2,
+      |  CAST($matchExpr AS BIGINT) AS matches,
+      |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST($matchExpr AS BIGINT) * ${1000000L / MinhashErrK} AS est_x1e6,
+      |  (2*coalesce(n_inter, 0)*1000000 + (l.sz + r.sz - coalesce(n_inter, 0)))
+      |    // (2*(l.sz + r.sz - coalesce(n_inter, 0))) AS jaccard_x1e6,
+      |  abs(CAST($matchExpr AS BIGINT) * ${1000000L / MinhashErrK} -
+      |    (2*coalesce(n_inter, 0)*1000000 + (l.sz + r.sz - coalesce(n_inter, 0)))
+      |    // (2*(l.sz + r.sz - coalesce(n_inter, 0)))) AS err_x1e6
+      |FROM sig l
+      |JOIN sig r ON r.doc_id = l.doc_id + $MinhashErrOffset
+      |LEFT JOIN inter ON inter.doc_id = l.doc_id
+      |WHERE l.doc_id % 4 = 0 AND l.doc_id < $MinhashErrOffset
+      |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** 64-bit SimHash over token hashes, hamming ≤ 3 near-dup pairs.
     * Output = exactly the hamming≤3 pair set (candidate blocking is
     * recall-lossless by pigeonhole), computed with two scale tricks:
@@ -908,6 +1031,7 @@ object Dedup {
         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    "dd_minhash_error" -> GQuery.sql(minhashErrorCensus, minhashErrorOracle),
     "dd_minhash_lsh" -> GQuery.sql(minhashLshPlanted,
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

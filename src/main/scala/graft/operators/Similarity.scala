@@ -335,6 +335,73 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** PQ index-quality census — the "how lossy is the compressed
+    * index" readout a serving team reads BEFORE trusting
+    * `ann_pq_topk`'s shortlists: per subspace, the distribution
+    * (count / Σ / max / HALF_UP mean) of each vector's quantization
+    * error min_c ‖v_m − c_m‖² under the SAME scaled-integer rounding
+    * contract as the PQ encode itself, so the census is measuring
+    * exactly the metric the argmin ranks by. Shape: the corpus
+    * cross-joins a broadcast 128-row literal codebook table
+    * (PqM × PqNCent — constant fanout, not dim²), partial min-agg
+    * reduces it map-side to PqM rows per vector, and the final
+    * subspace rollup is 8 rows. The expression tree
+    * (xx − 2·xs + ss, ascending-index dots, round ×1e6 to BIGINT) is
+    * the one DuckDB's list_inner_product replay builds, so the
+    * doubles are bit-identical and the census hash-verifies with no
+    * planting.
+    */
+  def pqDistortionCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val seeds: Array[Array[Double]] =
+      e.filter(col("vec_id") % PqSeedMod === 0).orderBy("vec_id")
+        .limit(PqNCent).collect().map(toDoubles(_, 1))
+    if (seeds.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("m", "n_vecs", "sum_err_e6", "max_err_e6", "avg_err_e6")
+    val codebook = (for { m <- 0 until PqM; c <- seeds.indices }
+      yield (m.toLong, c.toLong, subvec(seeds(c), m).toSeq))
+      .toDF("m", "c", "sv")
+    val vm = slice(col("v"), col("m").cast("int") * PqSub + 1, lit(PqSub))
+    e.join(broadcast(codebook), lit(true))
+      .select(col("vec_id"), col("m"),
+        round((dot(vm, vm) - lit(2.0) * dot(vm, col("sv"))
+          + dot(col("sv"), col("sv"))) * lit(1e6)).cast("long").as("d_e6"))
+      .groupBy("vec_id", "m")
+      .agg(min(col("d_e6")).as("err_e6"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err_e6")).as("sum_err_e6"),
+        max(col("err_e6")).as("max_err_e6"))
+      .withColumn("avg_err_e6",
+        expr("(2*sum_err_e6 + n_vecs) div (2*n_vecs)"))
+      .orderBy("m")
+  }
+
+  private def pqDistortionOracle: String = {
+    val sl = s"sub.m*$PqSub+1 : sub.m*$PqSub+$PqSub"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      |  FROM (SELECT vec_id, v FROM e WHERE vec_id % $PqSeedMod = 0
+      |        ORDER BY vec_id LIMIT $PqNCent)),
+      |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+      |sub AS (SELECT s.c, ms.m, s.v[ms.m*$PqSub+1 : ms.m*$PqSub+$PqSub] AS sv
+      |        FROM seeds s CROSS JOIN ms),
+      |d AS (
+      |  SELECT e.vec_id, sub.m,
+      |    min(CAST(round((list_inner_product(e.v[$sl], e.v[$sl])
+      |      - 2.0*list_inner_product(e.v[$sl], sub.sv)
+      |      + list_inner_product(sub.sv, sub.sv)) * 1e6, 0) AS BIGINT)) AS err_e6
+      |  FROM e CROSS JOIN sub
+      |  GROUP BY e.vec_id, sub.m)
+      |SELECT m, count(*) AS n_vecs,
+      |  CAST(sum(err_e6) AS BIGINT) AS sum_err_e6,
+      |  max(err_e6) AS max_err_e6,
+      |  (2*CAST(sum(err_e6) AS BIGINT) + count(*)) // (2*count(*)) AS avg_err_e6
+      |FROM d GROUP BY m ORDER BY m""".stripMargin
+  }
+
   private def pqOracle: String = {
     val sl = s"sub.m*$PqSub+1 : sub.m*$PqSub+$PqSub"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1550,6 +1617,7 @@ ORDER BY f.vec_id"""
     "ann_kmeans" -> GQuery.sql(kmeans, kmeansOracle),
     "dd_semantic_dedup" -> GQuery.sql(semanticDedup, semanticDedupOracle),
     "ann_pq_topk" -> GQuery.sql(pqTopk, pqOracle),
+    "ann_pq_distortion" -> GQuery.sql(pqDistortionCensus, pqDistortionOracle),
     "ann_ivfpq_topk" -> GQuery.sql(ivfpqTopk, ivfpqOracle),
     "vec_gram_matrix" -> GQuery.sql(gramMatrix,
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

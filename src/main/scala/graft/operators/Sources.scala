@@ -119,7 +119,217 @@ object Sources {
       .orderBy("format")
   }
 
+  // ---------------------------------------------------------------
+  // Bucketed join: the ingest-time layout that deletes the shuffle
+  // ---------------------------------------------------------------
+
+  /** Buckets per table. At 100 TB this would be sized so one bucket of
+    * the largest fact ≈ a few HDFS blocks (e.g. 4096 buckets); 8 keeps
+    * the local staging cheap while exercising the identical plan shape.
+    */
+  val BucketCount = 8
+
+  val BucketStageRoot = "/root/repo/target/graft_bucketed"
+
+  private def dirKey(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Stage `orders` and `lineitem` as BUCKETED tables (bucketBy +
+    * sortBy on the join key, one file per bucket via a pre-write
+    * repartition on the same key). Bucketing is the ingest-time
+    * answer to the biggest cost on a 100 TB cluster: every
+    * orders⋈lineitem downstream of ingest re-shuffles both fact
+    * tables on o_orderkey — unless the files are ALREADY laid out in
+    * matching key-hashed buckets, in which case the sort-merge join
+    * reads co-bucketed files with ZERO Exchange on either side
+    * (SourcesSpec pins that plan property with AQE off). Tables are
+    * session-catalog entries (in-memory catalog), re-staged at most
+    * once per (session, source dir); the name carries the dir key so
+    * SF sweeps inside one session don't collide.
+    */
+  def stageBucketedTables(spark: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val key = dirKey(dir)
+      val to = s"graft_bkt_orders_$key"
+      val tl = s"graft_bkt_lineitem_$key"
+      if (!spark.catalog.tableExists(to) || !spark.catalog.tableExists(tl)) {
+        Tables.orders(spark, dir)
+          .repartition(BucketCount, col("o_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$BucketStageRoot/${key}_orders")
+          .saveAsTable(to)
+        Tables.lineitem(spark, dir)
+          .repartition(BucketCount, col("l_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$BucketStageRoot/${key}_lineitem")
+          .saveAsTable(tl)
+      }
+      (to, tl)
+    }
+
+  /** The exchange-free join the bucketed layout buys, reduced to an
+    * order-status census the oracle recomputes from the ORIGINAL
+    * parquet — so the bucketed write+read path is content-audited
+    * end-to-end (a row routed to the wrong bucket, dropped, or
+    * duplicated breaks the sums), while SourcesSpec separately pins
+    * the plan property (SortMergeJoin with no ShuffleExchange under
+    * it). The per-status rollup after the join shuffles only the
+    * 3-row status domain.
+    */
+  def bucketedJoinCensus(spark: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = stageBucketedTables(spark, dir)
+    spark.table(to).join(spark.table(tl),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------
+  // Partition pruning: the directory layout that deletes the scan
+  // ---------------------------------------------------------------
+
+  /** Fixed probe segment — present at every SF (the generator draws
+    * all five TPC-H segments even at sf0.001).
+    */
+  val PruneSegment = "BUILDING"
+
+  /** Read the mktsegment-partitioned parquet staging back WITH a
+    * partition-column predicate and reduce to the same content census
+    * as `src_roundtrip_census` — the oracle recomputes it from the
+    * original table with a WHERE, so a pruning bug that skips or
+    * double-reads a directory breaks the hash. The point is the scan
+    * shape: the predicate binds to the Hive-style directory key, so
+    * the file index lists ONE of five segment directories and the
+    * other ~4/5 of the table is never opened (SourcesSpec pins
+    * PartitionFilters + the executed numFiles metric). At 100 TB with
+    * date-partitioned facts this is the difference between a day scan
+    * and a full-table scan.
+    */
+  def partitionPruneCensus(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageRoundtripDir(spark, dir)
+    val schema = slice(spark, dir).schema
+    spark.read.schema(schema).parquet(s"$stage/parquet_part")
+      .filter(col("c_mktsegment") === PruneSegment)
+      .select(col("c_custkey"),
+        concat_ws("|", col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_mktsegment")).as("s"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).as("key_sum"),
+        sum(Text.rollingHash(col("s"))).as("content_sum"))
+      .select(lit(PruneSegment).as("segment"), col("n_rows"),
+        col("key_sum"), col("content_sum"))
+  }
+
+  // ---------------------------------------------------------------
+  // Schema evolution: old files stay readable after a column lands
+  // ---------------------------------------------------------------
+
+  val EvolutionStageRoot = "/root/repo/target/graft_evolution"
+
+  /** Stage the documents table as two parquet generations: v1 (even
+    * doc_ids, columns doc_id/lang/source) written BEFORE a
+    * `quality_x1000` column existed, v2 (odd doc_ids) after. Same
+    * commit protocol as the roundtrip staging.
+    */
+  def stageEvolutionDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stage = s"$EvolutionStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
+      val stagePath = Paths.get(stage)
+      val cur =
+        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
+        catch { case _: Exception => "" }
+      if (cur != dir) {
+        val nonce = System.nanoTime()
+        val tmp = Paths.get(s"$stage.tmp-$nonce")
+        val docs = Tables.documents(spark, dir)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .repartition(2)
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars").as("quality_x1000"))
+          .repartition(2)
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+        val old = Paths.get(s"$stage.old-$nonce")
+        if (Files.exists(stagePath))
+          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(old)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(old).iterator().asScala.toSeq
+            .reverse.foreach(Files.delete)
+        }
+      }
+      stage
+    }
+
+  /** Read BOTH generations through one mergeSchema scan and census
+    * the merged view: v1 rows must surface a NULL `quality_x1000`
+    * (not a default, not an error), v2 rows their written value. The
+    * oracle recomputes the census from the original table using the
+    * even/odd generation rule — so a merge that dropped v1 rows,
+    * misaligned the evolved column, or back-filled instead of
+    * NULL-filling all break the sums. This is the 100 TB ingest
+    * reality check: petabytes of old files are never rewritten when a
+    * column lands; the reader owns the reconciliation.
+    */
+  def schemaEvolutionCensus(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvolutionDir(spark, dir)
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$stage/v1", s"$stage/v2")
+      .groupBy(col("quality_x1000").isNotNull.cast("int").as("has_quality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(coalesce(col("quality_x1000"), lit(0L))).as("quality_sum"))
+      .orderBy("has_quality")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "src_bucketed_join_census" -> GQuery.sql(bucketedJoinCensus,
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+    "src_partition_prune_census" -> GQuery.sql(partitionPruneCensus,
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment) AS s
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |h AS (
+        |  SELECT c_custkey,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS rh
+        |  FROM c)
+        |SELECT 'BUILDING' AS segment, count(*) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(rh) AS BIGINT) AS content_sum
+        |FROM h""".stripMargin),
+    "src_schema_evolution_census" -> GQuery.sql(schemaEvolutionCensus,
+      """SELECT CAST(doc_id % 2 = 1 AS INTEGER) AS has_quality,
+        |  count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS quality_sum
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "src_roundtrip_census" -> GQuery.sql(roundtripCensus,
       """WITH c AS (
         |  SELECT c_custkey,

@@ -160,7 +160,35 @@ object StreamingOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Stream-static enrichment join: the live event stream joined to
+    * the per-user cohort-day dimension PRECOMPUTED from batch (the
+    * canonical "enrich the stream with reference data" pattern), then
+    * a tumbling 1-hour cohort × hour activity rollup. The static side
+    * is broadcast and the join keeps NO state — only the windowed agg
+    * does; the complete-mode drained table must equal the batch
+    * self-join the oracle runs.
+    */
+  def streamCohortRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cohorts = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(unix_millis(date_trunc("DAY", min(col("ts")))).as("cohort_ms"))
+    val events = EventsStreaming.readEvents(
+      spark, EventsStreaming.stageEventsDir(dir))
+    drain(spark, EventsStreaming.cohortRollup(events, cohorts),
+      "graft_stream_cohort", "complete")
+      .orderBy("hour_ms", "cohort_ms")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "stream_static_enrich" -> GQuery.sql(streamCohortRollup,
+      """WITH u AS (
+        |  SELECT user_id,
+        |    epoch_ms(date_trunc('day', min(ts))) AS cohort_ms
+        |  FROM events GROUP BY user_id)
+        |SELECT epoch_ms(date_trunc('hour', e.ts)) AS hour_ms,
+        |  u.cohort_ms, count(*) AS n_events
+        |FROM events e JOIN u USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "stream_hourly_rollup" -> GQuery.sql(streamHourlyRollup,
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n_events,

@@ -732,7 +732,162 @@ object TextAnalysis {
       .orderBy("source", "route")
   }
 
+  /** Planted boilerplate footer (8 tokens → 6 internal trigrams),
+    * appended to every 3rd doc — the natural corpus is word salad
+    * with no shared templates, so the detector is exercised the
+    * planted-twin way (same discipline as `txt_code_detect`).
+    */
+  val BoilerplateFooter =
+    "subscribe to our newsletter terms of service apply"
+
+  /** A span is boilerplate within a source when ≥ 10% of the
+    * source's docs contain it (and at least 2 do — the ratio alone
+    * degenerates at tiny sources).
+    */
+  val BoilerplateDfPct = 10L
+
+  /** Cross-document boilerplate detection — the C4/RefinedWeb
+    * cleaning step `dd_span_dedup` does NOT cover: span_dedup charges
+    * every re-occurrence of a span anywhere in the corpus, while
+    * boilerplate is about DOCUMENT FREQUENCY inside a source (site
+    * footers, navigation, license headers — spans that many documents
+    * of one crawl share). Pipeline: per-(source, doc) distinct
+    * trigrams (presence, not multiplicity) → per-(source, span)
+    * document frequency → spans over the DF threshold are templates →
+    * per-source census (template spans, Σ df, affected docs,
+    * affected-coverage ppm). Scale shape: two keyed shuffles (span
+    * df, affected-doc distinct), a broadcast of the tiny per-source
+    * doc-count table, and a semi-join back on the span key; nothing
+    * holds state beyond one source's span domain, and the census
+    * output is sources-sized.
+    */
+  def boilerplateCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" " + BoilerplateFooter)))
+          .otherwise(col("text")).as("text"))
+    val srcDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val spans = docs
+      .select(col("source"), col("doc_id"),
+        explode(graft.functions.NGrams.ngrams(col("text"), 3)).as("span"))
+      .distinct()
+    val dfreq = spans.groupBy("source", "span")
+      .agg(count(lit(1)).as("df"))
+    val templates = dfreq.join(broadcast(srcDocs), "source")
+      .filter(col("df") >= 2 &&
+        col("df") * lit(BoilerplateDfPct) >= col("n_docs"))
+    val affected = spans
+      .join(templates.select("source", "span"), Seq("source", "span"), "left_semi")
+      .select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("affected_docs"))
+    templates.groupBy("source")
+      .agg(count(lit(1)).as("n_template_spans"), sum(col("df")).as("template_hits"))
+      .join(broadcast(srcDocs), "source")
+      .join(broadcast(affected), "source")
+      .select(col("source"), col("n_docs"), col("n_template_spans"),
+        col("template_hits"), col("affected_docs"),
+        expr("(2*affected_docs*1000000 + n_docs) div (2*n_docs)")
+          .as("affected_ppm"))
+      .orderBy("source")
+  }
+
+  /** Vocabulary-membership threshold: a token is in-vocabulary when
+    * its global count clears `OovVocabPpm` parts-per-million of the
+    * corpus token mass. The threshold itself BOUNDS the vocabulary:
+    * at most 1e6/OovVocabPpm = 1000 tokens can each hold ≥ 0.1% of
+    * the mass, so the vocab side of the membership join is provably
+    * broadcastable at ANY corpus size — no top-k (no sort+limit
+    * feeding a join), no conf-tuned size guess.
+    */
+  val OovVocabPpm = 1000L
+
+  /** Tokenizer-coverage census — the pre-training question "what
+    * fraction of each source's token stream falls outside the
+    * vocabulary we'd actually keep". Every doc gets one planted
+    * doc-unique token (`zq<doc_id>`, count 1, structurally OOV), so
+    * the census has exact known ground truth in an otherwise
+    * tiny-vocab corpus: per source, n_oov == n_docs. Shape: one
+    * token-keyed agg for global counts, a scalar total, the
+    * ppm-threshold filter (vocab ≤ 1000 rows by construction,
+    * broadcast), then a per-source agg over the token stream with an
+    * anti-join membership flag. The corpus text is scanned twice
+    * (count build + membership pass) — the price of an exact global
+    * vocabulary; a 100 TB run would reuse the first pass's
+    * materialized counts for both.
+    */
+  def oovCensus(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(Text.tokens(lower(concat(col("text"),
+          concat(lit(" zq"), col("doc_id")))))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val vocab = counts.crossJoin(broadcast(total))
+      .filter(col("c") * lit(1000000L) >= lit(OovVocabPpm) * col("total"))
+      .select("tok")
+    toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_oov"))
+      .join(toks.groupBy("source").agg(count(lit(1)).as("n_tokens")), "source")
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("(2*n_oov*1000000 + n_tokens) div (2*n_tokens)").as("oov_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "txt_boilerplate_census" -> GQuery.sql(boilerplateCensus,
+      s"""WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' $BoilerplateFooter' ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM docs),
+        |spans AS (
+        |  SELECT DISTINCT source, doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS span
+        |  FROM toks),
+        |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM docs GROUP BY source),
+        |dfreq AS (SELECT source, span, count(*) AS df FROM spans GROUP BY 1, 2),
+        |templ AS (
+        |  SELECT dfreq.source, span, df FROM dfreq JOIN sd USING (source)
+        |  WHERE df >= 2 AND df * $BoilerplateDfPct >= n_docs),
+        |aff AS (
+        |  SELECT source, count(DISTINCT doc_id) AS affected_docs FROM spans s
+        |  WHERE EXISTS (SELECT 1 FROM templ t
+        |                WHERE t.source = s.source AND t.span = s.span)
+        |  GROUP BY source),
+        |agg AS (
+        |  SELECT source, count(*) AS n_template_spans,
+        |    CAST(sum(df) AS BIGINT) AS template_hits
+        |  FROM templ GROUP BY source)
+        |SELECT agg.source, n_docs, n_template_spans, template_hits,
+        |  affected_docs,
+        |  (2*affected_docs*1000000 + n_docs) // (2*n_docs) AS affected_ppm
+        |FROM agg JOIN sd USING (source) JOIN aff USING (source)
+        |ORDER BY agg.source""".stripMargin),
+    "txt_oov_census" -> GQuery.sql(oovCensus,
+      s"""WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text || ' zq' || doc_id),
+        |      '[[:punct:][:space:]]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        |vocab AS (
+        |  SELECT tok FROM counts, tot WHERE c * 1000000 >= $OovVocabPpm * total),
+        |o AS (
+        |  SELECT source, count(*) AS n_oov FROM toks
+        |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY source),
+        |n AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY source)
+        |SELECT n.source, n_tokens, n_oov,
+        |  (2*n_oov*1000000 + n_tokens) // (2*n_tokens) AS oov_ppm
+        |FROM n JOIN o USING (source)
+        |ORDER BY n.source""".stripMargin),
     "txt_code_detect" -> GQuery.sql(codeDetect,
       s"""WITH all_docs AS (
         |  SELECT doc_id, source, text FROM documents

@@ -461,6 +461,94 @@ d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM eall)""" +
 SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
   }
 
+  /** Closeness seed rule: nodes ≡ 0 (mod ClosenessSeedMod) — a
+    * deterministic ~1% landmark sample with no sort/limit (the exact
+    * all-pairs form is O(V·E), never the 100 TB plan; landmark
+    * closeness is the standard approximation, and the sampling rate
+    * is this one constant).
+    */
+  val ClosenessSeedMod = 97L
+
+  /** Landmark closeness centrality: simultaneous multi-source BFS
+    * from the seed sample over the co-purchase graph, then per-seed
+    * closeness = (n_reached − 1) / Σ dist as a HALF_UP ×1e6 integer.
+    * The frontier loop is `wc_bfs_distance`'s, with (seed, node)
+    * composite state: each round expands last round's frontier only
+    * (edges ⋈ frontier keyed on the pre-partitioned src, distinct,
+    * anti-join vs reached), so every edge is traversed once per
+    * (seed, endpoint level) — O(S·E) total worst case, the landmark
+    * budget — with per-round lineage truncation. The oracle is the
+    * DENSE unrolled min-relaxation with a seed column (a genuinely
+    * different construction), so hash equality proves the
+    * multi-source frontier rewrite. Seeds unreachable-from-nowhere
+    * can't occur (every seed is an edge endpoint, degree ≥ 1, and the
+    * graph is symmetric), but the Σdist > 0 guard still NULLs the
+    * degenerate division on both engines.
+    */
+  def closenessCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + PageRankSuppOffset).as("b"))
+      .distinct()
+    val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).truncated
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(ClosenessSeedMod)) === 0L)
+    var reached = seeds
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .truncated
+    var frontier = reached.select("seed", "node")
+    var round = 0
+    var done = false
+    while (!done && round < BfsMaxRounds) {
+      round += 1
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(reached, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(round.toLong))
+        .truncated
+      if (next.isEmpty) done = true
+      else {
+        reached = reached.unionByName(next).truncated
+        frontier = next.select("seed", "node")
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"closeness BFS frontier still non-empty after $BfsMaxRounds rounds")
+    reached.groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        when(col("sum_dist") > 0,
+          expr("(2*(n_reached-1)*1000000 + sum_dist) div (2*sum_dist)"))
+          .as("closeness_x1e6"))
+      .orderBy("seed")
+  }
+
+  private def closenessOracle: String = {
+    def relax(i: Int): String = s""",
+c$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+  SELECT seed, node, dist FROM c${i - 1}
+  UNION ALL
+  SELECT d.seed, e.dst, d.dist + 1 FROM eall e JOIN c${i - 1} d ON e.src = d.node)
+  GROUP BY seed, node)"""
+    s"""WITH eraw AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+seeds AS (SELECT DISTINCT src AS seed FROM eall WHERE src % $ClosenessSeedMod = 0),
+c0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds)""" +
+      (1 to BfsMaxRounds).map(relax).mkString + s"""
+SELECT seed, count(*) AS n_reached, CAST(sum(dist) AS BIGINT) AS sum_dist,
+  CASE WHEN sum(dist) > 0 THEN CAST(
+    (2*(count(*)-1)*1000000 + sum(dist)) // (2*sum(dist)) AS BIGINT) END
+    AS closeness_x1e6
+FROM c$BfsMaxRounds GROUP BY seed ORDER BY seed"""
+  }
+
   val LpaRounds = 4
 
   /** Community detection by synchronous label propagation over the
@@ -1337,6 +1425,7 @@ ORDER BY side, score DESC, node"""
     "wc_pagerank" -> GQuery.sql(pagerank, pagerankOracle),
     "wc_kcore" -> GQuery.sql(kcore, kcoreOracle),
     "wc_bfs_distance" -> GQuery.sql(bfsDistance, bfsOracle),
+    "wc_closeness_centrality" -> GQuery.sql(closenessCentrality, closenessOracle),
     "wc_lpa_communities" -> GQuery.sql(lpaCommunities, lpaOracle),
     "wc_modularity" -> GQuery.sql(modularity, modularityOracle),
     "wc_truss_census" -> GQuery.sql(trussCensus,

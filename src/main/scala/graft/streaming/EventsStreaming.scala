@@ -70,6 +70,24 @@ object EventsStreaming {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * bounded reference dimension (per-user cohort day), then windowed.
+    * The join is STATELESS — the static side is planned as a broadcast
+    * build once per micro-batch, no state store, no watermark
+    * interaction — which is why enrich-then-aggregate is the
+    * production default over a stream-stream join whenever one side
+    * is reference data. Only the windowed aggregate keeps state,
+    * bounded by the watermark as usual.
+    */
+  def cohortRollup(events: DataFrame, userCohorts: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(userCohorts), "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("cohort_ms"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("cohort_ms"), col("n_events"))
+
   /** Sliding 1-hour windows advancing every 30 minutes: each event
     * lands in two overlapping windows, the shape trend dashboards
     * aggregate on. State is one partial aggregate per open

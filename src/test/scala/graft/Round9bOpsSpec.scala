@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property pins for the second round-9 operator batch (oracle hash
+  * is the primary gate; these assert what a hash can't express).
+  */
+class Round9bOpsSpec extends SparkTestBase {
+
+  test("txt_boilerplate_census: the planted footer dominates every source") {
+    val out = graft.operators.TextAnalysis.boilerplateCensus(spark, SfDir)
+      .collect()
+    val planted = Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getString(0)).toSet == planted.keySet)
+    out.foreach { r =>
+      val (src, nDocs, nSpans, hits, affected, ppm) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      // the 8-token footer contributes 6 source-internal trigrams,
+      // each present in every planted doc of the source
+      assert(nSpans >= 6, s"$src: $nSpans template spans")
+      assert(hits >= 6 * planted(src))
+      assert(affected >= planted(src) && affected <= nDocs)
+      assert(ppm >= planted(src) * 1000000L / nDocs - 1 && ppm <= 1000000L)
+    }
+  }
+
+  test("txt_oov_census: planted doc-unique tokens are exactly the OOV set") {
+    val out = graft.operators.TextAnalysis.oovCensus(spark, SfDir).collect()
+    val docsPerSource = Tables.documents(spark, SfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getString(0)).toSet == docsPerSource.keySet)
+    out.foreach { r =>
+      val (src, nTokens, nOov) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // natural vocab is tiny and frequent (every word >= 0.1% of
+      // mass); the ONLY sub-threshold tokens are the planted uniques
+      assert(nOov == docsPerSource(src), s"$src: $nOov oov tokens")
+      assert(nTokens > nOov)
+    }
+  }
+
+  test("ann_pq_distortion: one census row per subspace, internally consistent") {
+    val out = graft.operators.Similarity.pqDistortionCensus(spark, SfDir).collect()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(out.length == graft.operators.Similarity.PqM)
+    assert(out.map(_.getLong(0)).toSeq == (0L until graft.operators.Similarity.PqM))
+    out.foreach { r =>
+      val (nv, sum, mx, avg) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nv == n)
+      assert(sum >= 0 && mx >= 0 && avg >= 0)
+      assert(mx * nv >= sum, "max below the mean")
+      assert(avg == (2 * sum + nv) / (2 * nv), "HALF_UP mean broken")
+    }
+  }
+
+  test("dd_minhash_error: planted pairs carry strictly-interior Jaccard") {
+    val out = graft.operators.Dedup.minhashErrorCensus(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (matches, nInter, est, jac, err) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(matches >= 0 && matches <= graft.operators.Dedup.MinhashErrK)
+      assert(nInter >= 1, "twin shares no shingles with its source")
+      assert(jac > 0 && jac < 1000000L, "planted Jaccard must be interior")
+      assert(est >= 0 && est <= 1000000L)
+      assert(err == math.abs(est - jac))
+    }
+  }
+
+  test("stream_static_enrich: enrichment preserves the event stream") {
+    val out = graft.operators.StreamingOps.streamCohortRollup(spark, SfDir)
+    val total = out.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == Tables.events(spark, SfDir).count())
+    // a user's cohort day can never postdate the hour of their event
+    assert(out.filter(col("cohort_ms") > col("hour_ms")).count() == 0)
+  }
+
+  test("wc_closeness_centrality: per-seed sums agree with reachability bounds") {
+    val out = graft.operators.WordCount.closenessCentrality(spark, SfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (seed, n, sd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(seed % graft.operators.WordCount.ClosenessSeedMod == 0)
+      assert(n >= 2, s"seed $seed reached only itself")
+      // every non-seed node is >= 1 hop away, <= BfsMaxRounds hops
+      assert(sd >= n - 1 && sd <= (n - 1) * graft.operators.WordCount.BfsMaxRounds)
+      val closeness = r.getLong(3)
+      assert(closeness >= 0 && closeness <= 1000000L)
+    }
+  }
+}

@@ -119,4 +119,70 @@ class SourcesSpec extends SparkTestBase {
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w")).count()
     assert(totalTokens == expected)
   }
+
+  test("src_bucketed_join_census: co-bucketed SMJ carries zero shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val (to, tl) = operators.Sources.stageBucketedTables(spark, SfDir)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: at test SF the tables fit the broadcast
+      // threshold, which is the RIGHT tiny-scale plan — the claim
+      // under test is the big-fact shape (SMJ, no exchange)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(to).join(spark.table(tl),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "bucketed join did not plan as SortMergeJoin")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join still shuffles: ${shuffles.mkString(", ")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    // content: census equals the same rollup off the raw parquet
+    val want = Tables.orders(spark, SfDir).join(Tables.lineitem(spark, SfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    val got = operators.Sources.bucketedJoinCensus(spark, SfDir)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("src_partition_prune_census: the scan opens one segment directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val stage = operators.Sources.stageRoundtripDir(spark, SfDir)
+    val df = operators.Sources.partitionPruneCensus(spark, SfDir)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the prune plan"))
+    assert(scan.partitionFilters.exists(_.references.map(_.name)
+      .exists(_ == "c_mktsegment")), "partition filter did not bind to the dir key")
+    df.collect() // execute so numFiles reflects the pruned listing
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = new java.io.File(s"$stage/parquet_part").listFiles()
+      .filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"pruning read $readFiles of $allFiles files")
+  }
+
+  test("src_schema_evolution_census: v1 rows surface NULL for the evolved column") {
+    val stage = operators.Sources.stageEvolutionDir(spark, SfDir)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$stage/v1", s"$stage/v2")
+    assert(merged.schema.fieldNames.contains("quality_x1000"))
+    assert(merged.filter(col("doc_id") % 2 === 0 &&
+      col("quality_x1000").isNotNull).count() == 0)
+    assert(merged.filter(col("doc_id") % 2 === 1 &&
+      col("quality_x1000").isNull).count() == 0)
+    assert(merged.count() == Tables.documents(spark, SfDir).count())
+  }
 }
