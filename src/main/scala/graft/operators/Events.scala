@@ -1333,7 +1333,87 @@ object Events {
       .orderBy("event_type", "hour_ms")
   }
 
+  /** Count-Min sketch geometry: D independent affine hash rows of W
+    * counters each — 256 integers total, the bounded-memory substitute
+    * for an exact per-key groupBy when the key domain is unbounded.
+    * W is deliberately far below the user count so collisions (and
+    * the sketch's one-sided overcount) actually occur and the census
+    * has something real to measure.
+    */
+  val CmsD = 4
+  val CmsW = 64L
+  val CmsP = 1000000007L
+  private def cmsA(d: Int): Long = (2654435761L + 40503L * d) % CmsP
+  private def cmsB(d: Int): Long = (97781L * d + 12289L) % CmsP
+
+  /** Count-Min calibration census — like `dd_minhash_error` for the
+    * counting side of the sketch toolbox: build the D×W sketch over
+    * per-user event counts, read back every user's estimate
+    * (min over rows of its D cells), and report the one-sided error
+    * against the exact counts. CM guarantees est ≥ exact always and
+    * E[overcount] ≤ 2·N/W per row; the census shows where the real
+    * key distribution lands inside that bound. All integer arithmetic
+    * (affine hashes mod p mod W), so DuckDB replays the sketch
+    * cell-for-cell. Shape: one (d, bucket)-keyed agg over a
+    * D-way stack (the 256-cell sketch — THE thing that stays tiny at
+    * any scale), one exact user-keyed agg, a broadcast join of the
+    * 256-cell table back to the user domain, and a 1-row reduce.
+    */
+  def countminErrorCensus(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val bucketCols = (0 until CmsD).map { d =>
+      ((col("user_id") * cmsA(d) + cmsB(d)) % CmsP % CmsW).as(s"b$d")
+    }
+    val stackArgs = (0 until CmsD).map(d => s"${d}L, b$d").mkString(", ")
+    val cells = ev.select(col("user_id") +: bucketCols: _*)
+      .selectExpr(s"stack($CmsD, $stackArgs) as (d, bucket)")
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    val est = exact.select(col("user_id") +: col("exact_n") +: bucketCols: _*)
+      .selectExpr("user_id", "exact_n",
+        s"stack($CmsD, $stackArgs) as (d, bucket)")
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("user_id")
+      .agg(first(col("exact_n")).as("exact_n"), min(col("cnt")).as("est_n"))
+    est.agg(count(lit(1)).as("n_keys"),
+        sum(col("exact_n")).as("n_events"),
+        count(when(col("est_n") === col("exact_n"), 1)).as("n_tight"),
+        sum(col("est_n") - col("exact_n")).as("sum_overcount"),
+        max(col("est_n") - col("exact_n")).as("max_overcount"))
+      .withColumn("avg_overcount_x1000",
+        expr("(2*sum_overcount*1000 + n_keys) div (2*n_keys)"))
+  }
+
+  private def countminErrorOracle: String = {
+    val buckets = (0 until CmsD).map(d =>
+      s"(user_id * ${cmsA(d)} + ${cmsB(d)}) % $CmsP % $CmsW AS b$d").mkString(",\n    ")
+    val unpiv = (0 until CmsD).map(d =>
+      s"SELECT user_id, $d AS d, b$d AS bucket FROM h").mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+      |  SELECT user_id,
+      |    $buckets
+      |  FROM events),
+      |hb AS (
+      |  $unpiv),
+      |cells AS (SELECT d, bucket, count(*) AS cnt FROM hb GROUP BY d, bucket),
+      |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+      |keyb AS (SELECT DISTINCT user_id, d, bucket FROM hb),
+      |est AS (
+      |  SELECT k.user_id, min(c.cnt) AS est_n
+      |  FROM keyb k JOIN cells c ON c.d = k.d AND c.bucket = k.bucket
+      |  GROUP BY k.user_id)
+      |SELECT count(*) AS n_keys,
+      |  CAST(sum(exact_n) AS BIGINT) AS n_events,
+      |  count(*) FILTER (WHERE est_n = exact_n) AS n_tight,
+      |  CAST(sum(est_n - exact_n) AS BIGINT) AS sum_overcount,
+      |  max(est_n - exact_n) AS max_overcount,
+      |  (2*CAST(sum(est_n - exact_n) AS BIGINT)*1000 + count(*))
+      |    // (2*count(*)) AS avg_overcount_x1000
+      |FROM exact JOIN est USING (user_id)""".stripMargin
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_countmin_error" -> GQuery.sql(countminErrorCensus, countminErrorOracle),
     "ev_burst_windows" -> GQuery.sql(burstWindows,
       s"""WITH h AS (
         |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,

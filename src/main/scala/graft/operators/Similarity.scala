@@ -558,6 +558,72 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF index-health census — the partition-balance readout that
+    * decides whether an inverted-file layout is servable: a hot cell
+    * serves a disproportionate share of probes (latency tail) and an
+    * empty cell wastes a centroid. Reports, over the ivfpq modulus
+    * sample's cells and raw-cosine assignment (identical expression
+    * trees, so DuckDB replays it): centroid count, used cells,
+    * min/max cell population, HALF_UP mean ×1000, skew = max/mean
+    * ×1000, and the hottest cell's corpus share in ppm. Shape: the
+    * corpus × broadcast-centroid assignment (map-side max_by partials,
+    * ≈√n fanout), a cell-keyed count whose domain is ≈√n rows, then
+    * 1-row reduces — the census never scales past the cell domain.
+    */
+  def ivfBalanceCensus(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val centroids = e.crossJoin(broadcast(n))
+      .filter(pmod(col("vec_id"),
+        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"),
+          lit(1L))) === 0L)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("cell_id"),
+        cosine(col("v"), col("cv")).as("cell_cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("cell_cos"), -col("cell_id")))
+        .as("cell_id"))
+    val sizeCensus = assigned.groupBy("cell_id")
+      .agg(count(lit(1)).as("cell_n"))
+      .agg(count(lit(1)).as("n_used"), sum(col("cell_n")).as("nv"),
+        min(col("cell_n")).as("min_cell"), max(col("cell_n")).as("max_cell"))
+    centroids.agg(count(lit(1)).as("n_cells"))
+      .crossJoin(broadcast(sizeCensus))
+      .select(col("n_cells"), col("n_used"), col("nv").as("n_vecs"),
+        col("min_cell"), col("max_cell"),
+        expr("(2*nv*1000 + n_used) div (2*n_used)").as("avg_x1000"),
+        expr("(2*max_cell*1000*n_used + nv) div (2*nv)").as("skew_x1000"),
+        expr("(2*max_cell*1000000 + nv) div (2*nv)").as("top_share_ppm"))
+  }
+
+  private def ivfBalanceOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT count(*) AS n_vecs FROM e),
+      |cent AS (
+      |  SELECT vec_id AS cell_id, v AS cv FROM e, n
+      |  WHERE vec_id % greatest(n_vecs // CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1) = 0),
+      |asg AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT e.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ${cos("e.v", "c.cv")} DESC, c.cell_id) AS rn
+      |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |sz AS (SELECT cell_id, count(*) AS cell_n FROM asg GROUP BY cell_id),
+      |agg AS (
+      |  SELECT count(*) AS n_used, CAST(sum(cell_n) AS BIGINT) AS nv,
+      |    min(cell_n) AS min_cell, max(cell_n) AS max_cell FROM sz),
+      |nc AS (SELECT count(*) AS n_cells FROM cent)
+      |SELECT nc.n_cells, agg.n_used, agg.nv AS n_vecs,
+      |  agg.min_cell, agg.max_cell,
+      |  (2*agg.nv*1000 + agg.n_used) // (2*agg.n_used) AS avg_x1000,
+      |  (2*agg.max_cell*1000*agg.n_used + agg.nv) // (2*agg.nv) AS skew_x1000,
+      |  (2*agg.max_cell*1000000 + agg.nv) // (2*agg.nv) AS top_share_ppm
+      |FROM nc CROSS JOIN agg""".stripMargin
+  }
+
   private def ivfpqOracle: String = {
     val sl = s"sub.m*$PqSub+1 : sub.m*$PqSub+$PqSub"
     val cos = (a: String, b: String) =>
@@ -1618,6 +1684,7 @@ ORDER BY f.vec_id"""
     "dd_semantic_dedup" -> GQuery.sql(semanticDedup, semanticDedupOracle),
     "ann_pq_topk" -> GQuery.sql(pqTopk, pqOracle),
     "ann_pq_distortion" -> GQuery.sql(pqDistortionCensus, pqDistortionOracle),
+    "ann_ivf_balance" -> GQuery.sql(ivfBalanceCensus, ivfBalanceOracle),
     "ann_ivfpq_topk" -> GQuery.sql(ivfpqTopk, ivfpqOracle),
     "vec_gram_matrix" -> GQuery.sql(gramMatrix,
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

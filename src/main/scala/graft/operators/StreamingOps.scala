@@ -179,7 +179,94 @@ object StreamingOps {
       .orderBy("hour_ms", "cohort_ms")
   }
 
+  val FileSinkStageRoot = "/root/repo/target/graft_stream_sink"
+
+  /** Stable per-source-dir staging for the file-sink pipeline: unlike
+    * `stageEventsDir` (fresh temp dir per call — fine for memory-sink
+    * drains), the FILE sink's checkpoint binds to its source path, so
+    * source, checkpoint and sink must all live at deterministic
+    * locations for re-drains to be resumptions instead of restarts.
+    */
+  def fileSinkRoot(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    // The key folds in the source files' (name, size, mtime): the file
+    // source's checkpoint tracks inputs BY PATH, so a regenerated
+    // corpus at the same path would otherwise be silently skipped as
+    // already-processed — a content-shaped key gives fresh content a
+    // fresh checkpoint lineage instead.
+    val table = abs.resolve("events.parquet")
+    val sig = {
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(table))
+          table.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+            .map(_.toPath).toSeq.sortBy(_.getFileName.toString)
+        else if (java.nio.file.Files.exists(table)) Seq(table)
+        else Seq.empty
+      files.map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis).mkString("|")
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((abs.toString + "\n" + sig).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"$FileSinkStageRoot/${abs.getFileName}_$key"
+  }
+
+  /** Exactly-once FILE sink certification, driver-visible: drain the
+    * event stream through a parquet `writeStream` (append, AvailableNow,
+    * durable checkpoint), then read the sink back THROUGH its
+    * `_spark_metadata` commit manifest and reduce to a per-type census
+    * the oracle recomputes from the original table. The manifest is
+    * the exactly-once mechanism under test — only files recorded by a
+    * committed batch are visible to the read, so a crashed/duplicated
+    * task's orphan files can't alter the census, and a re-drain with
+    * the same checkpoint is a no-op resumption (Round9bOpsSpec
+    * drains twice and asserts the census is unchanged). This is the
+    * 100 TB landing-zone pattern: object-store parquet + manifest,
+    * re-runnable without dedup jobs.
+    */
+  def streamFileSinkCensus(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val root = fileSinkRoot(dir)
+      val src = java.nio.file.Paths.get(root, "src")
+      if (!java.nio.file.Files.exists(src)) {
+        java.nio.file.Files.createDirectories(src)
+        val table = java.nio.file.Paths.get(s"$dir/events.parquet")
+        val files: Seq[java.nio.file.Path] =
+          if (java.nio.file.Files.isDirectory(table))
+            table.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+              .map(_.toPath).toSeq
+          else Seq(table)
+        files.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.createSymbolicLink(
+            src.resolve(s"events_$i.parquet"), f)
+        }
+      }
+      val events = EventsStreaming.readEvents(spark, src.toString)
+      withDrainConf(spark) {
+        val q = events
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      spark.read.parquet(s"$root/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy("event_type")
+    }
+
   val queries: Map[String, GQuery] = Map(
+    "stream_file_sink_census" -> GQuery.sql(streamFileSinkCensus,
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     "stream_static_enrich" -> GQuery.sql(streamCohortRollup,
       """WITH u AS (
         |  SELECT user_id,

@@ -72,6 +72,40 @@ class Round9bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ann_ivf_balance: census invariants over the cell domain") {
+    val r = graft.operators.Similarity.ivfBalanceCensus(spark, SfDir).head()
+    val (nCells, nUsed, nVecs, minC, maxC, avg, skew, top) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(nVecs == Tables.embeddings(spark, SfDir).count())
+    assert(nUsed >= 1 && nUsed <= nCells)
+    assert(minC >= 1 && maxC >= minC)
+    assert(nVecs >= nUsed * minC && nVecs <= nUsed * maxC)
+    assert(skew >= 1000 - 1, "max cell cannot sit below the mean")
+    assert(avg >= 1000 && top <= 1000000L)
+  }
+
+  test("ev_countmin_error: the sketch never undercounts") {
+    val r = graft.operators.Events.countminErrorCensus(spark, SfDir).head()
+    val (nKeys, nEvents, nTight, sumOver, maxOver) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nKeys == Tables.events(spark, SfDir).select("user_id").distinct().count())
+    assert(nEvents == Tables.events(spark, SfDir).count())
+    assert(nTight <= nKeys)
+    assert(sumOver >= 0 && maxOver >= 0, "CM overcount is one-sided")
+    assert(maxOver * nKeys >= sumOver)
+  }
+
+  test("stream_file_sink_census: re-draining the same checkpoint changes nothing") {
+    val first = graft.operators.StreamingOps.streamFileSinkCensus(spark, SfDir)
+      .collect().toSeq
+    val second = graft.operators.StreamingOps.streamFileSinkCensus(spark, SfDir)
+      .collect().toSeq
+    assert(first == second, "re-drain duplicated or dropped sink rows")
+    val total = first.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, SfDir).count())
+  }
+
   test("stream_static_enrich: enrichment preserves the event stream") {
     val out = graft.operators.StreamingOps.streamCohortRollup(spark, SfDir)
     val total = out.agg(sum(col("n_events"))).head().getLong(0)
