@@ -1381,7 +1381,10 @@ object Events {
         sum(col("est_n") - col("exact_n")).as("sum_overcount"),
         max(col("est_n") - col("exact_n")).as("max_overcount"))
       .withColumn("avg_overcount_x1000",
-        expr("(2*sum_overcount*1000 + n_keys) div (2*n_keys)"))
+        // CASE-guarded: the global agg emits one row even on an empty
+        // corpus, where n_keys = 0 would be an ANSI division error
+        expr("CASE WHEN n_keys = 0 THEN NULL " +
+          "ELSE (2*sum_overcount*1000 + n_keys) div (2*n_keys) END"))
   }
 
   private def countminErrorOracle: String = {
@@ -1407,12 +1410,52 @@ object Events {
       |  count(*) FILTER (WHERE est_n = exact_n) AS n_tight,
       |  CAST(sum(est_n - exact_n) AS BIGINT) AS sum_overcount,
       |  max(est_n - exact_n) AS max_overcount,
-      |  (2*CAST(sum(est_n - exact_n) AS BIGINT)*1000 + count(*))
-      |    // (2*count(*)) AS avg_overcount_x1000
+      |  CASE WHEN count(*) = 0 THEN NULL
+      |    ELSE (2*CAST(sum(est_n - exact_n) AS BIGINT)*1000 + count(*))
+      |      // (2*count(*)) END AS avg_overcount_x1000
       |FROM exact JOIN est USING (user_id)""".stripMargin
   }
 
+  val HotUsersK = 3
+
+  /** Hot-key leaderboard per hour — "who are the top-3 users each
+    * hour" — in the bounded-heap shape: per-(hour, user) counts (one
+    * keyed, map-side-combinable shuffle), then the TopKByScore
+    * Aggregator per hour, so each map partition contributes ≤ k rows
+    * per hour to the second exchange and NO row_number window ever
+    * sorts the full (hour, user) grid. Ties break to the lower
+    * user_id in the heap's (−score, id) order; the oracle takes the
+    * same top-3 via a rank window — different construction, hash
+    * equality proves the heap.
+    */
+  def topkUsersHourly(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopK.topKByScore(HotUsersK)
+    Tables.events(spark, dir)
+      .select(unix_millis(date_trunc("HOUR", col("ts"))).as("hour_ms"),
+        col("user_id"))
+      .groupBy("hour_ms", "user_id").agg(count(lit(1)).as("n"))
+      .groupBy("hour_ms")
+      .agg(topk(col("n").cast("double"), col("user_id")).as("top"))
+      .select(col("hour_ms"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("hour_ms"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("user_id"), col("s.score").cast("long").as("n_events"))
+      .orderBy("hour_ms", "rank")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ev_topk_users_hourly" -> GQuery.sql(topkUsersHourly,
+      s"""WITH g AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT hour_ms, user_id, n,
+        |    CAST(row_number() OVER (PARTITION BY hour_ms
+        |      ORDER BY n DESC, user_id) AS BIGINT) AS rank
+        |  FROM g)
+        |SELECT hour_ms, rank, user_id, n AS n_events
+        |FROM r WHERE rank <= $HotUsersK
+        |ORDER BY hour_ms, rank""".stripMargin),
     "ev_countmin_error" -> GQuery.sql(countminErrorCensus, countminErrorOracle),
     "ev_burst_windows" -> GQuery.sql(burstWindows,
       s"""WITH h AS (

@@ -1325,7 +1325,40 @@ object Relational {
       .orderBy("join_key")
   }
 
+  /** Exact-money aggregation — the discipline every revenue query
+    * above APPROXIMATES with round(sum(double), 2): at 100 TB a sum
+    * of billions of doubles is both lossy and ORDER-DEPENDENT (two
+    * runs of the same query can differ in the last cents), which is
+    * why financial rollups ride DECIMAL. Here price and discount are
+    * cast to DECIMAL(18,2) once at the scan (HALF_UP from the stored
+    * double — the identical rule both engines apply), every product
+    * and sum after that is exact fixed-point whatever the partition
+    * or combine order, and the result ships as scaled BIGINTs
+    * (cents / hundredths-of-a-cent) so the oracle compare is integer
+    * equality, no rounding crutch anywhere.
+    */
+  def decimalMoney(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("p2"),
+        expr("CAST(l_discount AS DECIMAL(18,2))").as("d2"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("p2")) * 100).cast("long").as("base_cents"),
+        (sum(col("p2") * (lit(1) - col("d2"))) * 10000).cast("long")
+          .as("revenue_e4"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, GQuery] = Map(
+    "rel_decimal_money" -> GQuery.sql(decimalMoney,
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS base_cents,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     "rel_join_size_estimate" -> GQuery.sql(joinSizeEstimate,
       """WITH e1 AS (
         |  SELECT 'o_orderkey=l_orderkey' AS join_key, *

@@ -592,9 +592,14 @@ object Similarity {
       .crossJoin(broadcast(sizeCensus))
       .select(col("n_cells"), col("n_used"), col("nv").as("n_vecs"),
         col("min_cell"), col("max_cell"),
-        expr("(2*nv*1000 + n_used) div (2*n_used)").as("avg_x1000"),
-        expr("(2*max_cell*1000*n_used + nv) div (2*nv)").as("skew_x1000"),
-        expr("(2*max_cell*1000000 + nv) div (2*nv)").as("top_share_ppm"))
+        // CASE-guarded: global aggs emit one row on an empty corpus,
+        // where n_used = 0 / nv NULL would be ANSI division errors
+        expr("CASE WHEN n_used = 0 THEN NULL " +
+          "ELSE (2*nv*1000 + n_used) div (2*n_used) END").as("avg_x1000"),
+        expr("CASE WHEN nv IS NULL OR nv = 0 THEN NULL " +
+          "ELSE (2*max_cell*1000*n_used + nv) div (2*nv) END").as("skew_x1000"),
+        expr("CASE WHEN nv IS NULL OR nv = 0 THEN NULL " +
+          "ELSE (2*max_cell*1000000 + nv) div (2*nv) END").as("top_share_ppm"))
   }
 
   private def ivfBalanceOracle: String = {
@@ -618,9 +623,14 @@ object Similarity {
       |nc AS (SELECT count(*) AS n_cells FROM cent)
       |SELECT nc.n_cells, agg.n_used, agg.nv AS n_vecs,
       |  agg.min_cell, agg.max_cell,
-      |  (2*agg.nv*1000 + agg.n_used) // (2*agg.n_used) AS avg_x1000,
-      |  (2*agg.max_cell*1000*agg.n_used + agg.nv) // (2*agg.nv) AS skew_x1000,
-      |  (2*agg.max_cell*1000000 + agg.nv) // (2*agg.nv) AS top_share_ppm
+      |  CASE WHEN agg.n_used = 0 THEN NULL
+      |    ELSE (2*agg.nv*1000 + agg.n_used) // (2*agg.n_used) END AS avg_x1000,
+      |  CASE WHEN agg.nv IS NULL OR agg.nv = 0 THEN NULL
+      |    ELSE (2*agg.max_cell*1000*agg.n_used + agg.nv) // (2*agg.nv) END
+      |    AS skew_x1000,
+      |  CASE WHEN agg.nv IS NULL OR agg.nv = 0 THEN NULL
+      |    ELSE (2*agg.max_cell*1000000 + agg.nv) // (2*agg.nv) END
+      |    AS top_share_ppm
       |FROM nc CROSS JOIN agg""".stripMargin
   }
 

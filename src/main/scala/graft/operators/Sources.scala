@@ -297,7 +297,98 @@ object Sources {
       .orderBy("has_quality")
   }
 
+  // ---------------------------------------------------------------
+  // Malformed-input quarantine: ingest survives bad records
+  // ---------------------------------------------------------------
+
+  val CorruptStageRoot = "/root/repo/target/graft_corrupt_json"
+
+  /** Stage the documents table as JSON Lines with every 7th record
+    * deliberately TRUNCATED mid-object — the malformed-feed reality
+    * of any external ingest. Same atomic-swap commit protocol as the
+    * other stagings.
+    */
+  def stageCorruptJsonDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stage = s"$CorruptStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
+      val stagePath = Paths.get(stage)
+      val cur =
+        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
+        catch { case _: Exception => "" }
+      if (cur != dir) {
+        val nonce = System.nanoTime()
+        val tmp = Paths.get(s"$stage.tmp-$nonce")
+        Tables.documents(spark, dir)
+          .select(when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\":"), col("doc_id"), lit(",")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"),
+              col("source"), col("n_chars")))).as("value"))
+          .repartition(2)
+          .write.mode("overwrite").text(s"$tmp/lines")
+        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+        val old = Paths.get(s"$stage.old-$nonce")
+        if (Files.exists(stagePath))
+          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(old)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(old).iterator().asScala.toSeq
+            .reverse.foreach(Files.delete)
+        }
+      }
+      stage
+    }
+
+  /** PERMISSIVE-mode corrupt-record quarantine, driver-certified: the
+    * JSON source parses what it can and routes unparseable lines into
+    * `_corrupt_record` instead of failing the job — the only
+    * acceptable ingest posture at 100 TB, where a feed WILL contain
+    * garbage and a fail-fast ingest never finishes. The census proves
+    * the quarantine is exact: parsed rows carry their full content
+    * (id sum + n_chars sum), corrupt rows are counted but contribute
+    * nothing, and the oracle recomputes all of it from the original
+    * table via the every-7th corruption rule. The one-row reduce
+    * happens right after the scan — nothing scales with corpus size
+    * but the scan itself. (The post-read cache is the documented
+    * Spark contract: a query may not filter ONLY on the internal
+    * corrupt-record column straight off the scan.)
+    */
+  def corruptJsonCensus(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageCorruptJsonDir(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$stage/lines")
+      .cache()
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("good_id_sum"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("good_chars_sum"))
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "src_corrupt_json_census" -> GQuery.sql(corruptJsonCensus,
+      """SELECT count(*) AS n_lines,
+        |  count(*) FILTER (WHERE doc_id % 7 <> 0) AS n_good,
+        |  count(*) FILTER (WHERE doc_id % 7 = 0) AS n_corrupt,
+        |  CAST(sum(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+        |    AS good_id_sum,
+        |  CAST(sum(n_chars) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+        |    AS good_chars_sum
+        |FROM documents""".stripMargin),
     "src_bucketed_join_census" -> GQuery.sql(bucketedJoinCensus,
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -253,7 +253,19 @@ object StreamingOps {
           .start()
         try q.awaitTermination() finally if (q.isActive) q.stop()
       }
-      spark.read.parquet(s"$root/out")
+      // explicit schema: a drained-empty corpus commits zero files, so
+      // there is no footer to infer from — the read must still produce
+      // the audited shape
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      spark.read.schema(sinkSchema).parquet(s"$root/out")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(col("event_id")).as("id_sum"),

@@ -106,6 +106,48 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(total == Tables.events(spark, SfDir).count())
   }
 
+  test("ev_topk_users_hourly: heap output equals the window-ranked top-3") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Events.topkUsersHourly(spark, SfDir)
+    val g = Tables.events(spark, SfDir)
+      .select(unix_millis(date_trunc("HOUR", col("ts"))).as("hour_ms"),
+        col("user_id"))
+      .groupBy("hour_ms", "user_id").agg(count(lit(1)).as("n"))
+    val want = g.withColumn("rank", row_number().over(
+        Window.partitionBy("hour_ms").orderBy(desc("n"), asc("user_id")))
+        .cast("long"))
+      .filter(col("rank") <= graft.operators.Events.HotUsersK)
+      .select(col("hour_ms"), col("rank"), col("user_id"),
+        col("n").as("n_events"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("rel_decimal_money: fixed-point totals are repartition-invariant") {
+    val a = graft.operators.Relational.decimalMoney(spark, SfDir).collect().toSeq
+    // same aggregation over a deliberately different partitioning —
+    // decimal sums must not care about combine order
+    val b = Tables.lineitem(spark, SfDir).repartition(13)
+      .select(col("l_returnflag"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("p2"),
+        expr("CAST(l_discount AS DECIMAL(18,2))").as("d2"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("p2")) * 100).cast("long").as("base_cents"),
+        (sum(col("p2") * (lit(1) - col("d2"))) * 10000).cast("long")
+          .as("revenue_e4"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(a == b)
+  }
+
+  test("src_corrupt_json_census: quarantine counts match the corruption rule") {
+    val r = graft.operators.Sources.corruptJsonCensus(spark, SfDir).head()
+    val docs = Tables.documents(spark, SfDir)
+    val corrupt = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.count() - corrupt)
+    assert(r.getLong(2) == corrupt)
+  }
+
   test("stream_static_enrich: enrichment preserves the event stream") {
     val out = graft.operators.StreamingOps.streamCohortRollup(spark, SfDir)
     val total = out.agg(sum(col("n_events"))).head().getLong(0)
