@@ -13,7 +13,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     CodegenGuard.install()
+    // Local-iteration aid: SPARK_GRAFT_ONLY=q1,q2 times just those
+    // queries. The driver never sets it, so its runs are unaffected.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Pass 0 (untimed): warms JIT, codegen caches, and file listings for
     // EVERY query, so the first timed pass isn't charged for them and a

@@ -461,13 +461,16 @@ d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM eall)""" +
 SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
   }
 
-  /** Closeness seed rule: nodes ≡ 0 (mod ClosenessSeedMod) — a
-    * deterministic ~1% landmark sample with no sort/limit (the exact
-    * all-pairs form is O(V·E), never the 100 TB plan; landmark
-    * closeness is the standard approximation, and the sampling rate
-    * is this one constant).
+  /** Closeness landmark budget: the seed rule is the count-derived
+    * modulus sample node % max(n_nodes div TargetSeeds, 1) == 0 (the
+    * ivfpq centroid pattern) — ≈ TargetSeeds landmarks at ANY graph
+    * size, no sort/limit, one scalar count broadcast into the plan.
+    * A fixed-modulus rule (~1% of nodes) was measured at 17 s at
+    * sf0.1: landmark BFS state is O(S·V), so S must be a BUDGET, not
+    * a rate — the exact all-pairs form is O(V·E) and never the 100 TB
+    * plan; bounded-landmark closeness is the standard approximation.
     */
-  val ClosenessSeedMod = 97L
+  val ClosenessTargetSeeds = 8L
 
   /** Landmark closeness centrality: simultaneous multi-source BFS
     * from the seed sample over the co-purchase graph, then per-seed
@@ -495,8 +498,12 @@ SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
     val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).truncated
-    val seeds = edges.select(col("src").as("node")).distinct()
-      .filter(pmod(col("node"), lit(ClosenessSeedMod)) === 0L)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val seeds = nodes.crossJoin(broadcast(nn))
+      .filter(pmod(col("node"),
+        greatest(expr(s"n_nodes div $ClosenessTargetSeeds"), lit(1L))) === 0L)
+      .select("node")
     var reached = seeds
       .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
       .truncated
@@ -539,7 +546,10 @@ c$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
   SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
-seeds AS (SELECT DISTINCT src AS seed FROM eall WHERE src % $ClosenessSeedMod = 0),
+nodes AS (SELECT DISTINCT src AS node FROM eall),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+seeds AS (SELECT node AS seed FROM nodes, nn
+  WHERE node % greatest(n_nodes // $ClosenessTargetSeeds, 1) = 0),
 c0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds)""" +
       (1 to BfsMaxRounds).map(relax).mkString + s"""
 SELECT seed, count(*) AS n_reached, CAST(sum(dist) AS BIGINT) AS sum_dist,

@@ -160,10 +160,13 @@ class Round9bOpsSpec extends SparkTestBase {
     val out = graft.operators.WordCount.closenessCentrality(spark, SfDir)
       .collect()
     assert(out.nonEmpty)
+    // the landmark set stays a BUDGET: the count-derived modulus keeps
+    // the seed count near TargetSeeds regardless of graph size (the
+    // slack covers id-distribution lumpiness across the two id bands)
+    assert(out.length <= 4 * graft.operators.WordCount.ClosenessTargetSeeds)
     out.foreach { r =>
-      val (seed, n, sd) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      assert(seed % graft.operators.WordCount.ClosenessSeedMod == 0)
-      assert(n >= 2, s"seed $seed reached only itself")
+      val (n, sd) = (r.getLong(1), r.getLong(2))
+      assert(n >= 2, s"seed ${r.getLong(0)} reached only itself")
       // every non-seed node is >= 1 hop away, <= BfsMaxRounds hops
       assert(sd >= n - 1 && sd <= (n - 1) * graft.operators.WordCount.BfsMaxRounds)
       val closeness = r.getLong(3)
