@@ -563,6 +563,59 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-invertibility certification — the check a pipeline
+    * owner runs before deleting raw text in favor of id shards: decode
+    * the `pipe_tokenize_to_ids` artifact (the ids STRING a training
+    * job actually reads, re-parsed, not the pre-serialization rows)
+    * back through the sub-cap vocabulary and compare against the
+    * normalized original. Sub-cap ids are rank-bijective so every
+    * OOV-free document must reconstruct EXACTLY; documents carrying
+    * the collapsed OOV id are counted but unreconstructable by
+    * construction. The oracle states the invertibility theorem in
+    * closed form (n_roundtrip_exact == n_invocab, from the vocabulary
+    * ranking alone, never running the decode) — the Spark side has to
+    * EARN that equality through the real encode→serialize→parse→
+    * decode→reassemble path, so any drift in ranking, ordering,
+    * serialization, or reassembly breaks the hash. Shape: the
+    * tokenize plan plus one vocab equi-join and a bounded per-doc
+    * collect — nothing new scales past the encode itself.
+    */
+  def detokenizeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val norm = docs.select(col("doc_id"), col("source"),
+      array_join(Text.tokens(lower(col("text"))), " ").as("norm"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
+    val vocab = rankVocab(toks.groupBy("w").agg(count(lit(1)).as("cnt")))
+      .withColumn("id",
+        when(col("rank") <= VocabCap, col("rank") - 1)
+          .otherwise(lit(VocabCap)).cast("long"))
+      .select("w", "id")
+    val enc = toks.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string")), " ").as("ids"))
+    val inverse = vocab.filter(col("id") < VocabCap)
+      .select(col("id"), col("w").as("w2"))
+    val dec = enc
+      .select(col("doc_id"), posexplode(split(col("ids"), " ")).as(Seq("pos", "sid")))
+      .select(col("doc_id"), col("pos"), col("sid").cast("long").as("id"))
+      .join(inverse, Seq("id"), "left")
+      .groupBy("doc_id")
+      .agg(max(when(col("w2").isNull, 1).otherwise(0)).as("has_oov"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w2")))),
+            x => x.getField("w2")), " ").as("rebuilt"))
+    norm.join(dec, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("has_oov") === 0, 1)).as("n_invocab"),
+        count(when(col("has_oov") === 0 && col("rebuilt") === col("norm"), 1))
+          .as("n_roundtrip_exact"))
+      .orderBy("source")
+  }
+
   /** Per-source dataset card — the summary block a corpus release
     * ships (docs, volume, language mix, exact-dup level, dominant
     * language): one pass of keyed aggregates over the bounded source
@@ -1121,6 +1174,30 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |  UNION ALL SELECT 4, 'uniq_ratio', k3, k4 FROM a)
         |SELECT stage_no, stage, n_in, n_kept, n_in - n_kept AS n_dropped
         |FROM s ORDER BY stage_no""".stripMargin),
+    "pipe_detokenize_roundtrip" -> GQuery.sql(detokenizeRoundtrip,
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+        |  FROM toks),
+        |vocab AS (SELECT w, count(*) AS cnt FROM pt GROUP BY w),
+        |vid AS (
+        |  SELECT w, CAST(CASE WHEN rn <= $VocabCap THEN rn - 1 ELSE $VocabCap END
+        |              AS BIGINT) AS id
+        |  FROM (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM vocab)),
+        |flag AS (
+        |  SELECT doc_id, max(CASE WHEN id >= $VocabCap THEN 1 ELSE 0 END) AS has_oov
+        |  FROM pt JOIN vid USING (w) GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE has_oov = 0) AS n_invocab,
+        |  count(*) FILTER (WHERE has_oov = 0) AS n_roundtrip_exact
+        |FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+        |JOIN flag ON flag.doc_id = d.doc_id
+        |WHERE len(toks.t) > 0
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
     "pipe_tokenize_to_ids" -> GQuery.sql(tokenizeToIds,
       s"""WITH toks AS (
         |  SELECT doc_id,

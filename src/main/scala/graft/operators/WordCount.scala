@@ -488,7 +488,11 @@ SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
     * graph is symmetric), but the Σdist > 0 guard still NULLs the
     * degenerate division on both engines.
     */
-  def closenessCentrality(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared landmark multi-source BFS: reached (seed, node, dist)
+    * for the count-derived seed budget — `wc_closeness_centrality`
+    * and `wc_eccentricity_census` are two rollups of this one state.
+    */
+  private def landmarkBfsReached(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -525,17 +529,44 @@ SELECT node, dist FROM d$BfsMaxRounds ORDER BY node"""
     }
     if (!done)
       throw new IllegalStateException(
-        s"closeness BFS frontier still non-empty after $BfsMaxRounds rounds")
-    reached.groupBy("seed")
+        s"landmark BFS frontier still non-empty after $BfsMaxRounds rounds")
+    reached
+  }
+
+  def closenessCentrality(spark: SparkSession, dir: String): DataFrame =
+    landmarkBfsReached(spark, dir)
+      .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
       .select(col("seed"), col("n_reached"), col("sum_dist"),
         when(col("sum_dist") > 0,
           expr("(2*(n_reached-1)*1000000 + sum_dist) div (2*sum_dist)"))
           .as("closeness_x1e6"))
       .orderBy("seed")
-  }
 
-  private def closenessOracle: String = {
+  /** Eccentricity / diameter probe from the SAME landmark BFS state:
+    * per-seed eccentricity (max hop distance), reduced to the
+    * classic bounds — max ecc over any node set LOWER-bounds the
+    * graph diameter, min ecc over the set UPPER-bounds the radius —
+    * plus the HALF_UP mean. The landmark-probe diameter estimate is
+    * the standard scale substitute for the exact O(V·E) all-pairs
+    * sweep; the oracle reduces its dense multi-seed relaxation the
+    * same way, so the hash certifies both the BFS and the rollup.
+    */
+  def eccentricityCensus(spark: SparkSession, dir: String): DataFrame =
+    landmarkBfsReached(spark, dir)
+      .groupBy("seed").agg(max(col("dist")).as("ecc"))
+      .agg(count(lit(1)).as("n_seeds"), min(col("ecc")).as("radius_ub"),
+        max(col("ecc")).as("diameter_lb"), sum(col("ecc")).as("sum_ecc"))
+      .select(col("n_seeds"), col("radius_ub"), col("diameter_lb"),
+        // CASE-guarded for the empty-graph single-row aggregate
+        expr("CASE WHEN n_seeds = 0 THEN NULL " +
+          "ELSE (2*sum_ecc*1000 + n_seeds) div (2*n_seeds) END")
+          .as("avg_ecc_x1000"))
+
+  /** The dense multi-seed unrolled relaxation both landmark rollups
+    * read from (see `landmarkBfsReached` for the frontier twin).
+    */
+  private def landmarkBfsOracleBase: String = {
     def relax(i: Int): String = s""",
 c$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
   SELECT seed, node, dist FROM c${i - 1}
@@ -551,13 +582,25 @@ nn AS (SELECT count(*) AS n_nodes FROM nodes),
 seeds AS (SELECT node AS seed FROM nodes, nn
   WHERE node % greatest(n_nodes // $ClosenessTargetSeeds, 1) = 0),
 c0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds)""" +
-      (1 to BfsMaxRounds).map(relax).mkString + s"""
+      (1 to BfsMaxRounds).map(relax).mkString
+  }
+
+  private def closenessOracle: String =
+    landmarkBfsOracleBase + s"""
 SELECT seed, count(*) AS n_reached, CAST(sum(dist) AS BIGINT) AS sum_dist,
   CASE WHEN sum(dist) > 0 THEN CAST(
     (2*(count(*)-1)*1000000 + sum(dist)) // (2*sum(dist)) AS BIGINT) END
     AS closeness_x1e6
 FROM c$BfsMaxRounds GROUP BY seed ORDER BY seed"""
-  }
+
+  private def eccentricityOracle: String =
+    landmarkBfsOracleBase + s""",
+ecc AS (SELECT seed, max(dist) AS ecc FROM c$BfsMaxRounds GROUP BY seed)
+SELECT count(*) AS n_seeds, min(ecc) AS radius_ub, max(ecc) AS diameter_lb,
+  CASE WHEN count(*) = 0 THEN NULL
+    ELSE (2*CAST(sum(ecc) AS BIGINT)*1000 + count(*)) // (2*count(*)) END
+    AS avg_ecc_x1000
+FROM ecc"""
 
   val LpaRounds = 4
 
@@ -1436,6 +1479,7 @@ ORDER BY side, score DESC, node"""
     "wc_kcore" -> GQuery.sql(kcore, kcoreOracle),
     "wc_bfs_distance" -> GQuery.sql(bfsDistance, bfsOracle),
     "wc_closeness_centrality" -> GQuery.sql(closenessCentrality, closenessOracle),
+    "wc_eccentricity_census" -> GQuery.sql(eccentricityCensus, eccentricityOracle),
     "wc_lpa_communities" -> GQuery.sql(lpaCommunities, lpaOracle),
     "wc_modularity" -> GQuery.sql(modularity, modularityOracle),
     "wc_truss_census" -> GQuery.sql(trussCensus,

@@ -148,6 +148,35 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(r.getLong(2) == corrupt)
   }
 
+  test("wc_eccentricity_census: bounds bracket the closeness distances") {
+    val e = graft.operators.WordCount.eccentricityCensus(spark, SfDir).head()
+    val (nSeeds, radiusUb, diamLb, avgEcc) =
+      (e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
+    val closeness = graft.operators.WordCount.closenessCentrality(spark, SfDir)
+      .collect()
+    assert(nSeeds == closeness.length)
+    assert(radiusUb >= 1 && diamLb >= radiusUb)
+    assert(diamLb <= graft.operators.WordCount.BfsMaxRounds)
+    assert(avgEcc >= radiusUb * 1000 - 1 && avgEcc <= diamLb * 1000 + 1)
+  }
+
+  test("pipe_detokenize_roundtrip: every OOV-free doc reconstructs exactly") {
+    val out = graft.operators.Pipeline.detokenizeRoundtrip(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    var invocab = 0L
+    out.foreach { r =>
+      val (nDocs, nInvocab, nExact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nExact == nInvocab, s"${r.getString(0)}: roundtrip lost docs")
+      assert(nInvocab <= nDocs)
+      invocab += nInvocab
+    }
+    // the corpus vocabulary exceeds VocabCap, so OOV docs must exist
+    // AND some docs must be fully in-vocab for the test to bite
+    assert(invocab > 0)
+    assert(invocab < out.map(_.getLong(1)).sum)
+  }
+
   test("stream_static_enrich: enrichment preserves the event stream") {
     val out = graft.operators.StreamingOps.streamCohortRollup(spark, SfDir)
     val total = out.agg(sum(col("n_events"))).head().getLong(0)
