@@ -1349,7 +1349,37 @@ object Relational {
           .as("revenue_e4"))
       .orderBy("l_returnflag")
 
+  /** SQL front door certification: everything else in the registry is
+    * DataFrame DSL, but a user of this library also gets the textual
+    * SQL surface — temp views + `spark.sql(...)` — and it must plan
+    * through the same Catalyst pipeline (pushdown, broadcast, AQE)
+    * as the DSL. This runs an order-priority revenue rollup as a SQL
+    * STRING over registered views; the oracle is, for once, almost
+    * the same text — which is exactly the point of the row: the SQL
+    * dialect surface itself is what is being certified.
+    */
+  def sqlFrontend(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT o.o_orderpriority AS priority, count(*) AS n_items,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM g_orders o JOIN g_lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderstatus <> 'F'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY priority""".stripMargin)
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "rel_sql_frontend" -> GQuery.sql(sqlFrontend,
+      """SELECT o.o_orderpriority AS priority, count(*) AS n_items,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderstatus <> 'F'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY priority""".stripMargin),
     "rel_decimal_money" -> GQuery.sql(decimalMoney,
       """SELECT l_returnflag, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)

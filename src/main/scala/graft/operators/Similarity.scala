@@ -602,6 +602,25 @@ object Similarity {
           "ELSE (2*max_cell*1000000 + nv) div (2*nv) END").as("top_share_ppm"))
   }
 
+  /** Native-expression-through-SQL certification: `vec_dot` is a
+    * custom Catalyst Expression (doGenCode fused loop) registered
+    * into the session FunctionRegistry — this row calls it FROM SQL
+    * TEXT (`spark.sql`, temp view), proving the extension surface a
+    * SQL-only user would touch, and the per-label squared-norm census
+    * rides the established vec_dot ≡ list_inner_product bit-identity:
+    * round ×1e6 per row to exact integers, then integer sums.
+    */
+  def vecSqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("g_embeddings")
+    spark.sql(
+      """SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(round(vec_dot(embedding, embedding) * 1e6, 0)
+        |    AS BIGINT)) AS BIGINT) AS norm2_e6_sum
+        |FROM g_embeddings
+        |GROUP BY label ORDER BY label""".stripMargin)
+  }
+
   private def ivfBalanceOracle: String = {
     val cos = (a: String, b: String) =>
       s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
@@ -1695,6 +1714,13 @@ ORDER BY f.vec_id"""
     "ann_pq_topk" -> GQuery.sql(pqTopk, pqOracle),
     "ann_pq_distortion" -> GQuery.sql(pqDistortionCensus, pqDistortionOracle),
     "ann_ivf_balance" -> GQuery.sql(ivfBalanceCensus, ivfBalanceOracle),
+    "vec_sql_udf" -> GQuery.sql(vecSqlUdf,
+      """SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(round(list_inner_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[]) * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS norm2_e6_sum
+        |FROM embeddings
+        |GROUP BY label ORDER BY label""".stripMargin),
     "ann_ivfpq_topk" -> GQuery.sql(ivfpqTopk, ivfpqOracle),
     "vec_gram_matrix" -> GQuery.sql(gramMatrix,
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

@@ -177,6 +177,33 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(invocab < out.map(_.getLong(1)).sum)
   }
 
+  test("rel_sql_frontend: the SQL text plans like the equivalent DSL") {
+    val sql = graft.operators.Relational.sqlFrontend(spark, SfDir)
+    val dsl = Tables.orders(spark, SfDir).as("o")
+      .join(Tables.lineitem(spark, SfDir).as("l"),
+        col("o.o_orderkey") === col("l.l_orderkey"))
+      .filter(col("o.o_orderstatus") =!= "F")
+      .groupBy(col("o.o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(col("o.o_orderkey")).as("n_orders"))
+    assert(sql.exceptAll(dsl).count() == 0 && dsl.exceptAll(sql).count() == 0)
+  }
+
+  test("vec_sql_udf: vec_dot from SQL equals the Column-API dot") {
+    import graft.functions.VectorFunctions.vec_dot
+    val viaSql = graft.operators.Similarity.vecSqlUdf(spark, SfDir)
+    val viaCol = Tables.embeddings(spark, SfDir)
+      .select(col("label"),
+        round(vec_dot(col("embedding"), col("embedding")) * lit(1e6))
+          .cast("long").as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("norm2_e6_sum"))
+    assert(viaSql.exceptAll(viaCol).count() == 0 &&
+      viaCol.exceptAll(viaSql).count() == 0)
+  }
+
   test("stream_static_enrich: enrichment preserves the event stream") {
     val out = graft.operators.StreamingOps.streamCohortRollup(spark, SfDir)
     val total = out.agg(sum(col("n_events"))).head().getLong(0)
