@@ -33,6 +33,30 @@ class RobustnessSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  /** Single-row tables catch the divisions the empty sweep can't:
+    * n−1 variance denominators, lag/lead windows with no prior row,
+    * pair pipelines with nothing to pair.
+    */
+  lazy val oneRowDir: String = {
+    val d = Files.createTempDirectory("graft_onerow").toString
+    Seq("documents", "embeddings", "lineitem", "orders",
+      "customer", "supplier", "part", "nation", "region").foreach { t =>
+      Tables.load(spark, SfDir, t).limit(1)
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    Tables.events(spark, SfDir).limit(1)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("every registry query runs on single-row tables without throwing") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, oneRowDir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("quality ratios handle the empty-text edge") {
     import spark.implicits._
     val df = Seq(("", 0L), ("   ", 1L), ("ok text", 2L)).toDF("text", "doc_id")
