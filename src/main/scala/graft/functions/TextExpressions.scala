@@ -116,3 +116,77 @@ object NGrams {
     org.apache.spark.sql.graftshim.ColumnShim.column(
       NGrams(org.apache.spark.sql.graftshim.ColumnShim.expression(c), n))
 }
+
+/** One-pass dHash-style frame signature: text → the `PhashBits`-bit
+  * integer `mm_phash_dedup` previously derived through a per-char
+  * posexplode → (doc, frame) groupBy SHUFFLE → lag window. The
+  * composed form pushed ~(bits+1)·frameChars rows PER PAYLOAD through
+  * an exchange just to line frame sums up next to each other; this
+  * expression walks the same prefix once per row and packs the bits
+  * in-loop — no explode, no shuffle, no window.
+  *
+  * Bit-identical semantics to the composed plan (which the DuckDB
+  * oracle still replays independently):
+  *  - `substring(text, 1, (bits+1)·frameChars)` counts CODE POINTS —
+  *    the walk consumes at most that many code points;
+  *  - `filter(split(text, ""), length(s) === 1)` keeps EVERY code
+  *    point: Spark `length()` counts code points, so a surrogate
+  *    pair is one length-1 piece (split("") never splits inside a
+  *    pair), and the filter only strips empty boundary pieces —
+  *    `kept` indexes code points exactly as posexplode's `pos` did;
+  *  - `ascii(piece)` is the full code point (not a byte);
+  *  - per frame f: n = kept-char count, s = Σ codepoint (`ascii`),
+  *    HALF_UP mean mv = (2s+n) div (2n) — positive longs, so Java `/`
+  *    is Spark's `div`;
+  *  - signature = Σ_{f≥1, frame f non-empty} [mv(f) > mv(f−1)] ·
+  *    2^(f−1); single-frame payloads yield 0, censusing the whole
+  *    population (ADVICE r8 #5).
+  */
+case class PhashSignature(child: Expression, frameChars: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash_signature"
+  // NULL (→ filtered upstream) only when the prefix holds zero code
+  // points — unreachable behind the operator's length(text) > 0
+  // filter, kept so the expression alone can never fabricate a row
+  // the composed plan's posexplode would not have emitted.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val maxCp = (bits + 1) * frameChars
+    val ns = new Array[Long](bits + 1)
+    val ss = new Array[Long](bits + 1)
+    var kept = 0
+    var i = 0
+    while (i < text.length && kept < maxCp) {
+      val cp = text.codePointAt(i)
+      val f = kept / frameChars
+      ns(f) += 1
+      ss(f) += cp
+      kept += 1
+      i += Character.charCount(cp)
+    }
+    if (ns(0) == 0) return null
+    var sig = 0L
+    var prev = (2 * ss(0) + ns(0)) / (2 * ns(0))
+    var f = 1
+    while (f <= bits && ns(f) > 0) {
+      val mv = (2 * ss(f) + ns(f)) / (2 * ns(f))
+      if (mv > prev) sig |= 1L << (f - 1)
+      prev = mv
+      f += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhashSignature =
+    copy(child = newChild)
+}
+
+object PhashSignature {
+  def phash_signature(c: Column, frameChars: Int, bits: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      PhashSignature(org.apache.spark.sql.graftshim.ColumnShim.expression(c), frameChars, bits))
+}

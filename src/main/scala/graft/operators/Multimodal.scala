@@ -338,33 +338,22 @@ object Multimodal {
     * multi-frame subset.
     */
   def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val prefixChars = (PhashBits + 1) * SceneFrameBytes
-    val frames = Tables.documents(spark, dir)
+    // The whole per-payload pipeline (prefix substring → BMP-char
+    // filter → per-frame HALF_UP means → consecutive-delta sign bits)
+    // is one native `PhashSignature` pass per row: the composed form
+    // pushed (PhashBits+1)·SceneFrameBytes rows PER PAYLOAD through a
+    // (doc, frame) exchange plus a lag window just to pack 16 bits.
+    // The DuckDB oracle still replays the composed construction, so
+    // hash equality certifies the fused loop bit-for-bit.
+    val sig = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         when(length(col("text")) % 3 === 0, "image")
           .when(length(col("text")) % 3 === 1, "audio")
           .otherwise("video").as("kind"),
-        posexplode(filter(
-          split(substring(col("text"), 1, prefixChars.toInt), ""),
-          s => length(s) === 1))
-          .as(Seq("pos", "ch")))
-      .select(col("doc_id"), col("kind"),
-        expr(s"pos div $SceneFrameBytes").as("frame_idx"),
-        ascii(col("ch")).cast("long").as("v"))
-      .groupBy("doc_id", "kind", "frame_idx")
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-      .select(col("doc_id"), col("kind"), col("frame_idx"),
-        expr("(2*s + n) div (2*n)").as("mv"))
-    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
-    val sig = frames
-      .withColumn("prev", lag(col("mv"), 1).over(byDoc))
-      .select(col("doc_id"), col("kind"),
-        when(col("mv") > col("prev"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_idx AS INT) - 1)"))
-          .otherwise(lit(0L)).as("bit"))
-      .groupBy("doc_id", "kind")
-      .agg(sum(col("bit")).as("signature"))
+        graft.functions.PhashSignature.phash_signature(
+          col("text"), SceneFrameBytes.toInt, PhashBits).as("signature"))
+      .filter(col("signature").isNotNull)
     sig.groupBy("kind", "signature").agg(count(lit(1)).as("n_b"))
       .groupBy("kind")
       .agg(sum(col("n_b")).as("n_payloads"),
