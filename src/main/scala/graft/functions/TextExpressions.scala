@@ -190,3 +190,68 @@ object PhashSignature {
     org.apache.spark.sql.graftshim.ColumnShim.column(
       PhashSignature(org.apache.spark.sql.graftshim.ColumnShim.expression(c), frameChars, bits))
 }
+
+/** One-pass RAKE candidate extraction: text → one element per
+  * NON-STOPWORD token occurrence, tagged with its maximal
+  * non-stopword run ("island"): (island ordinal, space-joined phrase
+  * text, the word, phrase length). The composed form derived islands
+  * with a per-doc lag/cumsum WINDOW over the posexploded token
+  * stream (a corpus-scaled exchange) and then joined the token
+  * stream back against the phrase aggregate TWICE; this expression
+  * walks each document's token array once — same tokenizer +
+  * lowercasing as `ShingleHashes` (identical ASCII semantics to
+  * `Text.tokens(lower(..))`), islands broken exactly where the
+  * lag(pos) == pos−1 test broke them (any intervening stopword or
+  * delimiter). The corpus-scaled word-score and phrase aggregations
+  * stay declarative on the exploded output.
+  */
+case class RakeCandidates(child: Expression, stopwords: Set[String])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("island", LongType, nullable = false),
+      StructField("phrase", StringType, nullable = false),
+      StructField("w", StringType, nullable = false),
+      StructField("len", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "rake_candidates"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val tokens = ShingleHashes.SplitPattern.split(text).filter(_.nonEmpty)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var island = 0L
+    var i = 0
+    while (i < tokens.length) {
+      if (stopwords.contains(tokens(i))) i += 1
+      else {
+        var j = i
+        while (j < tokens.length && !stopwords.contains(tokens(j))) j += 1
+        val phrase = UTF8String.fromString(tokens.slice(i, j).mkString(" "))
+        val len = (j - i).toLong
+        var k = i
+        while (k < j) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](island, phrase, UTF8String.fromString(tokens(k)), len))
+          k += 1
+        }
+        island += 1L
+        i = j
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RakeCandidates =
+    copy(child = newChild)
+}
+
+object RakeCandidates {
+  def rake_candidates(c: Column, stopwords: Set[String]): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      RakeCandidates(org.apache.spark.sql.graftshim.ColumnShim.expression(c), stopwords))
+}

@@ -611,28 +611,26 @@ object TextAnalysis {
     * string_agg. Deterministic top-K by (score, phrase).
     */
   def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    // Islands (maximal non-stopword runs), their phrase text, and the
+    // per-occurrence (word, phrase length) tags all come from ONE
+    // native pass per document (functions/RakeCandidates) — the
+    // composed form paid a per-doc lag/cumsum window exchange over
+    // the posexploded token stream plus two island⋈phrase joins to
+    // derive the same rows. The corpus-scaled scoring stays
+    // declarative, and the DuckDB oracle still replays the composed
+    // construction, so the hash match certifies the fused walk.
+    val occ = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
-    val ns = toks.filter(!col("w").isInCollection(Stopwords))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val isl = ns
-      .withColumn("brk",
-        when(lag(col("pos"), 1).over(byDoc) === col("pos") - 1, 0L).otherwise(1L))
-      .withColumn("island", sum(col("brk")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val ph = isl.groupBy("doc_id", "island")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos").as("p"), col("w").as("w")))),
-          x => x.getField("w")), " ").as("phrase"),
-        count(lit(1)).as("len"))
-    val wordScore = isl.join(ph, Seq("doc_id", "island"))
+        explode(graft.functions.RakeCandidates.rake_candidates(
+          col("text"), Stopwords.toSet)).as("o"))
+      .select(col("doc_id"), col("o.island").as("island"),
+        col("o.phrase").as("phrase"), col("o.w").as("w"),
+        col("o.len").as("len"))
+    val wordScore = occ
       .groupBy("w")
       .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
       .select(col("w"), expr("(2*deg*1000000 + freq) div (2*freq)").as("wscore"))
-    val perOcc = isl.join(ph, Seq("doc_id", "island"))
+    val perOcc = occ
       .join(wordScore, Seq("w"))
       .groupBy("doc_id", "island", "phrase", "len")
       .agg(sum(col("wscore")).as("score"))
