@@ -838,7 +838,68 @@ object Dedup {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Cross-source duplication matrix — the curation question exact
+    * and per-pair dedup don't answer: how much of source A's content
+    * ALSO lives in source B (mirrored crawls, syndication, wiki
+    * forks). Per unordered source pair: shared distinct trigrams and
+    * the containment of the shared mass in each side, HALF_UP ppm.
+    * Shape: one native-NGrams scan → distinct (source, gram) — the
+    * wordcount shuffle — then a gram-keyed self-join whose per-gram
+    * fanout is bounded by C(#sources, 2) (the source DOMAIN, not the
+    * corpus), and two broadcast joins against the ≤#sources-row size
+    * table. No pair of documents is ever compared — the matrix is a
+    * set-overlap census, so it scales exactly like wordcount at
+    * 100 TB regardless of how duplicated the corpus is.
+    */
+  def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(array_distinct(
+          graft.functions.NGrams.ngrams(col("text"), 3))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.withColumnsRenamed(
+        Map("source" -> "source_a", "n" -> "n_grams_a"))), Seq("source_a"))
+      .join(broadcast(sizes.withColumnsRenamed(
+        Map("source" -> "source_b", "n" -> "n_grams_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams_a"), col("n_grams_b"),
+        expr("(2*n_shared*1000000 + n_grams_a) div (2*n_grams_a)")
+          .as("contain_a_ppm"),
+        expr("(2*n_shared*1000000 + n_grams_b) div (2*n_grams_b)")
+          .as("contain_b_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "dd_cross_source_overlap" -> GQuery.sql(crossSourceOverlap,
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+        |      AS g
+        |    FROM t WHERE len(tk) >= 3)),
+        |s AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |p AS (
+        |  SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_shared
+        |  FROM g x JOIN g y ON x.g = y.g AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  sa.n AS n_grams_a, sb.n AS n_grams_b,
+        |  (2*n_shared*1000000 + sa.n) // (2*sa.n) AS contain_a_ppm,
+        |  (2*n_shared*1000000 + sb.n) // (2*sb.n) AS contain_b_ppm
+        |FROM p JOIN s sa ON sa.source = p.source_a
+        |       JOIN s sb ON sb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin),
     "dd_edit_distance" -> GQuery.sql(editDistance,
       s"""WITH toks AS (
         |  SELECT doc_id, source,
