@@ -970,7 +970,83 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("lang")
   }
 
+  /** Dedup impact census — the budget question a curation run answers
+    * BEFORE paying for a full dedup pass: per source, how many
+    * documents and how much token mass near-dedup would remove.
+    * Removal set = every non-canonical member (id ≠ component min) of
+    * the connected components over the exact within-source
+    * shingle-Jaccard ≥ 0.35 pairs — the same pair semantics as
+    * `dd_ngram_jaccard` and the same O(log n) star-contraction as
+    * `dd_cluster`, composed with a token-mass rollup. Token counts
+    * ride one codegen'd scan; the only corpus-scaled exchanges are
+    * the shingle block join and the contraction rounds. Division
+    * zero-guarded (ADVICE r8: empty sources must not throw under
+    * ANSI).
+    */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val pairs = Dedup.ngramJaccardOn(
+        Tables.documents(spark, dir).select("doc_id", "source", "text"))
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val removed = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit(1L).as("rm"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        count(when(col("rm") === 1L, 1)).as("docs_removed"),
+        sum(when(col("rm") === 1L, col("n_tok")).otherwise(lit(0L)))
+          .as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("docs_removed"),
+        col("n_tokens"), col("tokens_removed"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr(
+            "(2*tokens_removed*1000000 + n_tokens) div (2*n_tokens)"))
+          .as("tokens_removed_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_dedup_impact" -> GQuery.sql(dedupImpact,
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35),
+        |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+        |cc AS (
+        |  SELECT DISTINCT i AS id, i AS lbl FROM edges
+        |  UNION
+        |  SELECT e.j AS id, cc.lbl FROM cc JOIN edges e ON e.i = cc.id),
+        |rm AS (SELECT id AS doc_id FROM cc GROUP BY id HAVING id <> min(lbl)),
+        |c AS (
+        |  SELECT t.source,
+        |    count(*) AS n_docs,
+        |    CAST(count(*) FILTER (WHERE rm.doc_id IS NOT NULL) AS BIGINT)
+        |      AS docs_removed,
+        |    CAST(sum(len(t.t)) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(len(t.t)) FILTER (WHERE rm.doc_id IS NOT NULL), 0)
+        |      AS BIGINT) AS tokens_removed
+        |  FROM toks t LEFT JOIN rm ON rm.doc_id = t.doc_id
+        |  GROUP BY t.source)
+        |SELECT source, n_docs, docs_removed, n_tokens, tokens_removed,
+        |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (2*tokens_removed*1000000 + n_tokens) // (2*n_tokens) END
+        |    AS tokens_removed_ppm
+        |FROM c ORDER BY source""".stripMargin),
     "pipe_lang_cap" -> GQuery.sql(langCap,
       s"""WITH d AS (
         |  SELECT lang, doc_id, n_chars,
