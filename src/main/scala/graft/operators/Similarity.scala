@@ -1510,7 +1510,81 @@ ORDER BY f.vec_id"""
       .orderBy("label")
   }
 
+  /** Query-sample budget for the hubness census (count-derived
+    * modulus sample, the `vec_pair_distance_hist` discipline — a
+    * FIXED number of probe queries at any corpus size, so the scoring
+    * pass stays linear in the corpus).
+    */
+  val HubSample = 64L
+
+  /** Hubness census — the high-dimensional pathology check ANN
+    * indexes care about most (Radovanović et al.: in high dimensions
+    * a few "hub" points appear in an outsized share of OTHER points'
+    * k-NN lists, distorting retrieval and dedup alike): for a
+    * count-derived sample of probe queries, every corpus vector's
+    * reverse-k-occurrence count (how many probes list it in their
+    * top-k), rolled into the occurrence histogram including the
+    * never-retrieved zero class. Heavy right tail = hubs; a large
+    * zero class = anti-hubs. Plan: queries broadcast (fixed-size
+    * sample), one linear scoring scan, the bounded-heap `TopKByScore`
+    * aggregator (≤ k rows per partition reach the shuffle — no
+    * query-partitioned window), and two tiny aggs over ≤ sample·k
+    * hit rows. Ranking order is RAW cosine with the ascending-id tie
+    * break on both engines.
+    */
+  def hubnessCensus(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val q = e.crossJoin(broadcast(n))
+      .filter(pmod(col("vec_id"),
+        greatest(expr(s"n_vecs div $HubSample"), lit(1L))) === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val topk = graft.functions.TopK.topKByScore(TopK)
+    val hits = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("qv"), col("v")).as("score"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(explode(col("top")).as("s"))
+      .groupBy(col("s.id").as("hit_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nonzero = hits.agg(count(lit(1)).as("nz"))
+    val zeroRow = n.crossJoin(broadcast(nonzero))
+      .select(lit(0L).as("n_hits"), (col("n_vecs") - col("nz")).as("n_vectors"))
+    hits.groupBy("n_hits").agg(count(lit(1)).as("n_vectors"))
+      .unionByName(zeroRow)
+      .filter(col("n_vectors") > 0)
+      .orderBy("n_hits")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "vec_hubness_census" -> GQuery.sql(hubnessCensus,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT count(*) AS n_vecs FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e, n
+        |      WHERE vec_id % greatest(n_vecs // $HubSample, 1) = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_inner_product(q.qv, e.v) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) *
+        |       sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM scored),
+        |hits AS (
+        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ranked WHERE rank <= $TopK GROUP BY vec_id),
+        |hist AS (
+        |  SELECT n_hits, CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM hits GROUP BY n_hits
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT) AS n_hits,
+        |    CAST((SELECT n_vecs FROM n) - (SELECT count(*) FROM hits) AS BIGINT)
+        |      AS n_vectors)
+        |SELECT n_hits, n_vectors FROM hist WHERE n_vectors > 0
+        |ORDER BY n_hits""".stripMargin),
     "vec_outlier_census" -> GQuery.sql(outlierCensus,
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |           FROM embeddings),
