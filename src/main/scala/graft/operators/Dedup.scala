@@ -135,14 +135,16 @@ object Dedup {
     // No pair ever materializes both arrays; everything is a
     // codegen'd join + hash aggregate. Pairs sharing nothing are
     // never generated at all (they can't pass any threshold > 0).
-    val r = shingleHashRowsOf(docs)
+    // materialize the tokenize+shingle pass once: it feeds both sides
+    // of the set-similarity self-join and the size table
+    val r = shingleHashRowsOf(docs).truncated
     val inter = r.select(col("source"), col("doc_id").as("doc_id_1"), col("sh"))
       .join(r.select(col("source"), col("doc_id").as("doc_id_2"), col("sh")),
         Seq("source", "sh"))
       .filter(col("doc_id_1") < col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = shingleSizesOf(docs)
+    val sizes = r.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
@@ -194,10 +196,17 @@ object Dedup {
     * all-pairs comparison entirely.
     */
   def minhashLshOn(docs: DataFrame): DataFrame = {
+    // The shingle rows feed FOUR subtrees (signatures, both exact-
+    // verify sides, sizes) and the bucket self-join would otherwise
+    // re-run the whole signature pipeline per side — materialize the
+    // tokenize+shingle pass once. This is also the production shape:
+    // signatures and shingle sets are computed once and STORED, then
+    // probed by banding and verification.
+    val r0 = shingleHashRowsOf(docs).truncated
     val sigCols = (0 until MinhashK).map { i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i")
     }
-    val sigs = shingleHashRowsOf(docs)
+    val sigs = r0
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until MinhashK / BandRows).map { b =>
@@ -214,8 +223,8 @@ object Dedup {
       .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
       .distinct()
     // exact-verify ONLY the candidates (tiny set): intersection counts
-    // via broadcast joins against the shingle rows.
-    val r = shingleHashRowsOf(docs).select("doc_id", "sh")
+    // via broadcast joins against the materialized shingle rows.
+    val r = r0.select("doc_id", "sh")
     val inter = broadcast(cand)
       .join(r.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"))
       .join(r.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh" -> "sh2")),
@@ -223,7 +232,7 @@ object Dedup {
       .filter(col("sh") === col("sh2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = shingleSizesOf(docs)
+    val sizes = r0.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))

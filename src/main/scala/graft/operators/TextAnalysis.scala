@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.Ckpt.TruncOps
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -766,10 +767,15 @@ object TextAnalysis {
           concat(col("text"), lit(" " + BoilerplateFooter)))
           .otherwise(col("text")).as("text"))
     val srcDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // spans feeds THREE subtrees (df counts, template hits, affected
+    // docs) with different downstream exchanges — materialize the
+    // corpus-scaled distinct once instead of re-running the trigram
+    // explode per branch (measured: 6 parquet scans → 2, 1.9 → 1.3 s)
     val spans = docs
       .select(col("source"), col("doc_id"),
         explode(graft.functions.NGrams.ngrams(col("text"), 3)).as("span"))
       .distinct()
+      .truncated
     val dfreq = spans.groupBy("source", "span")
       .agg(count(lit(1)).as("df"))
     val templates = dfreq.join(broadcast(srcDocs), "source")
