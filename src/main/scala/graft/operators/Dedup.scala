@@ -110,14 +110,15 @@ object Dedup {
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val r = shingleHashRowsOf(docs)
+    // same shared-shingle-pass materialization as ngramJaccardOn
+    val r = shingleHashRowsOf(docs).truncated
     val inter = r.select(col("source"), col("doc_id").as("doc_id_a"), col("sh"))
       .join(r.select(col("source"), col("doc_id").as("doc_id_b"), col("sh")),
         Seq("source", "sh"))
       .filter(col("doc_id_a") =!= col("doc_id_b"))
       .groupBy("doc_id_a", "doc_id_b")
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = shingleSizesOf(docs)
+    val sizes = r.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_a", "sh_size" -> "sz_a")),
         Seq("doc_id_a"))
@@ -435,7 +436,9 @@ object Dedup {
   }
 
   def simhashOn(docs: DataFrame): DataFrame = {
-    val sigDocs = simhashSignatures(docs)
+    // materialize signatures once: the band-pair self-join would
+    // otherwise run the whole token-stream signature agg per side
+    val sigDocs = simhashSignatures(docs).truncated
     // 5 bands of (13,13,13,13,12) bits; block on all C(5,2) band pairs
     val bandStarts = Seq(0, 13, 26, 39, 52)
     val bandBits = Seq(13, 13, 13, 13, 12)
