@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.Ckpt.TruncOps
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -584,6 +585,10 @@ FROM s GROUP BY col_name ORDER BY col_name"""
     val docs = Tables.documents(spark, dir)
     val norm = docs.select(col("doc_id"), col("source"),
       array_join(Text.tokens(lower(col("text"))), " ").as("norm"))
+    // NOTE (measured): truncating the token stream or the vocab here
+    // does not pay — the narrow codegen explode recomputes cheaper
+    // than a materialization writes, unlike the shingle/signature
+    // pipelines where each branch repeats a corpus-scaled agg.
     val toks = docs.select(col("doc_id"),
       posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
     val vocab = rankVocab(toks.groupBy("w").agg(count(lit(1)).as("cnt")))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.Ckpt.TruncOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1039,7 +1040,11 @@ object Relational {
     val bucketed = li.crossJoin(broadcast(bounds))
       .select(expr(s"((cents - lo) * $RankBuckets) div (hi - lo + 1)").as("bucket"),
         col("cents"), col("ok"), col("ln"))
+    // counts is RankBuckets-sized but feeds THREE subtrees (both
+    // sides of the prefix theta-join and the total) — materialize it
+    // so each does not re-scan the fact table
     val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .truncated
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col("b.bucket") < col("a.bucket"), "left")
       .groupBy(col("a.bucket").as("bucket"), col("a.cnt").as("cnt"))
