@@ -1014,7 +1014,76 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("source")
   }
 
+  /** Split-leakage census — the contamination exact decontamination
+    * misses: NEAR-duplicate pairs (same Jaccard ≥ 0.35 semantics as
+    * `dd_ngram_jaccard`) whose two members land in DIFFERENT
+    * `pipe_train_test_split` buckets, so a paraphrase/near-copy of a
+    * training document sits in val/test and inflates eval. Per
+    * source: near-dup pairs, boundary-crossing pairs, crossing ppm
+    * (zero-guarded). The split assignment is the same multiplicative
+    * hash replayed in the oracle; pairs come from the shared
+    * materialized shingle pass, and the census is a pair-domain
+    * rollup — nothing here scales beyond the pair set itself.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(hashBucket(col("doc_id")) < 80, "train")
+          .when(hashBucket(col("doc_id")) < 90, "val")
+          .otherwise("test").as("split"))
+    val pairs = Dedup.ngramJaccardOn(
+        Tables.documents(spark, dir).select("doc_id", "source", "text"))
+      .select(col("doc_id_1"), col("doc_id_2"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_id_1"),
+        col("source"), col("split").as("split_1")), Seq("doc_id_1"))
+      .join(splits.select(col("doc_id").as("doc_id_2"),
+        col("split").as("split_2")), Seq("doc_id_2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("split_1") =!= col("split_2"), 1)).as("n_cross_pairs"))
+      .select(col("source"), col("n_pairs"), col("n_cross_pairs"),
+        when(col("n_pairs") === 0L, lit(0L))
+          .otherwise(expr("(2*n_cross_pairs*1000000 + n_pairs) div (2*n_pairs)"))
+          .as("cross_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_split_leakage" -> GQuery.sql(splitLeakage,
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.source
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 999983) * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 999983) * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (
+        |  SELECT p.source, count(*) AS n_pairs,
+        |    CAST(count(*) FILTER (WHERE s1.split <> s2.split) AS BIGINT)
+        |      AS n_cross_pairs
+        |  FROM pairs p JOIN sp s1 ON s1.doc_id = p.doc_id_1
+        |               JOIN sp s2 ON s2.doc_id = p.doc_id_2
+        |  GROUP BY p.source)
+        |SELECT source, n_pairs, n_cross_pairs,
+        |  CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (2*n_cross_pairs*1000000 + n_pairs) // (2*n_pairs) END
+        |    AS cross_ppm
+        |FROM c ORDER BY source""".stripMargin),
     "pipe_dedup_impact" -> GQuery.sql(dedupImpact,
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, source,
