@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.Ckpt.TruncOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1556,7 +1557,127 @@ ORDER BY f.vec_id"""
       .orderBy("n_hits")
   }
 
+  /** Probe budgets measured by `ann_recall_curve`. */
+  val RecallProbes = Seq(1L, 2L, 4L, 8L)
+
+  /** IVF recall curve — THE index-tuning artifact an ANN deployment
+    * reads before picking nprobe: recall@k of the IVF pipeline vs
+    * brute force at probe budgets 1/2/4/8, as mean hit ppm over the
+    * query set. Uses the modulus-sampled centroids (the
+    * `ann_ivf_balance` construction, chosen so DuckDB can replay the
+    * sampling exactly); assignment is the map-side max_by agg; each
+    * budget's candidate stream flows through the bounded-heap
+    * `TopKByScore` — four branches share ONE materialized assignment,
+    * so the corpus is scanned once, not per budget. Recall counts
+    * membership in the brute-force top-k under the identical
+    * (raw-cosine DESC, id ASC) order, so the curve is exact, not
+    * estimated — both engines derive it from the same deterministic
+    * index.
+    */
+  def recallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val centroids = e.crossJoin(broadcast(n))
+      .filter(pmod(col("vec_id"),
+        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"),
+          lit(1L))) === 0L)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+      .truncated
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val topk = graft.functions.TopK.topKByScore(TopK)
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("qv"), col("v")).as("score"), col("vec_id"))
+      .groupBy("q_id").agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"),
+        lit(1L).as("hit"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("cell_id"),
+        cosine(col("v"), col("cv")).as("cell_cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("cell_cos"), -col("cell_id")))
+        .as("cell_id"), first(col("v")).as("v"))
+      .truncated
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .select(col("q_id"), col("qv"), col("cell_id"),
+        cosine(col("qv"), col("cv")).as("cell_cos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cell_cos"), asc("cell_id"))))
+      .filter(col("crank") <= RecallProbes.max)
+      .select(col("q_id"), col("qv"), col("cell_id"), col("crank"))
+    val branches = RecallProbes.map { p =>
+      qCells.filter(col("crank") <= p)
+        .join(assigned, Seq("cell_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), cosine(col("qv"), col("v")).as("score"),
+          col("vec_id"))
+        .groupBy("q_id").agg(topk(col("score"), col("vec_id")).as("top"))
+        .select(lit(p).as("probes"), col("q_id"),
+          explode(col("top.id")).as("vec_id"))
+    }.reduce(_ unionByName _)
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    branches.join(brute, Seq("q_id", "vec_id"), "left")
+      .groupBy("probes")
+      .agg(count(when(col("hit") === 1L, 1)).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("probes"), col("n_queries"), col("n_hits"),
+        expr(s"(2*n_hits*1000000 + n_queries*$TopK) div (2*n_queries*$TopK)")
+          .as("recall_ppm"))
+      .orderBy("probes")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ann_recall_curve" -> GQuery.sql(recallCurve, {
+      val cos = (a: String, b: String) =>
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT count(*) AS n_vecs FROM e),
+        |cent AS (
+        |  SELECT vec_id AS cell_id, v AS cv FROM e, n
+        |  WHERE vec_id % greatest(n_vecs // CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1) = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+        |brute AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        ${cos("q.qv", "e.v")} DESC, e.vec_id) AS rnk
+        |    FROM q JOIN e ON e.vec_id <> q.q_id) WHERE rnk <= $TopK),
+        |asg AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${cos("e.v", "c.cv")} DESC, c.cell_id) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |qc AS (
+        |  SELECT q_id, cell_id, crank FROM (
+        |    SELECT q.q_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        ${cos("q.qv", "c.cv")} DESC, c.cell_id) AS crank
+        |    FROM q CROSS JOIN cent c)
+        |  WHERE crank <= ${RecallProbes.max}),
+        |pr AS (SELECT CAST(unnest([${RecallProbes.mkString(", ")}]) AS BIGINT) AS probes),
+        |ivf AS (
+        |  SELECT probes, q_id, vec_id FROM (
+        |    SELECT pr.probes, q.q_id, a.vec_id,
+        |      row_number() OVER (PARTITION BY pr.probes, q.q_id ORDER BY
+        |        ${cos("q.qv", "e2.v")} DESC, a.vec_id) AS rnk
+        |    FROM pr
+        |    JOIN qc ON qc.crank <= pr.probes
+        |    JOIN q ON q.q_id = qc.q_id
+        |    JOIN asg a ON a.cell_id = qc.cell_id AND a.vec_id <> q.q_id
+        |    JOIN e e2 ON e2.vec_id = a.vec_id)
+        |  WHERE rnk <= $TopK),
+        |nq AS (SELECT count(*) AS n_queries FROM q)
+        |SELECT ivf.probes, nq.n_queries,
+        |  CAST(count(*) FILTER (WHERE b.vec_id IS NOT NULL) AS BIGINT) AS n_hits,
+        |  (2*CAST(count(*) FILTER (WHERE b.vec_id IS NOT NULL) AS BIGINT)*1000000
+        |     + nq.n_queries*$TopK) // (2*nq.n_queries*$TopK) AS recall_ppm
+        |FROM ivf
+        |LEFT JOIN brute b ON b.q_id = ivf.q_id AND b.vec_id = ivf.vec_id
+        |CROSS JOIN nq
+        |GROUP BY ivf.probes, nq.n_queries
+        |ORDER BY probes""".stripMargin
+    }),
     "vec_hubness_census" -> GQuery.sql(hubnessCensus,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT count(*) AS n_vecs FROM e),
