@@ -1049,7 +1049,58 @@ FROM s GROUP BY col_name ORDER BY col_name"""
       .orderBy("source")
   }
 
+  /** Tokenizer-fertility census — the multilingual tokenizer-
+    * efficiency readout (how many subword tokens a word costs, and
+    * how many chars a token carries) a pipeline meters per language
+    * before committing a token budget: fertility = BPE-ish tokens per
+    * whitespace word ×1000 and chars-per-token ×1000, both HALF_UP
+    * integers, per lang. One codegen'd scan (both token counts are
+    * regex/size projections), one lang-domain agg; divisions
+    * zero-guarded for degenerate languages.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        Text.wsTokenCount(col("text")).cast("long").as("ws"),
+        Text.bpeIshTokenCount(col("text")).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_bpe_tokens"), sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(expr("(2*n_bpe_tokens*1000 + n_words) div (2*n_words)"))
+          .as("fertility_x1000"),
+        when(col("n_bpe_tokens") === 0L, lit(0L))
+          .otherwise(expr("(2*n_chars*1000 + n_bpe_tokens) div (2*n_bpe_tokens)"))
+          .as("chars_per_token_x1000"))
+      .orderBy("lang")
+
   val queries: Map[String, GQuery] = Map(
+    "pipe_tokenizer_fertility" -> GQuery.sql(tokenizerFertility,
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> len(x) > 0)) AS ws,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |      AS bpe,
+        |    length(text) AS chars
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(ws) AS BIGINT) AS n_words,
+        |    CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(sum(chars) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+        |  CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (2*n_bpe_tokens*1000 + n_words) // (2*n_words) END
+        |    AS fertility_x1000,
+        |  CASE WHEN n_bpe_tokens = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (2*n_chars*1000 + n_bpe_tokens) // (2*n_bpe_tokens) END
+        |    AS chars_per_token_x1000
+        |FROM c ORDER BY lang""".stripMargin),
     "pipe_split_leakage" -> GQuery.sql(splitLeakage,
       """WITH toks AS (
         |  SELECT doc_id, source,
