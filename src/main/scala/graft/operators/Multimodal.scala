@@ -363,7 +363,80 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** Dedup-lift census — "what does perceptual dedup buy beyond byte
+    * hashing?": per kind, the exact-duplicate surplus (md5 buckets),
+    * the perceptual surplus (dHash signature buckets), and the LIFT —
+    * payloads perceptual dedup collapses that exact dedup cannot
+    * (identical payloads share a signature, so the lift is provably
+    * ≥ 0). The fused `PhashSignature` expression and one md5
+    * projection share a single scan; the census is a kind-keyed
+    * two-distinct agg (exact two-phase; `rel_approx_distinct`'s HLL
+    * is the declared swap when per-kind distinct hashes stop fitting
+    * the exchange).
+    */
+  def dedupLift(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        when(length(col("text")) % 3 === 0, "image")
+          .when(length(col("text")) % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        md5(col("text").cast("binary")).as("h"),
+        graft.functions.PhashSignature.phash_signature(
+          col("text"), SceneFrameBytes.toInt, PhashBits).as("sig"))
+      .filter(col("sig").isNotNull)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_payloads"),
+        countDistinct(col("h")).as("n_exact_uniq"),
+        countDistinct(col("sig")).as("n_phash_sigs"))
+      .select(col("kind"), col("n_payloads"),
+        (col("n_payloads") - col("n_exact_uniq")).as("exact_surplus"),
+        (col("n_payloads") - col("n_phash_sigs")).as("phash_surplus"),
+        (col("n_exact_uniq") - col("n_phash_sigs")).as("perceptual_lift"),
+        expr("(2*(n_exact_uniq - n_phash_sigs)*1000000 + n_payloads)" +
+          " div (2*n_payloads)").as("lift_ppm"))
+      .orderBy("kind")
+
   val queries: Map[String, GQuery] = Map(
+    "mm_dedup_lift" -> GQuery.sql(dedupLift,
+      s"""WITH b AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) % 3 = 0 THEN 'image'
+        |         WHEN length(text) % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    (idx - 1) // $SceneFrameBytes AS frame_idx, ascii(ch) AS v
+        |  FROM (SELECT doc_id, text,
+        |          unnest(split(substr(text, 1,
+        |            ${(PhashBits + 1) * SceneFrameBytes}), '')) AS ch,
+        |          generate_subscripts(split(substr(text, 1,
+        |            ${(PhashBits + 1) * SceneFrameBytes}), ''), 1) AS idx
+        |        FROM documents WHERE length(text) > 0)),
+        |f AS (
+        |  SELECT doc_id, any_value(text) AS text, kind, frame_idx,
+        |    (2*CAST(sum(v) AS BIGINT) + count(*)) // (2*count(*)) AS mv
+        |  FROM b GROUP BY doc_id, kind, frame_idx),
+        |d AS (
+        |  SELECT doc_id, text, kind, frame_idx, mv,
+        |    lag(mv) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, any_value(text) AS text, kind,
+        |    CAST(sum(CASE WHEN mv > prev
+        |      THEN (1::BIGINT << CAST(frame_idx - 1 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM d GROUP BY doc_id, kind),
+        |c AS (
+        |  SELECT kind, count(*) AS n_payloads,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_uniq,
+        |    CAST(count(DISTINCT sig) AS BIGINT) AS n_phash_sigs
+        |  FROM s GROUP BY kind)
+        |SELECT kind, n_payloads,
+        |  n_payloads - n_exact_uniq AS exact_surplus,
+        |  n_payloads - n_phash_sigs AS phash_surplus,
+        |  n_exact_uniq - n_phash_sigs AS perceptual_lift,
+        |  (2*(n_exact_uniq - n_phash_sigs)*1000000 + n_payloads)
+        |    // (2*n_payloads) AS lift_ppm
+        |FROM c ORDER BY kind""".stripMargin),
     "mm_phash_dedup" -> GQuery.sql(phashDedup,
       s"""WITH b AS (
         |  SELECT doc_id,
