@@ -1582,7 +1582,10 @@ ORDER BY f.vec_id"""
         greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"),
           lit(1L))) === 0L)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
-      .truncated
+    // centroids stay a live plan (not truncated): they are one cheap
+    // scan+filter, and the crank window below must SEE the count
+    // aggregate in its child for the PlanSpec reduced-input gate —
+    // the corpus-scaled assignment below is the sharing that matters
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val topk = graft.functions.TopK.topKByScore(TopK)
