@@ -75,7 +75,11 @@ object Bench {
     // 1-5 all show parsed:null). Print a COMPACT line — total + a
     // fixed headline subset — guaranteed to fit in the tail window,
     // and persist the full per-query regression baseline to bench.json.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+    // Filtered (SPARK_GRAFT_ONLY) local-iteration runs write to
+    // bench_partial.json instead so they can never clobber the
+    // canonical full-registry artifact (ADVICE r9 #1).
+    val outFile = if (only.isEmpty) "bench.json" else "bench_partial.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       fullJson.getBytes("UTF-8"))
     val headline = Seq(
       "q1_pricing_summary", "q9_profit_by_nation_year",
@@ -89,7 +93,7 @@ object Bench {
     val maxSpread = results.map(_._2.spread).filter(_ >= 0)
       .foldLeft(0.0)(math.max)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"codegen_fallbacks":$cgf,"queries":$hq,"n_queries":${results.size},"max_spread":${fmt(maxSpread)},"failed":$fs,"sf":"$sfDir","detail":"bench.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"codegen_fallbacks":$cgf,"queries":$hq,"n_queries":${results.size},"max_spread":${fmt(maxSpread)},"failed":$fs,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -52,9 +52,13 @@ object Text {
     regexp_extract_all(c, lit(UnicodeTokenRegex), lit(0))
 
   /** Corpus-wide tokenizer selector: set the Spark conf
-    * `graft.tokenizer=unicode` to run the txt_/dd_ tokenization
+    * `graft.tokenizer=unicode` to route every txt_ operator that
+    * tokenizes via `tokens` (TextAnalysis.docTokens wires the conf)
     * through the Unicode twin; default (or `ascii`) keeps the
-    * reference-conformant ASCII split.
+    * reference-conformant ASCII split. The wc_/dd_ families and the
+    * native ShingleHashes/NGrams expressions stay pinned ASCII —
+    * those are reference/oracle-conformance surfaces, not
+    * multilingual ones.
     */
   def tokensFor(mode: String)(c: Column): Column = mode match {
     case "unicode" => unicodeTokens(c)

@@ -133,7 +133,7 @@ object Similarity {
     val n = e.agg(count(lit(1)).as("n_vecs"))
     val sampled = e.crossJoin(broadcast(n))
       .filter(pmod(xxhash64(col("vec_id")),
-        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"), lit(1L))) === 0L)
+        greatest(expr("n_vecs div greatest(CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1)"), lit(1L))) === 0L)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
     // The sample count is ~Binomial(n, sqrt(n)/n): an unlucky draw can
     // come up short (or, pathologically, empty → silently empty
@@ -492,7 +492,7 @@ object Similarity {
     val n = e.agg(count(lit(1)).as("n_vecs"))
     val centroids = e.crossJoin(broadcast(n))
       .filter(pmod(col("vec_id"),
-        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"),
+        greatest(expr("n_vecs div greatest(CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1)"),
           lit(1L))) === 0L)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
     val assigned = e.join(broadcast(centroids), lit(true))
@@ -576,7 +576,7 @@ object Similarity {
     val n = e.agg(count(lit(1)).as("n_vecs"))
     val centroids = e.crossJoin(broadcast(n))
       .filter(pmod(col("vec_id"),
-        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"),
+        greatest(expr("n_vecs div greatest(CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1)"),
           lit(1L))) === 0L)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
     val assigned = e.join(broadcast(centroids), lit(true))
@@ -1579,7 +1579,7 @@ ORDER BY f.vec_id"""
     val n = e.agg(count(lit(1)).as("n_vecs"))
     val centroids = e.crossJoin(broadcast(n))
       .filter(pmod(col("vec_id"),
-        greatest(expr("n_vecs div CAST(ceil(sqrt(n_vecs)) AS BIGINT)"),
+        greatest(expr("n_vecs div greatest(CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1)"),
           lit(1L))) === 0L)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
     // centroids stay a live plan (not truncated): they are one cheap

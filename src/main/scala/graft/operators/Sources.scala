@@ -30,6 +30,18 @@ object Sources {
     */
   val RoundtripStageRoot = "/root/repo/target/graft_roundtrip"
 
+  /** Bottom-up recursive delete with the walk stream CLOSED (ADVICE
+    * r9 #5 — the bare `Files.walk(...).iterator()` idiom leaked the
+    * underlying directory stream's file handles).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    } finally walk.close()
+  }
+
   private def stagePathFor(dir: String): String = {
     val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -73,11 +85,7 @@ object Sources {
         if (Files.exists(stagePath))
           Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
         Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(old).iterator().asScala.toSeq
-            .reverse.foreach(Files.delete)
-        }
+        if (Files.exists(old)) deleteTree(old)
       }
       stage
     }
@@ -267,11 +275,7 @@ object Sources {
         if (Files.exists(stagePath))
           Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
         Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(old).iterator().asScala.toSeq
-            .reverse.foreach(Files.delete)
-        }
+        if (Files.exists(old)) deleteTree(old)
       }
       stage
     }
@@ -331,11 +335,7 @@ object Sources {
         if (Files.exists(stagePath))
           Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
         Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(old).iterator().asScala.toSeq
-            .reverse.foreach(Files.delete)
-        }
+        if (Files.exists(old)) deleteTree(old)
       }
       stage
     }
@@ -371,7 +371,6 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(s"$stage/lines")
-      .cache()
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
         count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"),

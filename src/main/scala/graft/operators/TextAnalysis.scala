@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Corpus-wide tokenizer selector (ADVICE r9 #2): every txt_
+    * operator that tokenizes via `Text.tokens` routes through this,
+    * so setting the Spark conf `graft.tokenizer=unicode` swaps the
+    * whole txt_ family onto the Unicode tokenizer in one place.
+    * Default (`ascii`) is the reference-conformant split the oracles
+    * pin; the `wc_*`/`dd_*` families and the native ShingleHashes/
+    * NGrams expressions stay pinned ASCII by design.
+    */
+  private def docTokens(spark: SparkSession)(c: Column): Column =
+    Text.tokensFor(spark.conf.get("graft.tokenizer", "ascii"))(c)
+
   /** Token counts: whitespace tokens and a BPE-ish proxy count. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -56,7 +67,7 @@ object TextAnalysis {
   def readability(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(Text.tokens(lower(col("text")))).cast("long").as("n_words"),
+        size(docTokens(spark)(lower(col("text")))).cast("long").as("n_words"),
         size(filter(split(col("text"), "[.!?]+"), s => length(trim(s)) > 0))
           .cast("long").as("n_sentences"),
         size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
@@ -71,7 +82,7 @@ object TextAnalysis {
     * vocabulary (distinct-token) ratio.
     */
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(lower(col("text")))
+    val toks = docTokens(spark)(lower(col("text")))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("char_len"),
@@ -102,7 +113,7 @@ object TextAnalysis {
       "es" -> Seq("el", "la", "de", "es"),
       "fr" -> Seq("le", "la", "et", "est"),
       "zh" -> Seq("de", "shi", "he"))
-    val toks = Text.tokens(lower(col("text")))
+    val toks = docTokens(spark)(lower(col("text")))
     val scores = markers.toSeq.sortBy(_._1).map { case (langCode, ms) =>
       struct(
         size(filter(toks, t => t.isin(ms: _*))).as("hits"),
@@ -248,7 +259,7 @@ object TextAnalysis {
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tokTop = docs
-      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(docTokens(spark)(lower(col("text")))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
@@ -306,7 +317,7 @@ object TextAnalysis {
   def collocation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val uni = docs
-      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+      .select(explode(docTokens(spark)(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val nTok = uni.agg(sum(col("c")).as("n_tokens"))
     val bg = docs
@@ -342,7 +353,7 @@ object TextAnalysis {
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+      .select(explode(docTokens(spark)(lower(col("text")))).as("w"))
     Pipeline.rankVocab(toks.groupBy("w").agg(count(lit(1)).as("cnt")))
       .select(col("cnt"), col("rank"))
       .agg(
@@ -413,7 +424,7 @@ object TextAnalysis {
     */
   def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.documents(spark, dir)
-      .select(col("source"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .select(col("source"), explode(docTokens(spark)(lower(col("text")))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy("source").agg(sum("c").as("t"))
     val probs = cnt.join(broadcast(tot), Seq("source"))
@@ -451,7 +462,7 @@ object TextAnalysis {
     */
   def hapaxCensus(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("lang"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .select(col("lang"), explode(docTokens(spark)(lower(col("text")))).as("w"))
       .groupBy("lang", "w")
       .agg(count(lit(1)).as("c"))
       .groupBy("lang")
@@ -477,7 +488,7 @@ object TextAnalysis {
     */
   def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("source"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .select(col("source"), explode(docTokens(spark)(lower(col("text")))).as("w"))
       .groupBy("source", "w")
       .agg(count(lit(1)).as("c"))
       .groupBy("source")
@@ -531,7 +542,7 @@ object TextAnalysis {
     * shuffle) + a source-sized agg; ratios HALF_UP ppm.
     */
   def garbageTokens(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(lower(col("text")))
+    val toks = docTokens(spark)(lower(col("text")))
     Tables.documents(spark, dir)
       .select(col("source"),
         size(toks).cast("long").as("n_tok"),
@@ -562,7 +573,7 @@ object TextAnalysis {
   def templatePrefixes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"),
-        array_join(slice(Text.tokens(lower(col("text"))), 1, 5), " ").as("prefix"))
+        array_join(slice(docTokens(spark)(lower(col("text"))), 1, 5), " ").as("prefix"))
       .filter(length(col("prefix")) > 0)
       .groupBy("prefix")
       .agg(count(lit(1)).as("n_docs"),
@@ -582,7 +593,7 @@ object TextAnalysis {
     */
   def burstiness(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .select(col("doc_id"), explode(docTokens(spark)(lower(col("text")))).as("w"))
       .groupBy("w", "doc_id")
       .agg(count(lit(1)).as("c"))
       .groupBy("w")
@@ -666,7 +677,7 @@ object TextAnalysis {
     def decile(c: Column): Column =
       expr(s"((${c.toString} - lo) * $VocabDeciles) div (hi - lo + 1)")
     val tok = docs
-      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+      .select(col("doc_id"), explode(docTokens(spark)(lower(col("text")))).as("term"))
     val nDocs = docs.crossJoin(broadcast(bounds))
       .groupBy(decile(col("doc_id")).as("decile"))
       .agg(count(lit(1)).as("n_docs"))
@@ -706,11 +717,18 @@ object TextAnalysis {
     * codegen'd regexp lengths per doc, a (source × route)-sized agg.
     */
   val CodeSymbolPpm = 20000L
+  val CodePlantOffset = 2000000L
   def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    // Loud collision guard (ADVICE r9 #4, the minhashErrorCensus
+    // precedent): a corpus with doc_id >= the plant offset would
+    // silently overlap planted and natural ids in BOTH engines, so
+    // the oracle hash could stay green on corrupted ground truth.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
+      .filter(assert_true(col("doc_id") < CodePlantOffset,
+        lit(s"codeDetect: doc_id >= $CodePlantOffset collides with planted ids — raise CodePlantOffset")).isNull)
     val planted = docs.filter(col("doc_id") % 8 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+      .select((col("doc_id") + lit(CodePlantOffset)).as("doc_id"), col("source"),
         concat(lit("{"), regexp_replace(col("text"), " ", "; "), lit(";}"))
           .as("text"))
     docs.unionByName(planted)
@@ -823,7 +841,7 @@ object TextAnalysis {
   def oovCensus(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("source"),
-        explode(Text.tokens(lower(concat(col("text"),
+        explode(docTokens(spark)(lower(concat(col("text"),
           concat(lit(" zq"), col("doc_id")))))).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("total"))

@@ -45,6 +45,26 @@ class UnicodeTokensSpec extends SparkTestBase {
       == Seq("a—b"))
   }
 
+  test("graft.tokenizer conf routes txt_ operators through the unicode twin") {
+    // ADVICE r9 #2: the documented knob must actually reach an
+    // operator. txt_quality's n_tokens tokenizes via docTokens; on a
+    // text containing an em dash the two modes provably diverge, and
+    // the conf must flip the result of the REGISTERED query path.
+    import spark.implicits._
+    val stage = "/root/repo/target/graft_tokconf_docs"
+    Seq((0L, "en", "synth", "alpha—beta gamma", 16L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+    def nTokens(): Long =
+      graft.operators.TextAnalysis.queries("txt_quality").fn(spark, stage)
+        .select("n_tokens").collect().head.getLong(0)
+    assert(nTokens() == 2L) // ascii default: "alpha—beta" is one token
+    spark.conf.set("graft.tokenizer", "unicode")
+    try assert(nTokens() == 3L) // unicode: em dash is a delimiter
+    finally spark.conf.unset("graft.tokenizer")
+    assert(nTokens() == 2L) // default restored — shared session stays clean
+  }
+
   test("txt_token_count_unicode runs and counts every alnum char") {
     val out = graft.operators.TextAnalysis.queries("txt_token_count_unicode")
       .fn(spark, SfDir)
