@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,23 +21,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * old pipeline's distinct hashed-shingle set row-for-row; the only
   * difference is the missing exchange.
   *
-  * CodegenFallback is deliberate: the per-row body is compiled Scala
-  * (regex split + tight loop), and falling out of whole-stage codegen
-  * for this one projection is far cheaper than the shuffle it
-  * replaces.
+  * Real `doGenCode` (VERDICT r9 #1): the generated code calls the
+  * same static `compute` the interpreted path uses — the per-row body
+  * is compiled Scala either way, but staying OUT of `CodegenFallback`
+  * keeps the enclosing projection inside whole-stage codegen (no
+  * boxed `InternalRow` round-trip per document, and `CodegenGuard` /
+  * NativeCodegenSpec can now assert the dedup scans are fallback-free).
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ShingleHashes$$.MODULE$$.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private[functions] val SplitPattern =
+    java.util.regex.Pattern.compile(Text.TokenSplitRegex)
+
+  /** Static per-row body shared by eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
     // Locale.ROOT: default-locale lowercasing diverges from Spark's
     // lower() / the DuckDB oracle under e.g. tr_TR ('I' → 'ı').
-    val text = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
-    val tokens = ShingleHashes.SplitPattern.split(text).filter(_.nonEmpty)
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val tokens = SplitPattern.split(text).filter(_.nonEmpty)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = new scala.collection.mutable.ArrayBuilder.ofLong
@@ -59,14 +76,6 @@ case class ShingleHashes(child: Expression, n: Int)
     new GenericArrayData(out.result())
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
-
-object ShingleHashes {
-  private[functions] val SplitPattern =
-    java.util.regex.Pattern.compile(Text.TokenSplitRegex)
-
   def shingle_hashes(c: Column, n: Int): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       ShingleHashes(org.apache.spark.sql.graftshim.ColumnShim.expression(c), n))
@@ -77,17 +86,30 @@ object ShingleHashes {
   * occurrence). Same tokenizer + lowercasing as `ShingleHashes`; the
   * same shuffle-elimination argument applies to the bigram queries,
   * which previously lined tokens up with a per-doc lead() window.
+  * Same static-call `doGenCode` as `ShingleHashes`.
   */
 case class NGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "ngrams"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
+  override def nullSafeEval(input: Any): Any =
+    NGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NGrams$$.MODULE$$.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
+object NGrams {
+  /** Static per-row body shared by eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val tokens = ShingleHashes.SplitPattern.split(text).filter(_.nonEmpty)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](tokens.length - n + 1)
@@ -107,11 +129,6 @@ case class NGrams(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): NGrams =
-    copy(child = newChild)
-}
-
-object NGrams {
   def ngrams(c: Column, n: Int): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       NGrams(org.apache.spark.sql.graftshim.ColumnShim.expression(c), n))
@@ -141,9 +158,13 @@ object NGrams {
   *  - signature = Σ_{f≥1, frame f non-empty} [mv(f) > mv(f−1)] ·
   *    2^(f−1); single-frame payloads yield 0, censusing the whole
   *    population (ADVICE r8 #5).
+  *
+  * `doGenCode` boxes through the nullable static `compute` (NULL only
+  * on a zero-code-point prefix — see `nullable`), assigning
+  * `ev.isNull` in-branch like Spark's own nullable generators.
   */
 case class PhashSignature(child: Expression, frameChars: Int, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "phash_signature"
@@ -153,8 +174,33 @@ case class PhashSignature(child: Expression, frameChars: Int, bits: Int)
   // the composed plan's posexplode would not have emitted.
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    PhashSignature.compute(input.asInstanceOf[UTF8String], frameChars, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("phashRes")
+      s"""
+         |Object $r = graft.functions.PhashSignature$$.MODULE$$.compute(
+         |  $v, $frameChars, $bits);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Long) $r).longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PhashSignature =
+    copy(child = newChild)
+}
+
+object PhashSignature {
+  /** Static per-row body shared by eval and generated code; boxed
+    * Long, null on an empty-prefix input.
+    */
+  def compute(input: UTF8String, frameChars: Int, bits: Int): java.lang.Long = {
+    val text = input.toString
     val maxCp = (bits + 1) * frameChars
     val ns = new Array[Long](bits + 1)
     val ss = new Array[Long](bits + 1)
@@ -178,14 +224,9 @@ case class PhashSignature(child: Expression, frameChars: Int, bits: Int)
       prev = mv
       f += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PhashSignature =
-    copy(child = newChild)
-}
-
-object PhashSignature {
   def phash_signature(c: Column, frameChars: Int, bits: Int): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       PhashSignature(org.apache.spark.sql.graftshim.ColumnShim.expression(c), frameChars, bits))
@@ -204,9 +245,13 @@ object PhashSignature {
   * lag(pos) == pos−1 test broke them (any intervening stopword or
   * delimiter). The corpus-scaled word-score and phrase aggregations
   * stay declarative on the exploded output.
+  *
+  * The stopword set rides into generated code as a reference object
+  * (the `PqEncode` codebook pattern), so codegen and eval share one
+  * immutable set instance.
   */
 case class RakeCandidates(child: Expression, stopwords: Set[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -219,9 +264,24 @@ case class RakeCandidates(child: Expression, stopwords: Set[String])
     containsNull = false)
   override def prettyName: String = "rake_candidates"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
+  override def nullSafeEval(input: Any): Any =
+    RakeCandidates.compute(input.asInstanceOf[UTF8String], stopwords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val swRef = ctx.addReferenceObj("rakeStopwords", stopwords,
+      "scala.collection.immutable.Set")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.RakeCandidates$$.MODULE$$.compute($v, $swRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RakeCandidates =
+    copy(child = newChild)
+}
+
+object RakeCandidates {
+  /** Static per-row body shared by eval and generated code. */
+  def compute(input: UTF8String, stopwords: Set[String]): ArrayData = {
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val tokens = ShingleHashes.SplitPattern.split(text).filter(_.nonEmpty)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var island = 0L
@@ -246,11 +306,6 @@ case class RakeCandidates(child: Expression, stopwords: Set[String])
     new GenericArrayData(out.toArray)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): RakeCandidates =
-    copy(child = newChild)
-}
-
-object RakeCandidates {
   def rake_candidates(c: Column, stopwords: Set[String]): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       RakeCandidates(org.apache.spark.sql.graftshim.ColumnShim.expression(c), stopwords))
