@@ -536,7 +536,11 @@ object Events {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"))
+        // graft.distinct.approx=true → HLL (the 100 TB swap, now a
+        // code path — see functions.Approx); exact default is the
+        // oracle-checked plan
+        graft.functions.Approx.distinctCountOf(spark, col("user_id"))
+          .as("n_users"))
       .select(unix_millis(col("window.start")).as("win_ms"),
         col("n_events"), col("n_users"))
       .orderBy("win_ms")
@@ -648,16 +652,30 @@ object Events {
     * window-length-invariant.
     */
   def dauMau(spark: SparkSession, dir: String): DataFrame = {
-    val dayUser = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
-      .distinct()
-    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
-    val bounds = dayUser.agg(min("day").as("lo"), max("day").as("hi"))
-    val mau = dayUser
-      .withColumn("w", explode(sequence(col("day"), col("day") + 6L)))
-      .select(col("w").as("day"), col("user_id"))
-      .distinct()
-      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    // graft.distinct.approx=true → the HLL plan: NO per-(day, user)
+    // pre-dedup exchange at all, the sketch absorbs duplicates
+    // map-side — exactly the shape swap the 100 TB path needs. The
+    // exact default keeps the oracle-checked dedup-then-count plan.
+    val (dau, mau) =
+      if (spark.conf.get("graft.distinct.approx", "false").toBoolean) {
+        val rsd = graft.functions.Approx.Rsd
+        (ev.groupBy("day")
+            .agg(approx_count_distinct(col("user_id"), rsd).as("dau")),
+          ev.withColumn("w", explode(sequence(col("day"), col("day") + 6L)))
+            .groupBy(col("w").as("day"))
+            .agg(approx_count_distinct(col("user_id"), rsd).as("wau7")))
+      } else {
+        val dayUser = ev.distinct()
+        (dayUser.groupBy("day").agg(count(lit(1)).as("dau")),
+          dayUser
+            .withColumn("w", explode(sequence(col("day"), col("day") + 6L)))
+            .select(col("w").as("day"), col("user_id"))
+            .distinct()
+            .groupBy("day").agg(count(lit(1)).as("wau7")))
+      }
     dau.join(mau, Seq("day"))
       .crossJoin(broadcast(bounds))
       // windows overhanging the corpus edges see truncated history on

@@ -387,8 +387,12 @@ object Multimodal {
       .filter(col("sig").isNotNull)
       .groupBy("kind")
       .agg(count(lit(1)).as("n_payloads"),
-        countDistinct(col("h")).as("n_exact_uniq"),
-        countDistinct(col("sig")).as("n_phash_sigs"))
+        // conf-switched to HLL via graft.distinct.approx (the
+        // declared at-scale swap, now a code path — functions.Approx)
+        graft.functions.Approx.distinctCountOf(spark, col("h"))
+          .as("n_exact_uniq"),
+        graft.functions.Approx.distinctCountOf(spark, col("sig"))
+          .as("n_phash_sigs"))
       .select(col("kind"), col("n_payloads"),
         (col("n_payloads") - col("n_exact_uniq")).as("exact_surplus"),
         (col("n_payloads") - col("n_phash_sigs")).as("phash_surplus"),

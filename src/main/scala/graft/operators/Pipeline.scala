@@ -637,8 +637,11 @@ FROM s GROUP BY col_name ORDER BY col_name"""
     val base = d.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("total_chars"),
-      countDistinct(col("lang")).as("n_langs"),
-      countDistinct(md5(col("text").cast("binary"))).as("n_uniq_texts"))
+      // conf-switched to HLL via graft.distinct.approx (the declared
+      // at-scale swap, now a code path — functions.Approx)
+      graft.functions.Approx.distinctCountOf(spark, col("lang")).as("n_langs"),
+      graft.functions.Approx.distinctCountOf(spark,
+        md5(col("text").cast("binary"))).as("n_uniq_texts"))
     val top = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
       .groupBy("source")
       .agg(max_by(struct(col("lang"), col("cnt")),
@@ -792,10 +795,14 @@ FROM s GROUP BY col_name ORDER BY col_name"""
     Tables.documents(spark, dir)
       .select(col("source"),
         md5(Text.normalized(col("text")).cast("binary")).as("h"))
-      .groupBy("source", "h").agg(count(lit(1)).as("copies"))
       .groupBy("source")
-      .agg(sum(col("copies")).as("n_docs"),
-        count(lit(1)).as("n_unique"))
+      // single-level distinct agg: Spark plans it as the same
+      // two-phase (source, h) partial dedup the explicit two-level
+      // groupBy spelled out, and the conf can now swap the distinct
+      // for HLL (graft.distinct.approx — functions.Approx)
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.Approx.distinctCountOf(spark, col("h"))
+          .as("n_unique"))
       .select(col("source"), col("n_docs"), col("n_unique"),
         expr("(2*(n_docs - n_unique)*1000000 + n_docs) div (2*n_docs)")
           .as("dup_ppm"))

@@ -305,6 +305,55 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** KMV (k-minimum-values) affine-hash parameters for the
+    * replayable distinct-sketch calibration row: h = (A·x + B) mod P
+    * with P prime; the k-th smallest DISTINCT hash h_k estimates the
+    * cardinality as (k−1)·P div h_k — every step integer, so DuckDB
+    * replays it cell-for-cell (the `ev_countmin_error` recipe applied
+    * to distinct counting).
+    */
+  val KmvP = 2147483647L
+  val KmvA = 1103515245L
+  val KmvB = 12345L
+  val KmvK = 64
+
+  /** Replayable calibration census for the distinct-count sketch path
+    * (VERDICT r9 #3): per o_orderstatus, the exact distinct customer
+    * count next to the KMV estimate and its HALF-UP-free ppm error —
+    * the hash-green accuracy audit the HLL row (`rel_approx_distinct`,
+    * which stays the production path) cannot have, because HLL's
+    * register layout is engine-private. Scale shape: the k-minima ride
+    * the bounded-heap `TopKByScore` aggregator, so each map partition
+    * contributes ≤ k rows to the exchange — the same partial-agg
+    * property a production KMV/HLL sketch has; groups with fewer than
+    * k distinct hashes degrade to the exact count by KMV convention.
+    */
+  def distinctSketchError(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopK.topKByScore(KmvK)
+    val d = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"), col("o_custkey"))
+      .distinct()
+    val hashes = d
+      .select(col("status"),
+        expr(s"($KmvA * o_custkey + $KmvB) % $KmvP").as("h"))
+      .distinct()
+    val ex = d.groupBy("status").agg(count(lit(1)).as("n_exact"))
+    val sk = hashes.groupBy("status")
+      .agg(count(lit(1)).as("n_hashes"),
+        // score = -h: the k BEST scores are the k SMALLEST hashes
+        topk((-col("h")).cast("double"), col("h")).as("mins"))
+      .select(col("status"), col("n_hashes"),
+        element_at(col("mins"), least(lit(KmvK), size(col("mins"))))
+          .getField("id").as("kth"))
+    ex.join(sk, Seq("status"))
+      .select(col("status"), col("n_exact"),
+        when(col("n_hashes") < KmvK, col("n_hashes"))
+          .otherwise(expr(s"${(KmvK - 1) * KmvP}L div kth")).as("est_distinct"))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - n_exact) * 1000000 div n_exact"))
+      .orderBy("status")
+  }
+
   /** Per-group percentiles, exact (interpolated), so the DuckDB
     * quantile_cont oracle hash-checks them. Exact percentile buffers a
     * group's values, so at 100 TB the sketch form is the right plan —
@@ -1943,6 +1992,24 @@ object Relational {
         |  FROM lineitem WHERE l_suppkey <= 10)
         |ORDER BY l_suppkey, rn""".stripMargin),
     "rel_approx_distinct" -> GQuery.rowsOnly(relApproxDistinct),
+    "rel_distinct_sketch_error" -> GQuery.sql(distinctSketchError,
+      s"""WITH d AS (SELECT DISTINCT o_orderstatus AS status, o_custkey FROM orders),
+        |h AS (SELECT DISTINCT status,
+        |        ($KmvA * o_custkey + $KmvB) % $KmvP AS h FROM d),
+        |ranked AS (SELECT status, h,
+        |        row_number() OVER (PARTITION BY status ORDER BY h) AS rn FROM h),
+        |kth AS (SELECT status, h AS kth FROM ranked WHERE rn = $KmvK),
+        |nh AS (SELECT status, count(*) AS n_hashes FROM h GROUP BY status),
+        |ex AS (SELECT status, count(*) AS n_exact FROM d GROUP BY status),
+        |est AS (
+        |  SELECT ex.status, ex.n_exact,
+        |    CAST(CASE WHEN nh.n_hashes < $KmvK THEN nh.n_hashes
+        |      ELSE ${(KmvK - 1) * KmvP} // k.kth END AS BIGINT) AS est_distinct
+        |  FROM ex JOIN nh USING (status) LEFT JOIN kth k USING (status))
+        |SELECT status, n_exact, est_distinct,
+        |  CAST(abs(est_distinct - n_exact) * 1000000 // n_exact AS BIGINT)
+        |    AS err_ppm
+        |FROM est ORDER BY status""".stripMargin),
     "rel_approx_percentiles" -> GQuery.rowsOnly(relApproxPercentiles),
     "rel_percentiles" -> GQuery.sql(relPercentiles,
       """SELECT o_orderpriority,
