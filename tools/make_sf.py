@@ -6,12 +6,29 @@ keys stay consistent inside each copy and the result is N disjoint,
 semantically identical shards -- near-linear scaling is then the
 EXPECTED outcome for scans/keyed aggs, and deviations are the signal.
 
-Usage: make_sf.py <src_dir> <dst_dir> <factor>
+Document texts are NOT replicated verbatim (round-10 de-bias): copy
+i > 0 perturbs every 5th token with a copy-indexed suffix, so a copy
+shares ~80% of its tokens (and ~half its 3-shingles) with the source
+doc instead of being an exact replica. Deterministic (pure function of
+(text, i)), so reruns are byte-stable; n_chars is recomputed for
+perturbed copies. This kills the round-9 pathology where every doc
+gained N-1 EXACT replicas and the dedup family measured a
+harsher-than-linear constructed workload.
+
+--skew additionally makes the corpus zipf-hot (round-10 skew
+rehearsal): a deterministic per-row hash routes ~20% of orders to ONE
+customer (key 0), ~20% of lineitems to ONE part, and ~20% of events to
+ONE user -- the hot-key regime a uniform TPC-H-ish corpus never
+exercises. FKs stay valid (key 0 exists in every entity space).
+
+Usage: make_sf.py <src_dir> <dst_dir> <factor> [--skew]
 """
 import sys
 import duckdb
 
-src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+args = [a for a in sys.argv[1:] if a != "--skew"]
+SKEW = "--skew" in sys.argv[1:]
+src, dst, n = args[0], args[1], int(args[2])
 con = duckdb.connect()
 # The source parquet stores instant (isAdjustedToUTC) timestamps,
 # which Spark reads as TIMESTAMP; DuckDB's plain TIMESTAMP writes NTZ
@@ -41,6 +58,25 @@ SPACES = {
     "d": ("documents", "doc_id"), "v": ("embeddings", "vec_id"),
 }
 
+# --skew: (table, column) -> deterministic per-row hot-key routing.
+# Knuth multiplicative hash of a per-row key; < 20 of 100 -> key 0.
+HOT_PCT = 20
+SKEW_ROUTE = {
+    ("orders", "o_custkey"): "(t.o_orderkey * 2654435761) % 100",
+    ("lineitem", "l_partkey"):
+        "((t.l_orderkey * 2654435761) + t.l_partkey * 40503) % 100",
+    ("events", "user_id"): "(t.event_id * 2654435761) % 100",
+}
+
+# Copy-indexed token perturbation for document text (i = copy index;
+# 1-based token index j). Every 5th token gains a copy-indexed suffix.
+PERTURB_TEXT = """CASE WHEN i = 0 THEN t.text ELSE
+  array_to_string(
+    list_transform(string_split(t.text, ' '),
+      (w, j) -> CASE WHEN (j + i) % 5 = 0
+                THEN w || 'q' || CAST(i AS VARCHAR) ELSE w END),
+    ' ') END"""
+
 stride = {}
 for k, (tbl, col) in SPACES.items():
     # max + 1: keys start at 0, so max alone would collide copy i's key 0
@@ -57,19 +93,30 @@ for tbl, shifts in SHIFTS.items():
     def passthrough(c):
         if types[c] == "TIMESTAMP":
             return f"CAST(t.{c} AS TIMESTAMPTZ) AS {c}"
+        if tbl == "documents" and c == "text":
+            return f"CAST({PERTURB_TEXT} AS {types[c]}) AS {c}"
+        if tbl == "documents" and c == "n_chars":
+            # keep the metadata honest on perturbed copies
+            return (f"CAST(CASE WHEN i = 0 THEN t.n_chars "
+                    f"ELSE length({PERTURB_TEXT}) END AS {types[c]}) AS {c}")
         return f"t.{c}"
+    def shifted(c):
+        base = f"t.{c} + i * {stride[shifts[c]]}"
+        if SKEW and (tbl, c) in SKEW_ROUTE:
+            base = (f"CASE WHEN {SKEW_ROUTE[(tbl, c)]} < {HOT_PCT} "
+                    f"THEN 0 ELSE {base} END")
+        return f"CAST({base} AS {types[c]}) AS {c}"
     if not shifts:  # fixed dimension tables: single copy
         sel0 = ", ".join(passthrough(c) for c in cols)
         con.execute(f"COPY (SELECT {sel0} FROM '{src}/{tbl}.parquet' t) TO "
                     f"'{dst}/{tbl}.parquet' (FORMAT PARQUET)")
         continue
     sel = ", ".join(
-        f"CAST(t.{c} + i * {stride[shifts[c]]} AS {types[c]}) AS {c}"
-        if c in shifts else passthrough(c) for c in cols)
+        shifted(c) if c in shifts else passthrough(c) for c in cols)
     con.execute(
         f"COPY (SELECT {sel} FROM '{src}/{tbl}.parquet' t CROSS JOIN copies "
         f"ORDER BY i) TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)")
     got = con.execute(f"SELECT count(*) FROM '{dst}/{tbl}.parquet'").fetchone()[0]
     want = n * con.execute(f"SELECT count(*) FROM '{src}/{tbl}.parquet'").fetchone()[0]
     assert got == want, (tbl, got, want)
-print(f"wrote {dst} at {n}x {src}")
+print(f"wrote {dst} at {n}x {src}" + (" [skew]" if SKEW else ""))
