@@ -16,20 +16,36 @@ class NativeCodegenSpec extends SparkTestBase {
     "pipe_split_leakage", "mm_phash_dedup", "txt_rake_keyphrases",
     "wc_bigrams", "wc_cooccurrence")
 
+  private def graftFallbacksIn(name: String): Set[String] = {
+    val df = SparkEntry.queries(name)(spark, SfDir)
+    val offenders = scala.collection.mutable.Set.empty[String]
+    df.queryExecution.executedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case e: CodegenFallback if e.getClass.getName.startsWith("graft.") =>
+          offenders += e.getClass.getName
+        case _ =>
+      })
+    }
+    offenders.toSet
+  }
+
   test("no graft expression in the hot scans is a CodegenFallback") {
     HotQueries.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, SfDir)
-      val offenders = scala.collection.mutable.Set.empty[String]
-      df.queryExecution.executedPlan.foreach { node =>
-        node.expressions.foreach(_.foreach {
-          case e: CodegenFallback if e.getClass.getName.startsWith("graft.") =>
-            offenders += e.getClass.getName
-          case _ =>
-        })
-      }
+      val offenders = graftFallbacksIn(name)
       assert(offenders.isEmpty,
         s"$name plan contains interpreted graft expressions: $offenders")
     }
+  }
+
+  test("the WHOLE registry is free of graft CodegenFallback expressions") {
+    // §3's "everything codegen" as a structural property, not a
+    // per-query promise: every native graft expression anywhere in
+    // any of the 253 physical plans must carry real doGenCode.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val off = graftFallbacksIn(name)
+      if (off.isEmpty) None else Some(s"$name: ${off.mkString(",")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("generated and interpreted paths agree on the native text expressions") {
