@@ -10,39 +10,45 @@ import org.apache.spark.sql.Row
   */
 class ApproxDistinctSpec extends SparkTestBase {
 
+  // (query, asserted column, tolerance-basis column): HLL's 3σ
+  // bracket is relative to the DISTINCT COUNT'S magnitude, so a
+  // derived column (mm_dedup_lift's exact_surplus = n_payloads −
+  // distinct) brackets against the count it derives from, not its
+  // own (possibly zero) value.
   private val Targets = Seq(
-    ("ev_dau_mau", "dau"),
-    ("ev_sliding_active", "n_users"),
-    ("pipe_dataset_card", "n_uniq_texts"),
-    ("pipe_dup_rate_by_source", "n_unique"),
-    ("mm_dedup_lift", "n_payloads"))
+    ("ev_dau_mau", "dau", "dau"),
+    ("ev_sliding_active", "n_users", "n_users"),
+    ("pipe_dataset_card", "n_uniq_texts", "n_uniq_texts"),
+    ("pipe_dup_rate_by_source", "n_unique", "n_unique"),
+    ("mm_dedup_lift", "exact_surplus", "n_payloads"))
 
-  private def run(name: String, col: String): Map[String, Long] = {
+  private def run(name: String, col: String, basis: String)
+      : Map[String, (Long, Long)] = {
     val df = SparkEntry.queries(name)(spark, SfDir)
     val keyCols = df.columns.take(1)
-    df.select(keyCols.head, col).collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    df.select(keyCols.head, col, basis).collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
   }
 
   test("approx mode brackets exact within 3 sigma of the HLL rsd") {
-    val exact = Targets.map { case (q, c) => (q, c) -> run(q, c) }.toMap
+    val exact = Targets.map { case (q, c, b) => q -> run(q, c, b) }.toMap
     spark.conf.set("graft.distinct.approx", "true")
     try {
-      Targets.foreach { case (q, c) =>
-        val approx = run(q, c)
-        val ex = exact((q, c))
+      Targets.foreach { case (q, c, b) =>
+        val approx = run(q, c, b)
+        val ex = exact(q)
         assert(approx.keySet == ex.keySet, s"$q: key sets diverged")
-        approx.foreach { case (k, a) =>
-          val e = ex(k)
-          val tol = math.max(3.0 * graft.functions.Approx.Rsd * e, 2.0)
+        approx.foreach { case (k, (a, _)) =>
+          val (e, basisVal) = ex(k)
+          val tol = math.max(3.0 * graft.functions.Approx.Rsd * basisVal, 2.0)
           assert(math.abs(a - e) <= tol,
-            s"$q[$k].$c: approx $a vs exact $e exceeds 3σ ($tol)")
+            s"$q[$k].$c: approx $a vs exact $e exceeds 3σ of basis $basisVal ($tol)")
         }
       }
     } finally spark.conf.unset("graft.distinct.approx")
     // default restored: the exact plan is back and yields the same rows
-    Targets.foreach { case (q, c) =>
-      assert(run(q, c) == exact((q, c)), s"$q: default path changed")
+    Targets.foreach { case (q, c, b) =>
+      assert(run(q, c, b) == exact(q), s"$q: default path changed")
     }
   }
 }
