@@ -354,6 +354,68 @@ object Relational {
       .orderBy("status")
   }
 
+  /** Equi-width bucket count for the replayable percentile-sketch
+    * calibration row.
+    */
+  val PctSketchBuckets = 256L
+
+  /** Replayable calibration census for the percentile-sketch path —
+    * the quantile analogue of `rel_distinct_sketch_error`: per
+    * o_orderpriority, the exact p50/p95 (the `rel_percentiles`
+    * recipe) next to a histogram-sketch estimate and its error. The
+    * estimator is the production shape for quantiles over data too
+    * big to buffer: bucket every value into a fixed 256-cell
+    * equi-width grid (integer cents, per-group bounds from one
+    * broadcast agg), cumulative counts over the ≤256-row grid, and
+    * take the lower edge of the first bucket whose cumulative count
+    * reaches the target rank — every step integer, so DuckDB replays
+    * the sketch cell-for-cell and the error column is hash-checked,
+    * which the engine-private `percentile_approx` sketch
+    * (`rel_approx_percentiles`, the production row) can never be.
+    * Bracketing guarantee (Round10bOpsSpec): the estimate is within
+    * one bucket width of the RANK-BASED percentile; the err columns
+    * report the distance to the interpolated exact, which on sparse
+    * groups additionally carries the interpolation gap.
+    */
+  def percentileSketchError(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val bounds = cents.groupBy("pri")
+      .agg(min("cents").as("lo"), max("cents").as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("w", expr(s"(hi - lo) div $PctSketchBuckets + 1"))
+    val grid = cents.join(broadcast(bounds), "pri")
+      .select(col("pri"), expr("(cents - lo) div w").as("b"))
+      .groupBy("pri", "b").agg(count(lit(1)).as("c"))
+    // window over the ALREADY-AGGREGATED ≤(groups·257)-row grid
+    val wnd = Window.partitionBy("pri").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum(col("c")).over(wnd))
+      .join(broadcast(bounds.select(col("pri"),
+        expr("(n + 1) div 2").as("r50"),
+        expr("(95 * n + 99) div 100").as("r95"))), "pri")
+    val e50 = cum.filter(col("cum") >= col("r50"))
+      .groupBy("pri").agg(min(col("b")).as("b50"))
+    val e95 = cum.filter(col("cum") >= col("r95"))
+      .groupBy("pri").agg(min(col("b")).as("b95"))
+    val exact = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"))
+    bounds.join(e50, "pri").join(e95, "pri").join(exact, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n").as("n_rows"),
+        col("p50_exact"),
+        (col("lo") + col("b50") * col("w")).as("p50_est_x100"),
+        round((col("lo") + col("b50") * col("w")) / 100.0 - col("p50_exact"), 2)
+          .as("p50_err"),
+        col("p95_exact"),
+        (col("lo") + col("b95") * col("w")).as("p95_est_x100"),
+        round((col("lo") + col("b95") * col("w")) / 100.0 - col("p95_exact"), 2)
+          .as("p95_err"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Per-group percentiles, exact (interpolated), so the DuckDB
     * quantile_cont oracle hash-checks them. Exact percentile buffers a
     * group's values, so at 100 TB the sketch form is the right plan —
@@ -2011,6 +2073,40 @@ object Relational {
         |    AS err_ppm
         |FROM est ORDER BY status""".stripMargin),
     "rel_approx_percentiles" -> GQuery.rowsOnly(relApproxPercentiles),
+    "rel_percentile_sketch_error" -> GQuery.sql(percentileSketchError,
+      s"""WITH cents AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |bounds AS (
+        |  SELECT pri, min(cents) AS lo, max(cents) AS hi, count(*) AS n,
+        |    (max(cents) - min(cents)) // $PctSketchBuckets + 1 AS w
+        |  FROM cents GROUP BY pri),
+        |bc AS (
+        |  SELECT c.pri, (c.cents - b.lo) // b.w AS b, count(*) AS c
+        |  FROM cents c JOIN bounds b USING (pri) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT pri, b, sum(c) OVER (PARTITION BY pri ORDER BY b) AS cum
+        |  FROM bc),
+        |r AS (SELECT pri, (n + 1) // 2 AS r50, (95 * n + 99) // 100 AS r95
+        |      FROM bounds),
+        |e50 AS (SELECT cum.pri, min(b) AS b50 FROM cum JOIN r USING (pri)
+        |        WHERE cum >= r50 GROUP BY 1),
+        |e95 AS (SELECT cum.pri, min(b) AS b95 FROM cum JOIN r USING (pri)
+        |        WHERE cum >= r95 GROUP BY 1),
+        |ex AS (SELECT o_orderpriority AS pri,
+        |         round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        |         round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact
+        |       FROM orders GROUP BY 1)
+        |SELECT b.pri AS o_orderpriority, b.n AS n_rows, ex.p50_exact,
+        |  CAST(b.lo + e50.b50 * b.w AS BIGINT) AS p50_est_x100,
+        |  round((b.lo + e50.b50 * b.w) / 100.0 - ex.p50_exact, 2) AS p50_err,
+        |  ex.p95_exact,
+        |  CAST(b.lo + e95.b95 * b.w AS BIGINT) AS p95_est_x100,
+        |  round((b.lo + e95.b95 * b.w) / 100.0 - ex.p95_exact, 2) AS p95_err
+        |FROM bounds b JOIN e50 USING (pri) JOIN e95 USING (pri)
+        |  JOIN ex USING (pri)
+        |ORDER BY o_orderpriority""".stripMargin),
     "rel_percentiles" -> GQuery.sql(relPercentiles,
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

@@ -84,6 +84,28 @@ object StreamingOps {
       "graft_stream_wc", "complete")
       .orderBy("word")
 
+  /** Streaming heavy hitters promoted to the driver-visible registry:
+    * the stream folds into ONE mergeable SpaceSaving summary (state =
+    * `cap` entries regardless of vocabulary — the sketch analogue of
+    * the watermark bound; see EventsStreaming.heavyHitters), drained
+    * at the exact-degeneration capacity (cap ≥ vocab ⇒ no eviction,
+    * err 0, count_ub exact), so the STREAMING sketch path — per-batch
+    * partials, state-store merge, head extraction — hash-checks
+    * against plain word-count top-k in DuckDB, exactly like the batch
+    * twin `wc_heavy_hitters_exact`. The sub-capacity eviction
+    * behavior stays pinned by StreamingSpec's bound assertions.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      EventsStreaming.heavyHitters(spark, WordCount.stageTextDir(spark, dir),
+        WordCount.HeavyHitterExactCap),
+      "graft_stream_hh", "complete")
+      .select(explode(col("summary")).as("e"))
+      .select(col("e.token").as("token"), col("e.ub").as("count_ub"),
+        col("e.err").as("err"))
+      .orderBy(desc("count_ub"), asc("token"))
+      .limit(WordCount.HeavyHitterK)
+
   /** Stream-stream interval join: purchases joined to the same user's
     * clicks in the preceding hour. Append mode — pairs are emitted
     * exactly once, when the two-sided watermark proves no further
@@ -300,6 +322,14 @@ object StreamingOps {
         |      FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY word""".stripMargin),
+    "stream_heavy_hitters" -> GQuery.sql(streamHeavyHitters,
+      s"""WITH wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '[[:punct:][:space:]]+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word)
+        |SELECT word AS token, cnt AS count_ub, CAST(0 AS BIGINT) AS err
+        |FROM wc ORDER BY count_ub DESC, token LIMIT ${WordCount.HeavyHitterK}""".stripMargin),
     "stream_click_attribution" -> GQuery.sql(streamClickAttribution,
       """SELECT p.event_id, p.user_id,
         |  epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms

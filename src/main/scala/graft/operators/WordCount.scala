@@ -413,6 +413,80 @@ r0 AS (SELECT node, 1.0 AS pr FROM nodes)""" +
 SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
   }
 
+  /** Personalized PageRank from the landmark seed set — the
+    * "similar items / local relevance" form of the random walk:
+    * restart mass 0.15 goes to the SEEDS (uniform 1/|S|, the
+    * count-derived landmark sample `wc_closeness_centrality` uses)
+    * instead of everywhere, so rank concentrates in the seeds'
+    * neighborhoods and unreachable nodes stay at exactly 0 (the
+    * `pr > 0` cut is therefore deterministic). Same memoized edges,
+    * same per-round discipline and round-8 determinism as
+    * `wc_pagerank`; one keyed shuffle per iteration. The DuckDB CTE
+    * replays the identical iteration, top-100 by (pr, node).
+    */
+  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (_, eall) = bipartiteGraph(spark, dir)
+    val deg = eall.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = eall.join(deg, "src").truncated
+    val nodes = deg.select(col("src").as("node"))
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val seeds = nodes.crossJoin(broadcast(nn))
+      .filter(pmod(col("node"),
+        greatest(expr(s"n_nodes div $ClosenessTargetSeeds"), lit(1L))) === 0L)
+      .select("node")
+    val ns = seeds.agg(count(lit(1)).as("n_seeds"))
+    // base(v) = 1/|S| on seeds, 0 elsewhere — loop-invariant,
+    // materialized once like the edge relation
+    val base = nodes
+      .join(seeds.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"),
+        (coalesce(col("is_seed"), lit(0L)).cast("double") /
+          col("n_seeds").cast("double")).as("base"))
+      .truncated
+    var ranks = base.select(col("node"), round(col("base"), 8).as("pr"))
+    for (_ <- 1 to PageRankIters) {
+      val contribs = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("m"))
+      ranks = base.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(0.15) * col("base") +
+            lit(0.85) * coalesce(col("m"), lit(0.0)), 8).as("pr"))
+        .truncated
+    }
+    ranks.filter(col("pr") > 0)
+      .orderBy(desc("pr"), asc("node")).limit(100)
+  }
+
+  private def pprOracle: String = {
+    def iter(i: Int): String = s""",
+r$i AS (
+  SELECT b.node, round(0.15 * b.base + 0.85 * coalesce(s.m, 0), 8) AS pr
+  FROM base b LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / e.deg) AS m
+    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+    GROUP BY e.dst) s USING (node))"""
+    s"""WITH eraw AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
+eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+edges AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM eall),
+nodes AS (SELECT DISTINCT src AS node FROM eall),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+seeds AS (SELECT node FROM nodes, nn
+  WHERE node % greatest(n_nodes // $ClosenessTargetSeeds, 1) = 0),
+ns AS (SELECT count(*) AS n_seeds FROM seeds),
+base AS (SELECT n.node,
+  CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n_seeds ELSE 0.0 END AS base
+  FROM nodes n LEFT JOIN seeds s USING (node), ns),
+r0 AS (SELECT node, round(base, 8) AS pr FROM base)""" +
+      (1 to PageRankIters).map(iter).mkString +
+      s"""
+SELECT node, pr FROM r$PageRankIters WHERE pr > 0
+ORDER BY pr DESC, node LIMIT 100"""
+  }
+
   /** Degree distribution of the co-purchase graph — the first
     * diagnostic run on any production graph (power-law check, skew
     * sizing for partition planning; the same symmetrized
@@ -1445,6 +1519,7 @@ SELECT scc_size, count(*) AS n_sccs FROM sz GROUP BY scc_size ORDER BY scc_size"
 
   val queries: Map[String, GQuery] = Map(
     "wc_harmonic_centrality" -> GQuery.sql(harmonicCentrality, harmonicOracle),
+    "wc_ppr" -> GQuery.sql(personalizedPagerank, pprOracle),
     "wc_scc_sizes" -> GQuery.sql(sccSizes, sccOracle),
     "wc_rich_club" -> GQuery.sql(richClub, {
       val kList = RichClubKs.mkString(", ")
