@@ -378,32 +378,38 @@ object Relational {
     * groups additionally carries the interpolation gap.
     */
   def percentileSketchError(spark: SparkSession, dir: String): DataFrame = {
+    // two scans total — the minimum for an equi-width sketch (bounds
+    // must precede bucketing); every other relation here is a tiny
+    // broadcast. The exact percentiles ride the SAME first scan as
+    // the bounds (one agg), and both rank cuts come from ONE
+    // conditional pass over the cumulative grid, so no subtree is
+    // duplicated (the first cut of this query re-read orders 8×).
     val cents = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("pri"),
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
-    val bounds = cents.groupBy("pri")
+    val stats = cents.groupBy("pri")
       .agg(min("cents").as("lo"), max("cents").as("hi"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        round(expr("percentile(cents, 0.5) / 100.0"), 2).as("p50_exact"),
+        round(expr("percentile(cents, 0.95) / 100.0"), 2).as("p95_exact"))
       .withColumn("w", expr(s"(hi - lo) div $PctSketchBuckets + 1"))
-    val grid = cents.join(broadcast(bounds), "pri")
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r95", expr("(95 * n + 99) div 100"))
+      // group-domain-sized (5 rows); materialized once so its three
+      // consumers don't each re-run the stats scan
+      .truncated
+    val grid = cents.join(broadcast(stats.select("pri", "lo", "w")), "pri")
       .select(col("pri"), expr("(cents - lo) div w").as("b"))
       .groupBy("pri", "b").agg(count(lit(1)).as("c"))
     // window over the ALREADY-AGGREGATED ≤(groups·257)-row grid
     val wnd = Window.partitionBy("pri").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.withColumn("cum", sum(col("c")).over(wnd))
-      .join(broadcast(bounds.select(col("pri"),
-        expr("(n + 1) div 2").as("r50"),
-        expr("(95 * n + 99) div 100").as("r95"))), "pri")
-    val e50 = cum.filter(col("cum") >= col("r50"))
-      .groupBy("pri").agg(min(col("b")).as("b50"))
-    val e95 = cum.filter(col("cum") >= col("r95"))
-      .groupBy("pri").agg(min(col("b")).as("b95"))
-    val exact = Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority").as("pri"))
-      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"))
-    bounds.join(e50, "pri").join(e95, "pri").join(exact, "pri")
+    val est = grid.withColumn("cum", sum(col("c")).over(wnd))
+      .join(broadcast(stats.select("pri", "r50", "r95")), "pri")
+      .groupBy("pri")
+      .agg(min(when(col("cum") >= col("r50"), col("b"))).as("b50"),
+        min(when(col("cum") >= col("r95"), col("b"))).as("b95"))
+    stats.join(broadcast(est), "pri")
       .select(col("pri").as("o_orderpriority"), col("n").as("n_rows"),
         col("p50_exact"),
         (col("lo") + col("b50") * col("w")).as("p50_est_x100"),
@@ -2094,10 +2100,10 @@ object Relational {
         |        WHERE cum >= r50 GROUP BY 1),
         |e95 AS (SELECT cum.pri, min(b) AS b95 FROM cum JOIN r USING (pri)
         |        WHERE cum >= r95 GROUP BY 1),
-        |ex AS (SELECT o_orderpriority AS pri,
-        |         round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
-        |         round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact
-        |       FROM orders GROUP BY 1)
+        |ex AS (SELECT pri,
+        |         round(quantile_cont(cents, 0.5) / 100.0, 2) AS p50_exact,
+        |         round(quantile_cont(cents, 0.95) / 100.0, 2) AS p95_exact
+        |       FROM cents GROUP BY 1)
         |SELECT b.pri AS o_orderpriority, b.n AS n_rows, ex.p50_exact,
         |  CAST(b.lo + e50.b50 * b.w AS BIGINT) AS p50_est_x100,
         |  round((b.lo + e50.b50 * b.w) / 100.0 - ex.p50_exact, 2) AS p50_err,
