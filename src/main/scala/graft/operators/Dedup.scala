@@ -272,8 +272,8 @@ object Dedup {
   val MinhashErrK = 16
   val MinhashErrP = 1000000007L
   val MinhashErrOffset = 3000000L
-  private def minhashErrA(i: Int): Long = (2654435761L + 40503L * i) % MinhashErrP
-  private def minhashErrB(i: Int): Long = (97781L * i + 12289L) % MinhashErrP
+  private[operators] def minhashErrA(i: Int): Long = (2654435761L + 40503L * i) % MinhashErrP
+  private[operators] def minhashErrB(i: Int): Long = (97781L * i + 12289L) % MinhashErrP
 
   /** Sketch-accuracy census — the calibration a pipeline owner runs
     * BEFORE trusting MinHash at corpus scale: for a planted near-dup

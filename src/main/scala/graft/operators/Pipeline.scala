@@ -285,6 +285,145 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** LSH bands (of MinhashErrK/NearDecontamBandRows rows each) and
+    * the HALF_UP ×1e6 Jaccard admission threshold for the near-dup
+    * decontamination pass.
+    */
+  val NearDecontamBandRows = 4
+  val NearDecontamJx1e6 = 350000L
+
+  /** NEAR-duplicate decontamination — the production reality the
+    * exact-shingle forms miss: benchmarks leak into training sets
+    * lightly edited (reformatted, re-tokenized, paraphrased at the
+    * margins), so contamination screening needs MinHash-LSH against
+    * the eval set, not just exact shingle overlap. For every training
+    * doc (doc_id ≥ BenchmarkMaxId): LSH band candidates against the
+    * benchmark side (doc_id < BenchmarkMaxId), exact shingle-Jaccard
+    * verification of candidates only, and admission at J ≥ 0.35 —
+    * reporting how many benchmark docs it near-matches and the worst
+    * Jaccard. Unlike `dd_minhash_lsh` (xxhash64 signatures, hence its
+    * planted-pair oracle), the signatures here are the REPLAYABLE
+    * affine permutations of `dd_minhash_error` over rolling-hash
+    * shingles — so DuckDB replays the ENTIRE pipeline (signatures,
+    * banding, the probabilistic candidate set itself, verification)
+    * cell-for-cell on the natural corpus: both engines miss exactly
+    * the same below-threshold band collisions, and the hash certifies
+    * the real recall behavior instead of a planted J=1 corner.
+    * Scale shape: the benchmark side is eval-set-sized (tiny), so its
+    * buckets broadcast; candidates are bounded by band collisions
+    * against that small set; verification joins are keyed on doc ids
+    * — never all-pairs over training docs.
+    */
+  def nearDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val P = Dedup.MinhashErrP
+    val K = Dedup.MinhashErrK
+    // rolling-hash shingle ids (replayable), materialized once for
+    // the signature pass and both verification sides
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.NGrams.ngrams(col("text"), 3)).as("span"))
+      .select(col("doc_id"), Text.rollingHash(col("span")).as("u"))
+      .distinct()
+      .truncated
+    val sigCols = (0 until K).map { i =>
+      min((col("u") * Dedup.minhashErrA(i) + Dedup.minhashErrB(i)) % P)
+        .as(s"h$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until K / NearDecontamBandRows).map { b =>
+      val cols = (b * NearDecontamBandRows until (b + 1) * NearDecontamBandRows)
+        .map(i => col(s"h$i"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = buckets.filter(col("doc_id") >= BenchmarkMaxId).as("t")
+      .join(broadcast(buckets.filter(col("doc_id") < BenchmarkMaxId).as("bz")),
+        col("t.band") === col("bz.band") && col("t.bucket") === col("bz.bucket"))
+      .select(col("t.doc_id").as("train_id"), col("bz.doc_id").as("bench_id"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = broadcast(cand)
+      .join(sh.withColumnRenamed("doc_id", "train_id"), Seq("train_id"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "bench_id", "u" -> "u2")),
+        Seq("bench_id"))
+      .filter(col("u") === col("u2"))
+      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "train_id", "sz" -> "sz_t")),
+        Seq("train_id"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "bench_id", "sz" -> "sz_b")),
+        Seq("bench_id"))
+      .withColumn("uni", col("sz_t") + col("sz_b") - col("n_inter"))
+      .withColumn("jaccard_x1e6", expr("(2*n_inter*1000000 + uni) div (2*uni)"))
+      .filter(col("jaccard_x1e6") >= NearDecontamJx1e6)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard_x1e6")).as("max_jaccard_x1e6"))
+      .orderBy("train_id")
+  }
+
+  private def nearDecontaminateOracle: String = {
+    val K = Dedup.MinhashErrK
+    val P = Dedup.MinhashErrP
+    val sigExprs = (0 until K).map(i =>
+      s"min((u * ${Dedup.minhashErrA(i)} + ${Dedup.minhashErrB(i)}) % $P) AS h$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until K / NearDecontamBandRows).map { b =>
+      val key = (b * NearDecontamBandRows until (b + 1) * NearDecontamBandRows)
+        .map(i => s"h$i").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM documents),
+      |spans AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS span
+      |  FROM toks),
+      |u AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(span) + 1),
+      |          i -> CAST(ascii(span[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % $P) AS BIGINT) AS u
+      |  FROM spans),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigExprs
+      |  FROM u GROUP BY doc_id),
+      |buckets AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT t.doc_id AS train_id, bz.doc_id AS bench_id
+      |  FROM buckets t JOIN buckets bz
+      |    ON t.band = bz.band AND t.bucket = bz.bucket
+      |  WHERE t.doc_id >= $BenchmarkMaxId AND bz.doc_id < $BenchmarkMaxId),
+      |inter AS (
+      |  SELECT c.train_id, c.bench_id, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN u a ON a.doc_id = c.train_id
+      |  JOIN u b ON b.doc_id = c.bench_id AND b.u = a.u
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, count(*) AS s FROM u GROUP BY 1),
+      |j AS (
+      |  SELECT train_id, bench_id,
+      |    (2*n_inter*1000000 + (st.s + sb.s - n_inter))
+      |      // (2*(st.s + sb.s - n_inter)) AS jx
+      |  FROM inter
+      |  JOIN sz st ON st.doc_id = train_id
+      |  JOIN sz sb ON sb.doc_id = bench_id)
+      |SELECT train_id, count(*) AS n_bench_matches,
+      |  CAST(max(jx) AS BIGINT) AS max_jaccard_x1e6
+      |FROM j WHERE jx >= $NearDecontamJx1e6
+      |GROUP BY train_id ORDER BY train_id""".stripMargin
+  }
+
   /** Shared by the exact and Bloom-pre-filtered decontamination forms
     * — identical output contract, so one oracle proves both.
     */
@@ -1470,6 +1609,8 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |      CAST(floor(r.keep_frac * 1000000.0) AS BIGINT)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
     "pipe_decontaminate" -> GQuery.sql(decontaminate, decontaminateOracle),
+    "pipe_near_decontaminate" ->
+      GQuery.sql(nearDecontaminate, nearDecontaminateOracle),
     "pipe_bloom_decontaminate" -> GQuery.sql(bloomDecontaminate, decontaminateOracle),
     "pipe_rag_chunks" -> GQuery.sql(ragChunks,
       s"""WITH d AS (

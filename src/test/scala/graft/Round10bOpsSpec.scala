@@ -52,6 +52,26 @@ class Round10bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pipe_near_decontaminate flags an edited benchmark leak, not clean docs") {
+    import spark.implicits._
+    val stage = "/root/repo/target/graft_neardec_docs"
+    // doc 0 is the "benchmark"; doc 100 is the leak (one token edited
+    // at the end — exact-shingle decontamination would still catch a
+    // suffix edit, but the POINT here is the J < 1 admission path);
+    // doc 101 shares nothing.
+    Seq(
+      (0L, "en", "bench", "alpha beta gamma delta epsilon zeta eta theta", 46L),
+      (100L, "en", "web", "alpha beta gamma delta epsilon zeta eta iota", 45L),
+      (101L, "en", "web", "one two three four five six seven eight", 39L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+    val got = operators.Pipeline.nearDecontaminate(spark, stage).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 100L,
+      s"expected only doc 100 flagged, got ${got.mkString(",")}")
+    // 6-shingle sets sharing 5 → J = 5/7 ≈ 0.714
+    assert(got.head.getLong(2) == 714286L)
+  }
+
   test("stream_heavy_hitters equals the batch exact-degeneration twin") {
     val stream = SparkEntry.queries("stream_heavy_hitters")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
