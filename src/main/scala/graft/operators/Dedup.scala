@@ -384,6 +384,162 @@ object Dedup {
       |ORDER BY l.doc_id""".stripMargin
   }
 
+  /** Twin-id stride and perturbation strengths for the LSH recall
+    * census: strength s drops every s-th token, so the planted twins
+    * sweep a graded Jaccard spectrum (harsher at s=2, milder at s=5)
+    * instead of the single J of the minhash-error twins.
+    */
+  val LshGradOffset = 10000000L
+  // Milder drops at higher s: a 3-shingle dies if ANY of its tokens
+  // drops, so J ≈ (s−3)/s plus seam shingles — {4, 8, 16, 32} sweeps
+  // J ≈ 0.2 → 0.9, the whole working range of the banding S-curve
+  // (measured recall 0% → ~97% at 4 bands × 4 rows).
+  val LshGradStrengths = Seq(4, 8, 16, 32)
+
+  /** LSH banding recall census — the calibration the IVF side already
+    * has (`ann_recall_curve`) applied to the dedup side's OWN
+    * probabilistic step: banding. For every 4th doc and each
+    * perturbation strength, a planted twin (every s-th token dropped)
+    * is signed with the REPLAYABLE affine MinHash, and the census
+    * reports per strength: pair count, mean exact Jaccard (HALF_UP
+    * ×1e6), how many pairs share at least one full band (the LSH
+    * catch), and the recall in ppm — the measured S-curve of the
+    * banding scheme, which is what decides bands×rows at production
+    * thresholds. Everything integer/deterministic, so DuckDB replays
+    * signatures, band equality, and the catch bit cell-for-cell.
+    * Shape: one shingle pass + one K-slot signature agg + one keyed
+    * pair join on the planted key (pair domain O(n)); per-pair
+    * shingle sets ride collect_set bounded by doc length.
+    */
+  def lshRecallCensus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(assert_true(col("doc_id") < LshGradOffset,
+        lit("lshRecallCensus: doc_id collides with twin ids")).isNull)
+    val toks = Text.tokens(lower(col("text")))
+    val twins = LshGradStrengths.map { s =>
+      base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(s * LshGradOffset)).as("doc_id"),
+          // Spark's filter index is 0-based; DuckDB's is 1-based —
+          // (i + 1) here replays as plain i there
+          array_join(filter(toks, (_, i) => (i + 1) % s =!= 0), " ").as("text"))
+    }.reduce(_ unionByName _)
+    val sh = base.unionByName(twins)
+      .select(col("doc_id"),
+        explode(graft.functions.NGrams.ngrams(col("text"), 3)).as("span"))
+      .select(col("doc_id"), Text.rollingHash(col("span")).as("u"))
+      .distinct()
+    val sigCols = (0 until MinhashErrK).map { i =>
+      min((col("u") * minhashErrA(i) + minhashErrB(i)) % MinhashErrP).as(s"h$i")
+    }
+    val stats = sh.groupBy("doc_id")
+      .agg(collect_set(col("u")).as("shs"), sigCols: _*)
+    val left = stats.filter(col("doc_id") % 4 === 0 &&
+      col("doc_id") < LshGradOffset)
+    val rightCols = Seq(
+      (col("doc_id") % LshGradOffset).as("doc_id"),
+      expr(s"doc_id div $LshGradOffset").cast("long").as("s"),
+      col("shs").as("shs2")) ++
+      (0 until MinhashErrK).map(i => col(s"h$i").as(s"g$i"))
+    val right = stats.filter(col("doc_id") >= LshGradOffset)
+      .select(rightCols: _*)
+    val bandRows = 4
+    val caught = (0 until MinhashErrK / bandRows).map { b =>
+      (b * bandRows until (b + 1) * bandRows)
+        .map(i => col(s"h$i") === col(s"g$i")).reduce(_ && _)
+    }.reduce(_ || _)
+    left.join(right, "doc_id")
+      .select(col("s"),
+        caught.cast("long").as("caught"),
+        size(col("shs")).cast("long").as("sz1"),
+        size(col("shs2")).cast("long").as("sz2"),
+        size(array_intersect(col("shs"), col("shs2"))).cast("long").as("ni"))
+      .withColumn("uni", col("sz1") + col("sz2") - col("ni"))
+      .withColumn("jx", expr("(2*ni*1000000 + uni) div (2*uni)"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"),
+        expr("(2*sum(jx) + count(1)) div (2*count(1))").as("avg_jaccard_x1e6"),
+        expr("(2*sum(caught)*1000000 + count(1)) div (2*count(1))")
+          .as("recall_ppm"))
+      .orderBy("s")
+  }
+
+  private def lshRecallOracle: String = {
+    val K = MinhashErrK
+    val sigExprs = (0 until K).map(i =>
+      s"min((u * ${minhashErrA(i)} + ${minhashErrB(i)}) % $MinhashErrP) AS h$i")
+      .mkString(",\n    ")
+    val bandRows = 4
+    val caughtExpr = (0 until K / bandRows).map { b =>
+      "(" + (b * bandRows until (b + 1) * bandRows)
+        .map(i => s"l.h$i = r.h$i").mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    val twinSelects = LshGradStrengths.map { s =>
+      s"""SELECT doc_id + ${s * LshGradOffset} AS doc_id,
+  array_to_string(list_filter(t, (x, i) -> i % $s <> 0), ' ') AS text
+  FROM base_toks"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base_toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  $twinSelects),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM docs),
+      |spans AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS span
+      |  FROM toks),
+      |u AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(span) + 1),
+      |          i -> CAST(ascii(span[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % $MinhashErrP) AS BIGINT) AS u
+      |  FROM spans),
+      |sig AS (
+      |  SELECT doc_id, count(*) AS sz,
+      |    $sigExprs
+      |  FROM u GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS base_id, b.doc_id // $LshGradOffset AS s,
+      |    count(*) AS ni
+      |  FROM u a JOIN u b ON b.doc_id % $LshGradOffset = a.doc_id
+      |    AND b.doc_id >= $LshGradOffset AND b.u = a.u
+      |  WHERE a.doc_id % 4 = 0 AND a.doc_id < $LshGradOffset
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT l.doc_id AS base_id, r.doc_id // $LshGradOffset AS s,
+      |    CASE WHEN $caughtExpr THEN 1 ELSE 0 END AS caught,
+      |    l.sz AS sz1, r.sz AS sz2,
+      |    coalesce(i.ni, 0) AS ni
+      |  FROM sig l
+      |  JOIN sig r ON r.doc_id % $LshGradOffset = l.doc_id
+      |    AND r.doc_id >= $LshGradOffset
+      |  LEFT JOIN inter i ON i.base_id = l.doc_id
+      |    AND i.s = r.doc_id // $LshGradOffset
+      |  WHERE l.doc_id % 4 = 0 AND l.doc_id < $LshGradOffset),
+      |j AS (
+      |  SELECT s, caught,
+      |    (2*ni*1000000 + (sz1 + sz2 - ni)) // (2*(sz1 + sz2 - ni)) AS jx
+      |  FROM pairs)
+      |SELECT s, count(*) AS n_pairs,
+      |  CAST(sum(caught) AS BIGINT) AS n_caught,
+      |  (2*CAST(sum(jx) AS BIGINT) + count(*)) // (2*count(*))
+      |    AS avg_jaccard_x1e6,
+      |  (2*CAST(sum(caught) AS BIGINT)*1000000 + count(*)) // (2*count(*))
+      |    AS recall_ppm
+      |FROM j GROUP BY s ORDER BY s""".stripMargin
+  }
+
   /** 64-bit SimHash over token hashes, hamming ≤ 3 near-dup pairs.
     * Output = exactly the hamming≤3 pair set (candidate blocking is
     * recall-lossless by pigeonhole), computed with two scale tricks:
@@ -1104,6 +1260,7 @@ object Dedup {
         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    "dd_lsh_recall" -> GQuery.sql(lshRecallCensus, lshRecallOracle),
     "dd_minhash_error" -> GQuery.sql(minhashErrorCensus, minhashErrorOracle),
     "dd_minhash_lsh" -> GQuery.sql(minhashLshPlanted,
       """WITH docs AS (

@@ -72,6 +72,20 @@ class Round10bOpsSpec extends SparkTestBase {
     assert(got.head.getLong(2) == 714286L)
   }
 
+  test("dd_lsh_recall: recall climbs monotonically with Jaccard") {
+    val rows = operators.Dedup.lshRecallCensus(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))) // (s, avgJ, recall)
+    assert(rows.length == operators.Dedup.LshGradStrengths.length)
+    // milder perturbation (larger s) → higher J → higher-or-equal recall
+    rows.sliding(2).foreach { case Array((s1, j1, r1), (s2, j2, r2)) =>
+      assert(j1 < j2, s"avg Jaccard not increasing: s=$s1 ($j1) vs s=$s2 ($j2)")
+      assert(r1 <= r2, s"recall not monotone: s=$s1 ($r1) vs s=$s2 ($r2)")
+    }
+    // the sweep must actually span the S-curve, not sit on one end
+    assert(rows.head._3 < 200000L && rows.last._3 > 800000L,
+      s"strengths no longer sweep the banding S-curve: $rows")
+  }
+
   test("stream_heavy_hitters equals the batch exact-degeneration twin") {
     val stream = SparkEntry.queries("stream_heavy_hitters")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
