@@ -396,7 +396,9 @@ object Dedup {
   // (measured recall 0% → ~97% at 4 bands × 4 rows).
   val LshGradStrengths = Seq(4, 8, 16, 32)
 
-  /** LSH banding recall census — the calibration the IVF side already
+  /** LSH banding recall census (the bands×rows S-curve of
+    * Broder's MinHash + Leskovec/Rajaraman/Ullman MMDS ch. 3) — the
+    * calibration the IVF side already
     * has (`ann_recall_curve`) applied to the dedup side's OWN
     * probabilistic step: banding. For every 4th doc and each
     * perturbation strength, a planted twin (every s-th token dropped)

@@ -308,9 +308,11 @@ object Relational {
   /** KMV (k-minimum-values) affine-hash parameters for the
     * replayable distinct-sketch calibration row: h = (A·x + B) mod P
     * with P prime; the k-th smallest DISTINCT hash h_k estimates the
-    * cardinality as (k−1)·P div h_k — every step integer, so DuckDB
-    * replays it cell-for-cell (the `ev_countmin_error` recipe applied
-    * to distinct counting).
+    * cardinality as (k−1)·P div h_k — the KMV estimator of
+    * Bar-Yossef et al. (RANDOM 2002, "Counting distinct elements in
+    * a data stream"); every step integer, so DuckDB replays it
+    * cell-for-cell (the `ev_countmin_error` recipe applied to
+    * distinct counting).
     */
   val KmvP = 2147483647L
   val KmvA = 1103515245L

@@ -413,7 +413,8 @@ r0 AS (SELECT node, 1.0 AS pr FROM nodes)""" +
 SELECT node, pr FROM r$PageRankIters ORDER BY pr DESC, node LIMIT 100"""
   }
 
-  /** Personalized PageRank from the landmark seed set — the
+  /** Personalized PageRank (Haveliwala, WWW 2002, "Topic-sensitive
+    * PageRank") from the landmark seed set — the
     * "similar items / local relevance" form of the random walk:
     * restart mass 0.15 goes to the SEEDS (uniform 1/|S|, the
     * count-derived landmark sample `wc_closeness_centrality` uses)
