@@ -386,8 +386,8 @@ object Dedup {
 
   /** Twin-id stride and perturbation strengths for the LSH recall
     * census: strength s drops every s-th token, so the planted twins
-    * sweep a graded Jaccard spectrum (harsher at s=2, milder at s=5)
-    * instead of the single J of the minhash-error twins.
+    * sweep a graded Jaccard spectrum (harsher at small s, milder at
+    * large) instead of the single J of the minhash-error twins.
     */
   val LshGradOffset = 10000000L
   // Milder drops at higher s: a 3-shingle dies if ANY of its tokens
@@ -414,12 +414,16 @@ object Dedup {
     * shingle sets ride collect_set bounded by doc length.
     */
   def lshRecallCensus(spark: SparkSession, dir: String): DataFrame = {
+    // only every 4th doc participates in a pair — restricting BEFORE
+    // the shingle/signature pass cuts the collect_set + 16-min-agg
+    // work 4× (the oracle's docs CTE carries the same WHERE)
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
       .filter(assert_true(col("doc_id") < LshGradOffset,
         lit("lshRecallCensus: doc_id collides with twin ids")).isNull)
     val toks = Text.tokens(lower(col("text")))
     val twins = LshGradStrengths.map { s =>
-      base.filter(col("doc_id") % 4 === 0)
+      base
         .select((col("doc_id") + lit(s * LshGradOffset)).as("doc_id"),
           // Spark's filter index is 0-based; DuckDB's is 1-based —
           // (i + 1) here replays as plain i there
@@ -486,7 +490,7 @@ object Dedup {
       |                x -> len(x) > 0) AS t
       |  FROM documents WHERE doc_id % 4 = 0),
       |docs AS (
-      |  SELECT doc_id, text FROM documents
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
       |  UNION ALL
       |  $twinSelects),
       |toks AS (

@@ -350,9 +350,12 @@ object Sources {
     * nothing, and the oracle recomputes all of it from the original
     * table via the every-7th corruption rule. The one-row reduce
     * happens right after the scan — nothing scales with corpus size
-    * but the scan itself. (The post-read cache is the documented
-    * Spark contract: a query may not filter ONLY on the internal
-    * corrupt-record column straight off the scan.)
+    * but the scan itself. (Spark contract caveat: a query may not
+    * reference ONLY the internal corrupt-record column straight off
+    * the scan — this agg is legal without a cache because it also
+    * reads doc_id and n_chars; narrow it to corrupt-record-only
+    * columns and Spark throws AnalysisException, the fix being a
+    * cache/checkpoint of the parsed frame first.)
     */
   def corruptJsonCensus(spark: SparkSession, dir: String): DataFrame = {
     val stage = stageCorruptJsonDir(spark, dir)

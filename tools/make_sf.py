@@ -7,13 +7,17 @@ semantically identical shards -- near-linear scaling is then the
 EXPECTED outcome for scans/keyed aggs, and deviations are the signal.
 
 Document texts are NOT replicated verbatim (round-10 de-bias): copy
-i > 0 perturbs every 5th token with a copy-indexed suffix, so a copy
-shares ~80% of its tokens (and ~half its 3-shingles) with the source
-doc instead of being an exact replica. Deterministic (pure function of
-(text, i)), so reruns are byte-stable; n_chars is recomputed for
-perturbed copies. This kills the round-9 pathology where every doc
-gained N-1 EXACT replicas and the dedup family measured a
-harsher-than-linear constructed workload.
+i > 0 replaces every 5th token (at a copy-dependent offset) with a
+filler from a fixed 7-word pool, so a copy shares ~80% of its token
+positions (and ~half its 3-shingles) with the source doc instead of
+being an exact replica, and copies of one doc differ from each other
+too. Deterministic (pure function of (text, i)), so reruns are
+byte-stable; n_chars is recomputed for perturbed copies; the filler
+pool is FIXED so the scaled vocabulary stays bounded (base + 7 — the
+SpaceSaving exact-degeneration rows need vocabulary <= 64 at every
+factor). This kills the round-9 pathology where every doc gained N-1
+EXACT replicas and the dedup family measured a harsher-than-linear
+constructed workload.
 
 --skew additionally makes the corpus zipf-hot (round-10 skew
 rehearsal): a deterministic per-row hash routes ~20% of orders to ONE
@@ -69,12 +73,18 @@ SKEW_ROUTE = {
 }
 
 # Copy-indexed token perturbation for document text (i = copy index;
-# 1-based token index j). Every 5th token gains a copy-indexed suffix.
+# 1-based token index j). Every 5th position (offset varies per copy
+# mod 5) is REPLACED with a filler from a FIXED 7-word pool, indexed
+# by (j + i) mod 7 so two copies of one doc only coincide when
+# i1 = i2 (mod 35) — never within practical factors. Replacement,
+# not suffixing, keeps the scaled corpus's vocabulary bounded
+# (+7 types), which the SpaceSaving exact-degeneration rows
+# (HeavyHitterExactCap = 64 >= vocabulary) depend on at every factor.
 PERTURB_TEXT = """CASE WHEN i = 0 THEN t.text ELSE
   array_to_string(
     list_transform(string_split(t.text, ' '),
       (w, j) -> CASE WHEN (j + i) % 5 = 0
-                THEN w || 'q' || CAST(i AS VARCHAR) ELSE w END),
+                THEN 'qq' || CAST((j + i) % 7 AS VARCHAR) ELSE w END),
     ' ') END"""
 
 stride = {}
