@@ -21,11 +21,32 @@ object GraftFunctions {
   /** Idempotent per session: re-registering an already-present
     * function makes Spark log a `replaced a previously registered
     * function` WARN on every call site (VERDICT r9 #9), so skip the
-    * create when the name is already bound.
+    * create when the name is already bound. The name `vec_dot` is
+    * RESERVED by graft (ADVICE r10 #2): if a session has already
+    * bound a DIFFERENT function under it, that binding is replaced —
+    * expression-building registrations carry no inspectable
+    * ExpressionInfo through `functionExists`, so "is the existing
+    * binding ours?" is answered by evaluating a 1-element probe.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("vec_dot")))
+    val id = FunctionIdentifier("vec_dot")
+    val isOurs = reg.functionExists(id) &&
+      (try {
+        reg.lookupFunction(id, Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+              Array(1.0f)),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+              Array(1.0f)),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+          .isInstanceOf[DotProduct]
+      } catch { case _: Exception => false })
+    if (!isOurs)
       reg.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "built-in")
   }
 }

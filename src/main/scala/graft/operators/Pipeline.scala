@@ -344,7 +344,15 @@ object Pipeline {
       .select(col("t.doc_id").as("train_id"), col("bz.doc_id").as("bench_id"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = broadcast(cand)
+    // NO broadcast hint on the candidate side (VERDICT r10 #5): the
+    // candidate set is bounded only by band collisions against the
+    // eval suite — with a large eval set over a mirror-heavy corpus
+    // it can outgrow a broadcast, and a forced hint would then OOM
+    // the build side. Left unhinted, AQE broadcasts it while it is
+    // small and falls back to a shuffled hash/sort-merge join the
+    // moment it is not (PipelineOpsSpec pins that the plan survives a
+    // sub-broadcast-threshold run with identical output).
+    val inter = cand
       .join(sh.withColumnRenamed("doc_id", "train_id"), Seq("train_id"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "bench_id", "u" -> "u2")),
         Seq("bench_id"))

@@ -30,7 +30,7 @@ class ApproxDistinctSpec extends SparkTestBase {
       .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
   }
 
-  test("approx mode brackets exact within 3 sigma of the HLL rsd") {
+  test("approx mode brackets exact within 5 sigma of the HLL rsd") {
     val exact = Targets.map { case (q, c, b) => q -> run(q, c, b) }.toMap
     spark.conf.set("graft.distinct.approx", "true")
     try {
@@ -40,9 +40,14 @@ class ApproxDistinctSpec extends SparkTestBase {
         assert(approx.keySet == ex.keySet, s"$q: key sets diverged")
         approx.foreach { case (k, (a, _)) =>
           val (e, basisVal) = ex(k)
-          val tol = math.max(3.0 * graft.functions.Approx.Rsd * basisVal, 2.0)
+          // 5σ, not 3σ (ADVICE r10): the bracket is probabilistic, and
+          // a regenerated test corpus must not be able to fail a
+          // no-defect build on a 3σ tail draw; 5σ keeps the assertion
+          // meaningful (a broken estimator is off by far more) while
+          // making a corpus-draw false alarm essentially impossible.
+          val tol = math.max(5.0 * graft.functions.Approx.Rsd * basisVal, 2.0)
           assert(math.abs(a - e) <= tol,
-            s"$q[$k].$c: approx $a vs exact $e exceeds 3σ of basis $basisVal ($tol)")
+            s"$q[$k].$c: approx $a vs exact $e exceeds 5σ of basis $basisVal ($tol)")
         }
       }
     } finally spark.conf.unset("graft.distinct.approx")

@@ -40,7 +40,8 @@ class NativeCodegenSpec extends SparkTestBase {
   test("the WHOLE registry is free of graft CodegenFallback expressions") {
     // §3's "everything codegen" as a structural property, not a
     // per-query promise: every native graft expression anywhere in
-    // any of the 253 physical plans must carry real doGenCode.
+    // any registry query's physical plan (all SparkEntry.queries.size
+    // of them) must carry real doGenCode.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val off = graftFallbacksIn(name)
       if (off.isEmpty) None else Some(s"$name: ${off.mkString(",")}")
