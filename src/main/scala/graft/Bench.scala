@@ -68,13 +68,15 @@ object Bench {
     // codegen during the sweep — a perf regression the timings alone
     // can hide behind noise.
     val cgf = CodegenGuard.count
-    // Cold-vs-warm accounting (VERDICT r9 #2): the shared graph memos
-    // fill during the untimed warmup pass, so the per-query numbers
-    // are warm by construction; memo_fill_sec is the one-time COLD
-    // COST OF THE SHARED GRAPH MEMOS only (ADVICE r10 #3) — other
-    // one-time staging (text/corrupt-JSON/roundtrip dirs) is untimed
-    // and idempotent across runs, so it is not part of this field.
-    val memoFill = operators.WordCount.memoFillNanos.get() / 1e9
+    // Cold-vs-warm accounting (VERDICT r9 #2): the shared memos fill
+    // during the untimed warmup pass, so the per-query numbers are
+    // warm by construction; memo_fill_sec is the one-time COLD COST
+    // OF THE SHARED MEMOS only (graph memos + the BPE merge table /
+    // encoded vocabulary — ADVICE r10 #3); other one-time staging
+    // (text/corrupt-JSON/roundtrip dirs) is untimed and idempotent
+    // across runs, so it is not part of this field.
+    val memoFill = (operators.WordCount.memoFillNanos.get() +
+      operators.Bpe.memoFillNanos.get()) / 1e9
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"memo_fill_sec":${fmt(memoFill)},"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"failed":$fs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of output, so the

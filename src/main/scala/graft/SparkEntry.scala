@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Pipeline.queries ++
+      operators.Bpe.queries ++
       operators.StreamingOps.queries ++
       operators.Sources.queries
 

@@ -727,6 +727,9 @@ FROM s GROUP BY col_name ORDER BY col_name"""
     * serialization, or reassembly breaks the hash. Shape: the
     * tokenize plan plus one vocab equi-join and a bounded per-doc
     * collect — nothing new scales past the encode itself.
+    * Since round 11 the certification ALSO rides the subword path
+    * (column n_bpe_exact): the BPE encode→decode roundtrip against
+    * the learned `Bpe.trainMerges` table, see the inline block below.
     */
   def detokenizeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -759,12 +762,40 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("w2")))),
             x => x.getField("w2")), " ").as("rebuilt"))
-    norm.join(dec, Seq("doc_id"))
+    // SUBWORD ride (VERDICT r10 #1): the same certification through
+    // the BPE path — encode each doc against the learned merge table
+    // with the −1 word-boundary marker between words, SERIALIZE the
+    // id string (the artifact a training job reads), re-parse it,
+    // decode through the inverse symbol table, and compare against
+    // the normalized original. BPE invertibility is a theorem (merges
+    // are concatenations; the marker preserves boundaries; the min-id
+    // dedup keeps id→symbol bijective), so the oracle states
+    // n_bpe_exact = n_docs in closed form — the Spark side has to
+    // EARN the equality through the real
+    // encode→serialize→parse→decode→reassemble path, where any drift
+    // in merge order, symbol ids, or reassembly breaks the hash.
+    val encBpe = toks.join(Bpe.wordIds(spark, dir), Seq("w"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("wids")))),
+          x => x.getField("wids")), " -1 ").as("ids_sep"))
+    val decBpe = encBpe
+      .select(col("doc_id"),
+        posexplode(split(col("ids_sep"), " ")).as(Seq("p", "sid")))
+      .select(col("doc_id"), col("p"), col("sid").cast("long").as("id"))
+      .join(Bpe.symbolOf(spark, dir), Seq("id"), "left")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"),
+          when(col("id") === -1L, lit(" ")).otherwise(col("sym")).as("part")))),
+          x => x.getField("part")), "").as("rebuilt_bpe"))
+    norm.join(dec, Seq("doc_id")).join(decBpe, Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("has_oov") === 0, 1)).as("n_invocab"),
         count(when(col("has_oov") === 0 && col("rebuilt") === col("norm"), 1))
-          .as("n_roundtrip_exact"))
+          .as("n_roundtrip_exact"),
+        count(when(col("rebuilt_bpe") === col("norm"), 1)).as("n_bpe_exact"))
       .orderBy("source")
   }
 
@@ -1548,7 +1579,8 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         |  FROM pt JOIN vid USING (w) GROUP BY doc_id)
         |SELECT d.source, count(*) AS n_docs,
         |  count(*) FILTER (WHERE has_oov = 0) AS n_invocab,
-        |  count(*) FILTER (WHERE has_oov = 0) AS n_roundtrip_exact
+        |  count(*) FILTER (WHERE has_oov = 0) AS n_roundtrip_exact,
+        |  count(*) AS n_bpe_exact
         |FROM documents d JOIN toks ON toks.doc_id = d.doc_id
         |JOIN flag ON flag.doc_id = d.doc_id
         |WHERE len(toks.t) > 0

@@ -40,4 +40,53 @@ class Round11OpsSpec extends SparkTestBase {
         "shuffled-join fallback changed the admission set")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Hand-computed BPE fixture: vocab {aaa: 10, abab: 3}.
+    * Round 1: (a,a) count 20 (2 per "aaa" — overlapping pair counted
+    *   per adjacent position — plus 0 in "abab"... the 6 (a,b) and 3
+    *   (b,a) lose) → "aaa" refolds GREEDILY to [aa, a], never [a, aa].
+    * Round 2: (aa,a) 10 → [aaa]. Round 3: (a,b) 6 → "abab" → [ab,ab]
+    *   (both non-overlapping occurrences merge in one round).
+    * Round 4: (ab,ab) 3 → [abab]. Round 5: NO pairs remain — the
+    *   loop must stop minting merges well before NumMerges.
+    */
+  test("pipe_bpe_train: greedy left-to-right merges and clean exhaustion") {
+    import spark.implicits._
+    val stage = "/root/repo/target/graft_bpe_tiny"
+    Seq((1L, "en", "t", ("aaa " * 10).trim + " abab abab abab", 0L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+    val got = operators.Bpe.bpeTrain(spark, stage).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 20L),
+      (2L, "aa", "a", "aaa", 10L),
+      (3L, "a", "b", "ab", 6L),
+      (4L, "ab", "ab", "abab", 3L)),
+      s"merge sequence diverged from the hand replay: $got")
+  }
+
+  test("pipe_bpe_encode: ids follow alphabet-then-merge-order numbering") {
+    // Same fixture: alphabet {a→0, b→1}; minted symbols aa→2, aaa→3,
+    // ab→4, abab→5. "aaa" encodes to [3], "abab" to [5].
+    val stage = "/root/repo/target/graft_bpe_tiny"
+    val enc = operators.Bpe.bpeEncode(spark, stage).collect()
+    assert(enc.length == 1)
+    val r = enc.head
+    assert(r.getLong(1) == 13L, s"n_words: ${r.getLong(1)}") // 10 aaa + 3 abab
+    assert(r.getLong(2) == 13L, s"n_bpe_tokens: ${r.getLong(2)}") // all 1-symbol
+    assert(r.getString(3) == (List.fill(10)("3") ++ List.fill(3)("5")).mkString(" "),
+      s"ids: ${r.getString(3)}")
+  }
+
+  test("pipe_detokenize_roundtrip: the subword path reconstructs every doc") {
+    val rows = SparkEntry.queries("pipe_detokenize_roundtrip")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1),
+        s"${r.getString(0)}: n_bpe_exact ${r.getLong(4)} != n_docs ${r.getLong(1)}")
+    }
+  }
 }
