@@ -20,6 +20,13 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     CodegenGuard.install()
+    // SPARK_GRAFT_CONF=k=v[,k=v...] sets session confs (e.g. the
+    // graft.session.skewsafe / graft.distinct.approx knobs) so the
+    // conf'd plan variants can be timed without code edits.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
     val ts = (1 to passes).map { _ =>

@@ -79,26 +79,83 @@ object Events {
         max(unix_millis(col("ts"))).as("last_ms"))
       .orderBy("user_id")
 
+  val SessionGapMs: Long = 30L * 60 * 1000
+
   /** Gap-based sessionization (30-min inactivity splits), the classic
     * lag → flag → cumulative-sum session assignment. At scale this is
-    * one shuffle on user_id; the window sort is per-user.
+    * one shuffle on user_id; the window sort is per-user — which is
+    * the documented hot-ENTITY residual (§5.2): a single-entity
+    * firehose serializes that user's whole history through one task.
+    * Setting the conf `graft.session.skewsafe=true` (the Approx.scala
+    * knob precedent) switches to the aggregate-before-window
+    * decomposition below, PROVABLY identical output; the default path
+    * is untouched.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    if (spark.conf.getOption("graft.session.skewsafe").contains("true"))
+      sessionizeSkewSafe(spark, dir)
+    else {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > SessionGapMs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ms")).as("session_start_ms"),
+          max(col("ms")).as("session_end_ms"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy("user_id", "session_seq")
+    }
+
+  /** Skew-safe sessionization (VERDICT r10 #2) — the hot-entity
+    * residual closed as a code path: AGGREGATE BEFORE WINDOW (the
+    * `ev_burst_windows` / `ev_peak_concurrency` shape). Events first
+    * reduce to (user, gap-width time bucket) partials — a keyed
+    * aggregate whose map-side combine absorbs ANY single-entity
+    * firehose before the exchange — and the per-user window then runs
+    * over BUCKET rows, bounded by the time horizon / gap (a user
+    * emitting 10⁹ events in a day still yields ≤ 48 bucket rows at
+    * the 30-min gap), never by event count.
+    *
+    * Output is PROVABLY identical to the event-level path, not
+    * approximately: with bucket width exactly the gap G,
+    *   (1) two events in one bucket differ by < G, so no break can
+    *       occur inside a bucket;
+    *   (2) for consecutive events straddling nonempty buckets b1 < b2
+    *       the earlier one IS b1's max and the later IS b2's min (no
+    *       event lies between them), so the event-level gap equals
+    *       mn(b2) − mx(b1) — exactly what the bucket-level lag
+    *       compares (empty buckets in between only widen it past G).
+    * Session numbering, min/max, and counts then agree bucket-wise;
+    * value sums ride per-bucket partials whose 2-decimal money total
+    * re-rounds to the same cents (Round11SkewSpec pins byte equality
+    * on a boundary-planted corpus and the test SF).
+    */
+  def sessionizeSkewSafe(spark: SparkSession, dir: String): DataFrame = {
+    val byUserBucket = Window.partitionBy("user_id").orderBy("bucket")
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("value"),
-        unix_millis(col("ts")).as("ms"))
-      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
+      .withColumn("bucket", expr(s"ms div $SessionGapMs"))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("ms")).as("mn"),
+        max(col("ms")).as("mx"), sum(col("value")).as("vs"))
+      .withColumn("prev_mx", lag(col("mx"), 1).over(byUserBucket))
       .withColumn("new_session",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 30L * 60 * 1000, 1)
+        when(col("prev_mx").isNull || col("mn") - col("prev_mx") > SessionGapMs, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUserBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_seq")
-      .agg(min(col("ms")).as("session_start_ms"),
-        max(col("ms")).as("session_end_ms"),
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("value_sum"))
+      .agg(min(col("mn")).as("session_start_ms"),
+        max(col("mx")).as("session_end_ms"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("vs")), 2).as("value_sum"))
       .orderBy("user_id", "session_seq")
   }
 

@@ -25,13 +25,21 @@ customer (key 0), ~20% of lineitems to ONE part, and ~20% of events to
 ONE user -- the hot-key regime a uniform TPC-H-ish corpus never
 exercises. FKs stay valid (key 0 exists in every entity space).
 
-Usage: make_sf.py <src_dir> <dst_dir> <factor> [--skew]
+--firehose is the round-11 single-entity rehearsal: ~80% of events
+route to ONE user (key 0) -- the pathological one-entity feed the
+per-user session windows serialize through one task, which the
+graft.session.skewsafe code path exists for. Composable with --skew
+(orders/lineitem keep their 20% routes; events take the 80% route).
+
+Usage: make_sf.py <src_dir> <dst_dir> <factor> [--skew] [--firehose]
 """
 import sys
 import duckdb
 
-args = [a for a in sys.argv[1:] if a != "--skew"]
+FLAGS = {"--skew", "--firehose"}
+args = [a for a in sys.argv[1:] if a not in FLAGS]
 SKEW = "--skew" in sys.argv[1:]
+FIREHOSE = "--firehose" in sys.argv[1:]
 src, dst, n = args[0], args[1], int(args[2])
 con = duckdb.connect()
 # The source parquet stores instant (isAdjustedToUTC) timestamps,
@@ -62,8 +70,10 @@ SPACES = {
     "d": ("documents", "doc_id"), "v": ("embeddings", "vec_id"),
 }
 
-# --skew: (table, column) -> deterministic per-row hot-key routing.
-# Knuth multiplicative hash of a per-row key; < 20 of 100 -> key 0.
+# --skew / --firehose: (table, column) -> deterministic per-row
+# hot-key routing. Knuth multiplicative hash of a per-row key;
+# < pct of 100 -> key 0. --firehose raises the events route to 80%
+# (and enables ONLY it unless --skew is also given).
 HOT_PCT = 20
 SKEW_ROUTE = {
     ("orders", "o_custkey"): "(t.o_orderkey * 2654435761) % 100",
@@ -71,6 +81,12 @@ SKEW_ROUTE = {
         "((t.l_orderkey * 2654435761) + t.l_partkey * 40503) % 100",
     ("events", "user_id"): "(t.event_id * 2654435761) % 100",
 }
+def hot_pct(tbl, col):
+    if FIREHOSE and (tbl, col) == ("events", "user_id"):
+        return 80
+    if SKEW:
+        return HOT_PCT
+    return None  # route disabled
 
 # Copy-indexed token perturbation for document text (i = copy index;
 # 1-based token index j). Every 5th position (offset varies per copy
@@ -112,8 +128,9 @@ for tbl, shifts in SHIFTS.items():
         return f"t.{c}"
     def shifted(c):
         base = f"t.{c} + i * {stride[shifts[c]]}"
-        if SKEW and (tbl, c) in SKEW_ROUTE:
-            base = (f"CASE WHEN {SKEW_ROUTE[(tbl, c)]} < {HOT_PCT} "
+        pct = hot_pct(tbl, c) if (tbl, c) in SKEW_ROUTE else None
+        if pct is not None:
+            base = (f"CASE WHEN {SKEW_ROUTE[(tbl, c)]} < {pct} "
                     f"THEN 0 ELSE {base} END")
         return f"CAST({base} AS {types[c]}) AS {c}"
     if not shifts:  # fixed dimension tables: single copy
@@ -129,4 +146,5 @@ for tbl, shifts in SHIFTS.items():
     got = con.execute(f"SELECT count(*) FROM '{dst}/{tbl}.parquet'").fetchone()[0]
     want = n * con.execute(f"SELECT count(*) FROM '{src}/{tbl}.parquet'").fetchone()[0]
     assert got == want, (tbl, got, want)
-print(f"wrote {dst} at {n}x {src}" + (" [skew]" if SKEW else ""))
+print(f"wrote {dst} at {n}x {src}" +
+      (" [skew]" if SKEW else "") + (" [firehose]" if FIREHOSE else ""))
