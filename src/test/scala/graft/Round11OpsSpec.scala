@@ -80,6 +80,35 @@ class Round11OpsSpec extends SparkTestBase {
       s"ids: ${r.getString(3)}")
   }
 
+  test("wc_betweenness: hand-replayed Brandes on planted path + cycle graphs") {
+    import spark.implicits._
+    val stage = "/root/repo/target/graft_betweenness_graph"
+    val Off = operators.WordCount.PageRankSuppOffset
+    // Two components; 7 nodes total, so the count-derived landmark
+    // modulus is 1 and EVERY node seeds — landmark Brandes degenerates
+    // to exact Brandes, which is hand-computable:
+    //  P3: c1 — s77 — c2        (center carries all 4 ordered pairs)
+    //  C4: c3/c4 — s78/s79      (each pair of opposite nodes has TWO
+    //                            shortest paths, σ = 2, so every
+    //                            intermediate splits the dependency)
+    val edges = Seq((1L, 77L), (2L, 77L),
+      (3L, 78L), (3L, 79L), (4L, 78L), (4L, 79L))
+    edges.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$stage/orders.parquet")
+    edges.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$stage/lineitem.parquet")
+    val got = operators.WordCount.betweennessCentrality(spark, stage)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L), (2L, 2L, 0L),
+      (3L, 3L, 1000000L), (4L, 3L, 1000000L),
+      (Off + 77L, 2L, 2000000L),
+      (Off + 78L, 3L, 1000000L), (Off + 79L, 3L, 1000000L)),
+      s"betweenness diverged from the hand replay: $got")
+  }
+
   test("pipe_detokenize_roundtrip: the subword path reconstructs every doc") {
     val rows = SparkEntry.queries("pipe_detokenize_roundtrip")(spark, SfDir)
       .collect()
