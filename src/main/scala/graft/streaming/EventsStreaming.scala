@@ -23,10 +23,14 @@ object EventsStreaming {
     * same way Tables.events does (ns-as-long corpora floor to µs;
     * TIMESTAMP_NTZ corpora cast to the UTC-pinned session zone).
     */
-  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+  def readEvents(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val onDisk = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(onDisk).parquet(eventsDir)
+    val reader = spark.readStream.schema(onDisk)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsDir)
     onDisk("ts").dataType match {
       case LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
@@ -249,6 +253,35 @@ object EventsStreaming {
         col("c_user") === col("p_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("c_ts")).as("c_ms"))
+  }
+
+  /** LEFT OUTER stream-stream interval join (VERDICT r10 #3) — the
+    * semantics production attribution actually needs: every purchase
+    * emits EXACTLY ONCE, either paired with each preceding-hour click
+    * as soon as both rows exist, or with NULL click columns once the
+    * watermark PROVES no qualifying click can still arrive (watermark
+    * past the purchase's click-window end + delay). Both sides carry
+    * watermarks and the join condition bounds the time skew, so click
+    * state evicts beyond purchase-watermark − 1 h and purchase state
+    * once the click watermark seals its window — both stores stay
+    * hour-bounded on an unbounded stream (StreamingSpec asserts the
+    * drained state is empty and that null rows appear ONLY after
+    * watermark passage, never speculatively).
+    */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "leftOuter")
       .select(col("event_id"), col("p_user").as("user_id"),
         unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("c_ts")).as("c_ms"))
   }

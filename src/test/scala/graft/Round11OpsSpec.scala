@@ -80,6 +80,31 @@ class Round11OpsSpec extends SparkTestBase {
       s"ids: ${r.getString(3)}")
   }
 
+  test("stream_upsert_sink_census: re-drain and batch replay are no-ops") {
+    val census = SparkEntry.queries("stream_upsert_sink_census")(spark, SfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(census.nonEmpty)
+    val root = operators.StreamingOps.upsertRoot(SfDir)
+    val commits = new java.io.File(s"$root/commits").listFiles.map(_.getName).sorted
+    assert(commits.length == 4, s"expected 4 micro-batch commits: ${commits.toSeq}")
+    // re-drain: same checkpoint discovers no new files — a resumption,
+    // not a reprocessing; census and commit log unchanged
+    val again = SparkEntry.queries("stream_upsert_sink_census")(spark, SfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == census, "re-drain changed the upserted state")
+    assert(new java.io.File(s"$root/commits").listFiles.length == 4)
+    // at-least-once REPLAY: re-apply an already-committed batchId with
+    // POISONED data (every event duplicated); the commit marker must
+    // make the application a no-op — this is the exactly-once proof
+    val poison = Tables.events(spark, SfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    operators.StreamingOps.applyUpsertBatch(spark, root,
+      poison.unionAll(poison), commits.head.toLong)
+    val afterReplay = SparkEntry.queries("stream_upsert_sink_census")(spark, SfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(afterReplay == census, "replayed batch was double-applied")
+  }
+
   test("wc_betweenness: hand-replayed Brandes on planted path + cycle graphs") {
     import spark.implicits._
     val stage = "/root/repo/target/graft_betweenness_graph"

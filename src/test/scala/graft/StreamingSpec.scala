@@ -223,4 +223,62 @@ class StreamingSpec extends SparkTestBase {
     assert(got(0).getAs[Long]("session_end_ms") == T + 40 * min)
     assert(got(0).getAs[Long]("n_events") == 3L)
   }
+
+  test("outer attribution: null rows only after watermark passage; state bounded") {
+    import spark.implicits._
+    val T = 1000000000000L
+    val hour = 3600L * 1000
+    def ev(id: Long, user: Long, ms: Long, tpe: String) =
+      Seq((id, user, ms, tpe)).toDF("event_id", "user_id", "ms", "event_type")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("user_id"), col("event_type"), lit(0.0).as("value"))
+    // user 1: click then purchase 30 min later (a MATCH — emits as
+    //   soon as both rows exist, no watermark wait);
+    // user 2: clickless purchase at T — its outer row may emit only
+    //   once the global watermark (min of both sides − 2 h) passes it;
+    // user 9: click AND clickless purchase at T+4h — advances both
+    //   watermarks to T+2h (sealing user 2) while staying UNSEALED
+    //   itself: its null row must NOT appear before the sentinels.
+    val corpus = ev(10, 1, T + 10 * 60 * 1000, "click")
+      .unionAll(ev(11, 1, T + 30 * 60 * 1000, "purchase"))
+      .unionAll(ev(20, 2, T, "purchase"))
+      .unionAll(ev(90, 9, T + 4 * hour, "click"))
+      .unionAll(ev(91, 9, T + 4 * hour, "purchase"))
+    val watch = java.nio.file.Files.createTempDirectory("graft_outer_spec").toString
+    val joined = EventsStreaming.clickAttributionOuter(
+      spark.readStream.schema(corpus.schema).parquet(watch))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("outer_attr").start()
+    try {
+      EventsStreaming.dropFile(corpus, watch, "a")
+      q.processAllAvailable()
+      val phase1 = spark.table("outer_attr").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      // matched pair emitted; sealed clickless purchase emitted with
+      // NULL; the UNSEALED clickless purchase absent — null rows only
+      // after watermark passage, never speculatively
+      assert(phase1.contains((11L, T + 10 * 60 * 1000)), s"missing match: $phase1")
+      assert(phase1.contains((20L, -1L)), s"sealed outer row missing: $phase1")
+      assert(!phase1.exists(_._1 == 91L), s"unsealed outer row leaked: $phase1")
+      // sentinel drops advance both watermarks past every real window
+      EventsStreaming.dropFile(
+        ev(-1, -1, T + 10 * hour, "click")
+          .unionAll(ev(-2, -1, T + 10 * hour, "purchase")), watch, "s1")
+      q.processAllAvailable()
+      EventsStreaming.dropFile(
+        ev(-3, -1, T + 20 * hour, "click")
+          .unionAll(ev(-4, -1, T + 20 * hour, "purchase")), watch, "s2")
+      q.processAllAvailable()
+      // both state stores drained to the sentinel horizon: bounded by
+      // the hour window + watermark, not by stream length
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows >= 0 && stateRows <= 4,
+        s"join state not watermark-bounded: $stateRows rows")
+    } finally q.stop()
+    val fin = spark.table("outer_attr").filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(fin == Set((11L, T + 10 * 60 * 1000), (20L, -1L), (91L, -1L)),
+      s"drained outer join diverged from the batch left join: $fin")
+  }
 }
