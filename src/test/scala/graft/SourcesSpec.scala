@@ -185,4 +185,57 @@ class SourcesSpec extends SparkTestBase {
       col("quality_x1000").isNull).count() == 0)
     assert(merged.count() == Tables.documents(spark, SfDir).count())
   }
+
+  test("compaction: bin-packed rewrite honors target size and file counts") {
+    import graft.operators.Sources
+    import spark.implicits._
+    // a corpus wide enough that the packer MUST open several bins:
+    // the text is pseudo-random (deterministic LCG chars) so parquet
+    // cannot dictionary-compress it under CompactTargetBytes
+    val dir = "/root/repo/target/graft_compaction_corpus"
+    def noise(i: Long): String = {
+      val sb = new StringBuilder
+      var x = i * 6364136223846793005L + 1442695040888963407L
+      (0 until 600).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        val c = (math.floorMod(x >>> 33, 27L)).toInt
+        sb += (if (c == 26) ' ' else ('a' + c).toChar)
+      }
+      sb.toString
+    }
+    (0L until 2000L).map(i => (i, "en", s"src${i % 7}", noise(i), 600L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val census = Sources.compactionCensus(spark, dir).collect()
+    assert(census.length == 3 &&
+      census.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).distinct.length == 1,
+      s"layout censuses diverged: ${census.mkString(";")}")
+    val stage = Sources.stageCompactionDir(spark, dir)
+    val plan = Sources.compactionPlan(s"$stage/small")
+    val nSmall = new java.io.File(s"$stage/small").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val binDirs = new java.io.File(s"$stage/compacted").listFiles
+      .filter(d => d.isDirectory && d.getName.startsWith("bin="))
+    assert(nSmall == Sources.CompactSmallFiles)
+    assert(plan.length > 1, "packer never opened a second bin — corpus too small")
+    assert(plan.length < nSmall, "compaction did not reduce file count")
+    // one physical file per bin: a bin never splits across tasks
+    assert(binDirs.length == plan.length,
+      s"bins ${plan.length} vs compacted dirs ${binDirs.length}")
+    binDirs.foreach { d =>
+      assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} split across tasks")
+    }
+    // greedy guarantee: a MULTI-file bin stays under the target (only
+    // a single oversized file may exceed it alone)
+    plan.filter(_.files.length > 1).foreach { b =>
+      assert(b.bytes <= Sources.CompactTargetBytes,
+        s"bin ${b.bin} overpacked: ${b.bytes}")
+    }
+    // the plan covers every small file exactly once — the histogram
+    // and the manifest partition the input
+    assert(plan.flatMap(_.files).sorted ==
+      new java.io.File(s"$stage/small").listFiles
+        .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq)
+  }
 }
