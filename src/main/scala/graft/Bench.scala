@@ -21,10 +21,18 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Pass 0 (untimed): warms JIT, codegen caches, and file listings for
     // EVERY query, so the first timed pass isn't charged for them and a
-    // failing query is discovered before it can skew timings.
+    // failing query is discovered before it can skew timings. The same
+    // pass reads each EXECUTED plan's telemetry (exchange count + AQE
+    // skew splits — VERDICT r10 #7) so the published scale claims ride
+    // executed numbers, not plan guesses.
+    val tele = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.graftshim.PlanTelemetry.Counts]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => failed += name }
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        tele(name) = org.apache.spark.sql.graftshim.PlanTelemetry.of(df)
+      } catch { case _: Throwable => failed += name }
     }
     // 5 timed passes over the whole registry, interleaved at pass level:
     // host CPU-steal bursts (this VM shows 2-5x swings) hit all queries
@@ -77,8 +85,11 @@ object Bench {
     // across runs, so it is not part of this field.
     val memoFill = (operators.WordCount.memoFillNanos.get() +
       operators.Bpe.memoFillNanos.get()) / 1e9
+    def imap(f: org.apache.spark.sql.graftshim.PlanTelemetry.Counts => Int) =
+      queries.flatMap { case (name, _) => tele.get(name).map(c =>
+        s"\"" + name + "\":" + f(c)) }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"memo_fill_sec":${fmt(memoFill)},"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"memo_fill_sec":${fmt(memoFill)},"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"exchanges":${imap(_.exchanges)},"skew_splits":${imap(_.skewSplits)},"failed":$fs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of output, so the
     // full 82-query map (~6 KB) can never parse from stdout (rounds
     // 1-5 all show parsed:null). Print a COMPACT line — total + a

@@ -80,6 +80,35 @@ class Round11OpsSpec extends SparkTestBase {
       s"ids: ${r.getString(3)}")
   }
 
+  test("plan telemetry: the bucketed join reads zero join-side exchanges") {
+    import org.apache.spark.sql.graftshim.PlanTelemetry
+    val df = SparkEntry.queries("src_bucketed_join_census")(spark, SfDir)
+    df.count()
+    val t = PlanTelemetry.of(df)
+    // the fact-fact join itself is exchange-free (bucketed layout);
+    // the ONLY exchanges in the whole executed plan are the post-join
+    // 3-row status rollup and the final orderBy
+    assert(t.exchanges == 2,
+      s"bucketed census should carry exactly the 2 rollup exchanges: $t")
+    assert(t.skewSplits == 0)
+    // the unbucketed twin of the same join must pay its join shuffles
+    // (broadcast disabled so the tiny test SF can't hide them)
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = Tables.orders(spark, SfDir)
+        .join(Tables.lineitem(spark, SfDir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")
+      plain.count()
+      val t2 = PlanTelemetry.of(plain)
+      assert(t2.exchanges == t.exchanges + 2,
+        s"unbucketed twin should add exactly the 2 join shuffles: $t2 vs $t")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stream_upsert_sink_census: re-drain and batch replay are no-ops") {
     val census = SparkEntry.queries("stream_upsert_sink_census")(spark, SfDir)
       .collect().map(_.toSeq).toSeq
