@@ -448,15 +448,18 @@ object Sources {
       if (cur != dir) {
         val nonce = System.nanoTime()
         val tmp = Paths.get(s"$stage.tmp-$nonce")
-        Tables.documents(spark, dir)
-          .repartition(CompactSmallFiles)
+        val docs = Tables.documents(spark, dir)
+        docs.repartition(CompactSmallFiles)
           .write.mode("overwrite").parquet(s"$tmp/small")
         val plan = compactionPlan(s"$tmp/small")
+        // explicit schema + max(bins, 1): an EMPTY corpus writes no
+        // part files at all, so there is nothing to infer from and no
+        // bin to pack — the compacted layout is then just as empty
         val binOf = typedLit(plan.flatMap(b => b.files.map(_ -> b.bin)).toMap)
-        spark.read.parquet(s"$tmp/small")
+        spark.read.schema(docs.schema).parquet(s"$tmp/small")
           .withColumn("bin",
             element_at(binOf, regexp_extract(input_file_name(), "[^/]+$", 0)))
-          .repartition(plan.length, col("bin"))
+          .repartition(math.max(plan.length, 1), col("bin"))
           .write.mode("overwrite").partitionBy("bin")
           .parquet(s"$tmp/compacted")
         Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
@@ -494,11 +497,18 @@ object Sources {
         .select(lit(layout).as("layout"), col("n_rows"), col("id_sum"),
           col("content_sum"))
     val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+    // explicit schema on both reads: an empty staging has no footer
+    // to infer from (the corrupt-JSON/roundtrip precedent); the
+    // compacted read's bin partition column is discovered from the
+    // directory names and dropped by the select
+    val schema = Tables.documents(spark, dir).schema
     census(Tables.documents(spark, dir), "source")
       .unionByName(census(
-        spark.read.parquet(s"$stage/small").selectExpr(cols: _*), "small"))
+        spark.read.schema(schema).parquet(s"$stage/small")
+          .selectExpr(cols: _*), "small"))
       .unionByName(census(
-        spark.read.parquet(s"$stage/compacted").selectExpr(cols: _*),
+        spark.read.schema(schema).parquet(s"$stage/compacted")
+          .selectExpr(cols: _*),
         "compacted"))
       .orderBy("layout")
   }

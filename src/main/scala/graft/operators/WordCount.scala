@@ -884,15 +884,19 @@ FROM c$BfsMaxRounds GROUP BY seed ORDER BY seed"""
       .select(col("seed"), col("node"), lit(0L).as("delta"))
     val deltas = scala.collection.mutable.ArrayBuffer(delta)
     for (l <- (deepest - 1) to 0 by -1) {
+      // rename the successor side outright: every level frame
+      // inherits the SAME seed/node attribute ids from the BFS memo
+      // (grouping keys keep their ids), so an ===-join between levels
+      // would otherwise lean on Spark's self-join disambiguation
       val succ = levels(l + 1).join(delta, Seq("seed", "node"))
-        .select(col("seed"), col("node").as("w"),
+        .select(col("seed").as("s_seed"), col("node").as("w"),
           col("sigma").as("sw"), col("delta").as("dw"))
       delta = levels(l)
         .join(edges, edges("src") === levels(l)("node"), "left")
         .join(succ,
-          succ("seed") === levels(l)("seed") && succ("w") === edges("dst"),
+          col("s_seed") === col("seed") && col("w") === col("dst"),
           "left")
-        .groupBy(levels(l)("seed").as("seed"), col("node"))
+        .groupBy(col("seed"), col("node"))
         .agg(coalesce(
           sum(expr("(2*sigma*(1000000 + dw) + sw) div (2*sw)")),
           lit(0L)).as("delta")).truncated
