@@ -298,6 +298,27 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** Per-source subword fertility — the tokenizer-quality readout a
+    * mixture owner actually watches (a source whose fertility runs
+    * hot is under-served by the learned merges and will eat budget):
+    * BPE symbols per word as a HALF_UP ×1000 integer, from the REAL
+    * learned tokenizer — unlike `pipe_tokenizer_fertility`, which
+    * meters the fixed regex proxy. Shape: one corpus token scan
+    * joined to the memoized encoded vocabulary (symbol COUNTS only —
+    * the id table never enters the plan), then a keyed agg on the
+    * bounded source domain.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(Text.tokens(lower(col("text")))).as("w"))
+      .join(wordIds(spark, dir).select("w", "n_syms"), Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        expr("(2*1000*n_bpe_tokens + n_words) div (2*n_words)")
+          .as("fertility_x1000"))
+      .orderBy("source")
+
   // ---------------------------------------------------------------
   // DuckDB oracle: the full unrolled merge-fixpoint replay
   // ---------------------------------------------------------------
@@ -401,7 +422,24 @@ SELECT doc_id, count(*) AS n_words,
 FROM tokp JOIN wids USING (w)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  private def fertilityOracle: String =
+    trainChain + s""",
+wn AS (SELECT w, len(string_split(seq, ' ')) AS n_syms FROM s$NumMerges),
+dt AS (
+  SELECT source,
+    unnest(list_filter(
+      regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+      x -> len(x) > 0)) AS w
+  FROM documents)
+SELECT source, count(*) AS n_words,
+  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+  CAST((2*1000*sum(n_syms) + count(*)) // (2*count(*)) AS BIGINT)
+    AS fertility_x1000
+FROM dt JOIN wn USING (w)
+GROUP BY source ORDER BY source"""
+
   val queries: Map[String, GQuery] = Map(
     "pipe_bpe_train" -> GQuery.sql(bpeTrain, trainOracle),
-    "pipe_bpe_encode" -> GQuery.sql(bpeEncode, encodeOracle))
+    "pipe_bpe_encode" -> GQuery.sql(bpeEncode, encodeOracle),
+    "pipe_bpe_fertility" -> GQuery.sql(bpeFertility, fertilityOracle))
 }

@@ -1629,7 +1629,172 @@ ORDER BY f.vec_id"""
       .orderBy("probes")
   }
 
+  val NdK = 8
+  val NdRounds = 2
+  val NdStep = 997L
+
+  /** NN-descent kNN-GRAPH construction (Dong et al., WWW'11) — the
+    * graph-ANN build path that complements the IVF/PQ serving ops:
+    * HNSW-family indexes and graph-based dedup both start from an
+    * approximate kNN graph, and NN-descent is THE distributed way to
+    * build one ("a neighbor of a neighbor is likely a neighbor").
+    *   init: K stride pseudo-neighbors per vector ((id + j·NdStep)
+    *         mod n — count-derived, replayable) UNION edges to the 2K
+    *         lowest-id REPRESENTATIVES of the vector's IVF cell
+    *         (modulus-sampled √n centroids, max-cosine assignment —
+    *         the ivfpq discipline): the stride part guarantees
+    *         cross-structure reach, the cell part seeds locality, and
+    *         per-node init fanout stays ≤ 3K (linear total — never
+    *         the n^1.5 all-cell-pairs form);
+    *   round: adjacency = graph ∪ reverse(graph), capped at 2K per
+    *         node by (score, id) — the bounded reverse sample that
+    *         keeps a hub's fanout from going quadratic (the paper's
+    *         ρ-sample, made deterministic); LOCAL JOIN mints
+    *         candidate pairs (u,w) for every shared pivot; score,
+    *         union the current graph, bounded-heap top-K per node.
+    * Every selection orders by (cosine desc, id) on bit-identical
+    * doubles (the fixed-order dot-product discipline of the ann
+    * family), so the DuckDB oracle replays init + both rounds
+    * edge-for-edge — the FULL final graph is hash-checked, not a
+    * recall summary. Scale shape: candidate volume is n·(2K)² per
+    * round regardless of corpus size, partial top-K caps every map
+    * partition at K before the exchange, rounds truncate lineage;
+    * nothing all-pairs anywhere.
+    */
+  def nndescentKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val topk = graft.functions.TopK.topKByScore(NdK)
+    val cap = graft.functions.TopK.topKByScore(2 * NdK)
+    def score(edges: DataFrame): DataFrame = edges
+      .join(e, Seq("vec_id"))
+      .join(e.select(col("vec_id").as("nbr"), col("v").as("nv")), Seq("nbr"))
+      .select(col("vec_id"), col("nbr"), cosine(col("v"), col("nv")).as("cos"))
+    def select(edges: DataFrame, k: org.apache.spark.sql.expressions.UserDefinedFunction) =
+      edges.groupBy("vec_id").agg(k(col("cos"), col("nbr")).as("t"))
+        .select(col("vec_id"), explode(col("t")).as("s"))
+        .select(col("vec_id"), col("s.id").as("nbr"), col("s.score").as("cos"))
+    val n1 = e.agg(count(lit(1)).as("n_vecs"))
+    val strideInit = e.select(col("vec_id")).crossJoin(broadcast(n1))
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(1), lit(NdK)),
+          j => pmod(col("vec_id") + j.cast("long") * NdStep, col("n_vecs"))))
+          .as("nbr"))
+      .filter(col("nbr") =!= col("vec_id"))
+    val cents = e.crossJoin(broadcast(n1))
+      .filter(pmod(col("vec_id"),
+        greatest(expr(
+          "n_vecs div greatest(CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1)"),
+          lit(1L))) === 0L)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cell_id"),
+        cosine(col("v"), col("cv")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("ccos"), -col("cell_id")))
+        .as("cell_id"))
+    val reps = assigned
+      .select(col("cell_id"), (-col("vec_id")).cast("double").as("negid"),
+        col("vec_id"))
+      .groupBy("cell_id").agg(cap(col("negid"), col("vec_id")).as("t"))
+      .select(col("cell_id"), explode(col("t")).as("s"))
+      .select(col("cell_id"), col("s.id").as("rep"))
+    val cellInit = assigned.join(reps, Seq("cell_id"))
+      .filter(col("rep") =!= col("vec_id"))
+      .select(col("vec_id"), col("rep").as("nbr"))
+    val init = strideInit.unionByName(cellInit).distinct()
+    var graph = select(score(init), topk).truncated
+    for (_ <- 1 to NdRounds) {
+      val adj = select(
+        graph.unionByName(graph.select(col("nbr").as("vec_id"),
+          col("vec_id").as("nbr"), col("cos"))).distinct(),
+        cap)
+      val cand = adj.select(col("vec_id").as("pv"), col("nbr").as("u"))
+        .join(adj.select(col("vec_id").as("pv"), col("nbr").as("w")), Seq("pv"))
+        .filter(col("u") =!= col("w"))
+        .select(col("u").as("vec_id"), col("w").as("nbr"))
+        .distinct()
+      graph = select(
+        score(cand).unionByName(graph).distinct(), topk).truncated
+    }
+    graph.groupBy("vec_id").agg(topk(col("cos"), col("nbr")).as("t"))
+      .select(col("vec_id"), posexplode(col("t")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("nbr"), round(col("s.score"), 4).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private def nndescentOracle: String = {
+    val cos = "list_inner_product(a.v, b.v) / " +
+      "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+    def round(r: Int): String = s""",
+adj$r AS MATERIALIZED (
+  SELECT vec_id, nbr, cos FROM (
+    SELECT vec_id, nbr, cos,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+    FROM (SELECT DISTINCT vec_id, nbr, cos FROM (
+          SELECT vec_id, nbr, cos FROM g${r - 1}
+          UNION ALL SELECT nbr, vec_id, cos FROM g${r - 1})))
+  WHERE rn <= ${2 * NdK}),
+cand$r AS MATERIALIZED (
+  SELECT DISTINCT a.nbr AS vec_id, b.nbr AS nbr
+  FROM adj$r a JOIN adj$r b ON a.vec_id = b.vec_id AND a.nbr <> b.nbr),
+g$r AS MATERIALIZED (
+  SELECT vec_id, nbr, cos FROM (
+    SELECT vec_id, nbr, cos,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+    FROM (SELECT DISTINCT vec_id, nbr, cos FROM (
+      SELECT c.vec_id, c.nbr, $cos AS cos
+      FROM cand$r c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr
+      UNION ALL SELECT vec_id, nbr, cos FROM g${r - 1})))
+  WHERE rn <= $NdK)"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT count(*) AS n_vecs FROM e),
+stp AS (SELECT greatest(n_vecs //
+    greatest(CAST(ceil(sqrt(n_vecs)) AS BIGINT), 1), 1) AS s FROM n),
+cents AS (SELECT vec_id AS cell_id, v AS cv FROM e, stp WHERE vec_id % s = 0),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT a.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        list_inner_product(a.v, c.cv) /
+          (sqrt(list_inner_product(a.v, a.v)) *
+           sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cell_id) AS rn
+    FROM e a CROSS JOIN cents c)
+  WHERE rn = 1),
+reps AS (
+  SELECT cell_id, rep FROM (
+    SELECT cell_id, vec_id AS rep,
+      row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS rn
+    FROM assigned)
+  WHERE rn <= ${2 * NdK}),
+init AS (
+  SELECT DISTINCT vec_id, nbr FROM (
+    SELECT e.vec_id, (e.vec_id + j * $NdStep) % n_vecs AS nbr
+    FROM e, n, range(1, ${NdK + 1}) t(j)
+    WHERE (e.vec_id + j * $NdStep) % n_vecs <> e.vec_id
+    UNION ALL
+    SELECT a.vec_id, r.rep
+    FROM assigned a JOIN reps r USING (cell_id)
+    WHERE r.rep <> a.vec_id)),
+g0 AS MATERIALIZED (
+  SELECT vec_id, nbr, cos FROM (
+    SELECT vec_id, nbr, cos,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+    FROM (SELECT i.vec_id, i.nbr, $cos AS cos
+          FROM init i JOIN e a ON a.vec_id = i.vec_id
+          JOIN e b ON b.vec_id = i.nbr))
+  WHERE rn <= $NdK)""" +
+      (1 to NdRounds).map(round).mkString + s"""
+SELECT vec_id,
+  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr)
+    AS BIGINT) AS rank,
+  nbr, round(cos, 4) AS cosine
+FROM g$NdRounds
+ORDER BY vec_id, rank"""
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "ann_nndescent_knn" -> GQuery.sql(nndescentKnn, nndescentOracle),
     "ann_recall_curve" -> GQuery.sql(recallCurve, {
       val cos = (a: String, b: String) =>
         s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"

@@ -163,6 +163,52 @@ class Round11OpsSpec extends SparkTestBase {
       s"betweenness diverged from the hand replay: $got")
   }
 
+  test("ann_nndescent_knn: descent improves on init and recalls exact kNN") {
+    import org.apache.spark.sql.functions._
+    val K = operators.Similarity.NdK
+    val got = operators.Similarity.nndescentKnn(spark, SfDir).collect()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(got.length == n * K, s"expected full ${n}x$K graph, got ${got.length}")
+    // exact kNN per node (driver-side at the test SF) for recall@K
+    val vecs = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.map { case (id, v) =>
+      id -> vecs.toSeq.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(K).map(_._1).toSet
+    }
+    val approx = got.groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    val recall = approx.map { case (id, nb) =>
+      nb.intersect(exact(id)).size.toDouble / K }.sum / approx.size
+    // two descent rounds on the stride+cell-representative init must
+    // land well above both chance (K/n ≈ 0.016) and the init-only
+    // graph (≈0.145 measured): the corpus is unstructured random
+    // embeddings — the hard case for neighbor-of-neighbor descent —
+    // and the measured trajectory is 0.145 init → 0.32 → 0.455
+    assert(recall >= 0.35, f"NN-descent recall@$K collapsed: $recall%.3f")
+  }
+
+  test("pipe_bpe_fertility is consistent with the encode artifact") {
+    import org.apache.spark.sql.functions._
+    val fert = SparkEntry.queries("pipe_bpe_fertility")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the same totals must fall out of pipe_bpe_encode's per-doc rows
+    val enc = SparkEntry.queries("pipe_bpe_encode")(spark, SfDir)
+      .join(Tables.documents(spark, SfDir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fert == enc, s"fertility totals diverged from encode: $fert vs $enc")
+  }
+
   test("pipe_detokenize_roundtrip: the subword path reconstructs every doc") {
     val rows = SparkEntry.queries("pipe_detokenize_roundtrip")(spark, SfDir)
       .collect()
