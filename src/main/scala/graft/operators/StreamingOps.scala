@@ -140,30 +140,28 @@ object StreamingOps {
       spark.range(1).select(lit(id).as("event_id"),
         timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("user_id"),
         lit(tpe).as("event_type"), lit(0.0).as("value"))
+    // Pre-stage corpus + both sentinel generations and drain with
+    // AvailableNow + maxFilesPerTrigger=1: the files process as
+    // ordered micro-batches (names sort a < s1 < s2), each batch-end
+    // advances the watermark, and the NEXT batch emits what the
+    // previous one sealed — same determinism as the interactive
+    // sentinel protocol at a third of the drain round-trips.
+    // dropFile writes the already-normalized ts, so the watch-dir
+    // stream reads TimestampType directly (the sessionize pattern).
     val watch = java.nio.file.Files.createTempDirectory("graft_attr_outer")
-    withDrainConf(spark) {
-      // dropFile writes the already-normalized ts, so the watch-dir
-      // stream reads TimestampType directly (the sessionize pattern)
-      val joined = EventsStreaming.clickAttributionOuter(
-        spark.readStream.schema(all.schema).parquet(watch.toString))
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_attrib_outer").start()
-      try {
-        EventsStreaming.dropFile(all, watch.toString, "a")
-        q.processAllAvailable()
-        EventsStreaming.dropFile(
-          sentinel(-1L, maxMs + 10L * 3600 * 1000, "click")
-            .unionByName(sentinel(-2L, maxMs + 10L * 3600 * 1000, "purchase")),
-          watch.toString, "s1")
-        q.processAllAvailable()
-        EventsStreaming.dropFile(
-          sentinel(-3L, maxMs + 20L * 3600 * 1000, "click")
-            .unionByName(sentinel(-4L, maxMs + 20L * 3600 * 1000, "purchase")),
-          watch.toString, "s2")
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    spark.table("graft_stream_attrib_outer")
+    EventsStreaming.dropFile(all, watch.toString, "a")
+    EventsStreaming.dropFile(
+      sentinel(-1L, maxMs + 10L * 3600 * 1000, "click")
+        .unionByName(sentinel(-2L, maxMs + 10L * 3600 * 1000, "purchase")),
+      watch.toString, "s1")
+    EventsStreaming.dropFile(
+      sentinel(-3L, maxMs + 20L * 3600 * 1000, "click")
+        .unionByName(sentinel(-4L, maxMs + 20L * 3600 * 1000, "purchase")),
+      watch.toString, "s2")
+    val joined = EventsStreaming.clickAttributionOuter(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString))
+    drain(spark, joined, "graft_stream_attrib_outer", "append")
       .filter(col("user_id") >= 0)
       .orderBy("event_id", "c_ms")
   }
