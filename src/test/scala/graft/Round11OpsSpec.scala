@@ -163,6 +163,65 @@ class Round11OpsSpec extends SparkTestBase {
       s"betweenness diverged from the hand replay: $got")
   }
 
+  test("pipe_bpe_train equals an independent reference BPE on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // independent in-JVM reference: greedy left-to-right merge of the
+    // (max count, lexicographically smallest) pair, weighted by word
+    // frequency — written directly from the Sennrich semantics, no
+    // shared code with the Spark fold
+    def refMerge(seq: List[String], a: String, b: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      seq.foreach { x =>
+        if (buf.nonEmpty && buf.last == a && x == b) {
+          buf.remove(buf.length - 1); buf += (a + b)
+        } else buf += x
+      }
+      buf.toList
+    }
+    def refBpe(tokens: Seq[String]): Seq[(String, String, Long)] = {
+      var vocab = tokens.groupBy(identity).map { case (w, ws) =>
+        w -> (w.map(_.toString).toList, ws.size.toLong) }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var done = false
+      while (out.length < operators.Bpe.NumMerges && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.values.foreach { case (seq, c) =>
+          seq.sliding(2).filter(_.length == 2).foreach { p =>
+            pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((a, b), c) = pairs.toSeq
+            .sortBy { case ((l, r), n) => (-n, l, r) }.head
+          out += ((a, b, c))
+          vocab = vocab.map { case (w, (seq, n)) => w -> (refMerge(seq, a, b), n) }
+        }
+      }
+      out.toList
+    }
+    // words over a tiny alphabet so pair counts collide and tie-breaks
+    // actually fire; repeats so counts vary
+    val word = for {
+      len <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpus = Gen.choose(3, 25).flatMap(n => Gen.listOfN(n, word))
+    var caseNo = 0
+    val prop = Prop.forAll(corpus) { tokens =>
+      caseNo += 1 // fresh dir per case: trainMerges memoizes per (session, dir)
+      val dir = s"/root/repo/target/graft_bpe_prop/c$caseNo"
+      Seq((1L, "en", "p", tokens.mkString(" "), 0L))
+        .toDF("doc_id", "lang", "source", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      operators.Bpe.trainMerges(spark, dir) == refBpe(tokens)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ann_nndescent_knn: descent improves on init and recalls exact kNN") {
     import org.apache.spark.sql.functions._
     val K = operators.Similarity.NdK
