@@ -27,11 +27,16 @@ object Bench {
     // executed numbers, not plan guesses.
     val tele = scala.collection.mutable.Map
       .empty[String, org.apache.spark.sql.graftshim.PlanTelemetry.Counts]
+    // executedOf runs each query's OWN QueryExecution (not a count()
+    // wrapper), so the telemetry reads the FINAL adaptive plan —
+    // isFinalPlan=true, AQEShuffleReadExec visible — instead of the
+    // static pre-AQE guess (ADVICE r11 #1). The one execution doubles
+    // as the warmup; the timed passes' count()-wrapper codegen JITs in
+    // pass 1 and min-of-5 absorbs it.
     queries.foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        df.count()
-        tele(name) = org.apache.spark.sql.graftshim.PlanTelemetry.of(df)
+        tele(name) =
+          org.apache.spark.sql.graftshim.PlanTelemetry.executedOf(fn(spark, sfDir))
       } catch { case _: Throwable => failed += name }
     }
     // 5 timed passes over the whole registry, interleaved at pass level:

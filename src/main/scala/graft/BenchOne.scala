@@ -23,10 +23,18 @@ object BenchOne {
     // SPARK_GRAFT_CONF=k=v[,k=v...] sets session confs (e.g. the
     // graft.session.skewsafe / graft.distinct.approx knobs) so the
     // conf'd plan variants can be timed without code edits.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
-    })
+    // Tolerates trailing/doubled commas; a segment WITHOUT '=' is a
+    // typo'd knob that would otherwise silently not apply — fail loud
+    // with the offending segment instead of a bare MatchError
+    // (ADVICE r11 #4).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF segment '$kv' is not key=value")
+        }
+      })
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
     val ts = (1 to passes).map { _ =>

@@ -196,27 +196,39 @@ object Dedup {
     * Broder/MMDS construction; at 100 TB the bucket join replaces the
     * all-pairs comparison entirely.
     */
+  /** K-slot MinHash signature per doc from shingle rows (xxhash64
+    * with K seeds, min per doc) — ONE definition shared by the batch
+    * LSH and the persisted-index ops, so an index built yesterday and
+    * a probe computed today can never drift on hashing semantics.
+    */
+  private def sigsOf(r0: DataFrame): DataFrame = {
+    val sigCols = (0 until MinhashK).map { i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i")
+    }
+    r0.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band buckets of a signature table: (doc_id, band, bucket). */
+  private def bandBucketsOf(sigs: DataFrame): DataFrame = {
+    val bands = (0 until MinhashK / BandRows).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minhashLshOn(docs: DataFrame): DataFrame = {
     // The shingle rows feed FOUR subtrees (signatures, both exact-
     // verify sides, sizes) and the bucket self-join would otherwise
     // re-run the whole signature pipeline per side — materialize the
     // tokenize+shingle pass once. This is also the production shape:
     // signatures and shingle sets are computed once and STORED, then
-    // probed by banding and verification.
+    // probed by banding and verification (dd_incremental_probe IS
+    // that stored form).
     val r0 = shingleHashRowsOf(docs).truncated
-    val sigCols = (0 until MinhashK).map { i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i")
-    }
-    val sigs = r0
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until MinhashK / BandRows).map { b =>
-      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = bandBucketsOf(sigsOf(r0))
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -260,6 +272,137 @@ object Dedup {
   def minhashLshPlanted(spark: SparkSession, dir: String): DataFrame =
     minhashLshOn(withPlanted(docsTable(spark, dir)))
       .filter(col("doc_id_2") === col("doc_id_1") + PlantOffset)
+
+  // ---------------------------------------------------------------
+  // Incremental dedup against a PERSISTED LSH index (daily-ingest)
+  // ---------------------------------------------------------------
+
+  /** Persisted-index staging root (the stageTextDir convention: under
+    * the build dir, keyed by basename + abs-path hash).
+    */
+  val LshIndexRoot = "/root/repo/target/graft_lsh_index"
+
+  def lshIndexPathFor(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"$LshIndexRoot/${abs.getFileName}_$key"
+  }
+
+  // explicit read schemas: an EMPTY corpus stages zero part files and
+  // a schemaless parquet read would fail (the RobustnessSpec contract)
+  private val IdxBucketsSchema = "doc_id BIGINT, band INT, bucket BIGINT"
+  private val IdxShinglesSchema = "doc_id BIGINT, sh BIGINT"
+  private val IdxSizesSchema = "doc_id BIGINT, sh_size BIGINT"
+
+  /** Builds (once, idempotently) the on-disk MinHash-LSH index of the
+    * corpus: band buckets, shingle rows, and set sizes — the artifact
+    * a production pipeline materializes so that DAILY INGEST pays
+    * O(batch), not O(corpus). Same atomic swap protocol as
+    * `WordCount.stageTextDir` (tmp write → aside rename → rename into
+    * place), so a concurrent reader never sees a half-written index.
+    */
+  def stageLshIndex(spark: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = lshIndexPathFor(dir)
+    val stagePath = Paths.get(stage)
+    val cur =
+      try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
+      catch { case _: Exception => "" }
+    if (cur != dir) {
+      val nonce = System.nanoTime()
+      val tmp = Paths.get(s"$stage.tmp-$nonce")
+      val r0 = shingleHashRowsOf(docsTable(spark, dir)).truncated
+      r0.select("doc_id", "sh")
+        .write.mode("overwrite").parquet(tmp.resolve("shingles").toString)
+      bandBucketsOf(sigsOf(r0))
+        .write.mode("overwrite").parquet(tmp.resolve("buckets").toString)
+      r0.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
+        .write.mode("overwrite").parquet(tmp.resolve("sizes").toString)
+      Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+      val old = Paths.get(s"$stage.old-$nonce")
+      if (Files.exists(stagePath))
+        Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(old).iterator().asScala.toSeq
+          .reverse.foreach(Files.delete)
+      }
+    }
+    stage
+  }
+
+  /** The "new batch" of the incremental scenario: identical-token
+    * twins of every 4th doc (the `withPlanted` perturbation), arriving
+    * as today's ingest against yesterday's index. Guarded like
+    * `withPlanted`: natural ids must sit below PlantOffset.
+    */
+  private def ingestBatchOf(docs: DataFrame): DataFrame =
+    docs.filter(assert_true(col("doc_id") < PlantOffset,
+        lit(s"ingestBatchOf: doc_id >= $PlantOffset collides with batch ids — raise PlantOffset")).isNull)
+      .filter(pmod(col("doc_id"), lit(4L)) === 0L)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("source"),
+        concat(lit(" "), col("text"), lit("\t")).as("text"))
+
+  /** Incremental near-dup dedup — the shape a 100 TB pipeline actually
+    * runs EVERY DAY: the corpus index (signatures banded to buckets +
+    * shingle rows + sizes) is built ONCE and persisted
+    * (`stageLshIndex`); each new ingest batch then computes signatures
+    * for ITSELF ONLY and probes the stored buckets, so the recurring
+    * cost is O(batch + matched candidates), never a corpus re-scan.
+    * Candidate pairs verify with exact shingle Jaccard ≥ 0.35 — index
+    * side read back from the stored shingle rows, batch side from the
+    * just-computed pass. No broadcast hint on the candidate join (the
+    * `pipe_near_decontaminate` lesson): AQE picks per actual sizes.
+    *
+    * Oracle: the batch is the `withPlanted` twin set, whose token
+    * stream is identical to its original's — candidate recall is
+    * deterministically 1 (identical signatures, identical buckets), so
+    * the DuckDB brute-force Jaccard over the (id, id + PlantOffset)
+    * domain hash-checks the ENTIRE stored-index path end to end (the
+    * `dd_minhash_lsh` oracle trick applied to the incremental form;
+    * Round12OpsSpec additionally pins that the probe equals the batch
+    * pipeline's planted rows and that a second run reuses the staged
+    * index without rebuilding).
+    */
+  def incrementalProbe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = stageLshIndex(spark, dir)
+    val idxBuckets = spark.read.schema(IdxBucketsSchema)
+      .parquet(s"$idx/buckets")
+    val idxShingles = spark.read.schema(IdxShinglesSchema)
+      .parquet(s"$idx/shingles")
+    val idxSizes = spark.read.schema(IdxSizesSchema)
+      .parquet(s"$idx/sizes")
+    val b0 = shingleHashRowsOf(ingestBatchOf(docsTable(spark, dir))).truncated
+    val cand = bandBucketsOf(sigsOf(b0))
+      .withColumnRenamed("doc_id", "doc_id_2")
+      .join(idxBuckets.withColumnRenamed("doc_id", "doc_id_1"),
+        Seq("band", "bucket"))
+      .select("doc_id_1", "doc_id_2")
+      .distinct()
+    val inter = cand
+      .join(idxShingles.withColumnRenamed("doc_id", "doc_id_1"), Seq("doc_id_1"))
+      .join(b0.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2")),
+        Seq("doc_id_2"))
+      .filter(col("sh") === col("sh2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_inter"))
+    val bSizes = b0.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
+    inter
+      .join(idxSizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
+      .join(bSizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
+      .withColumn("jaccard_raw", col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard_raw") >= 0.35)
+      .filter(col("doc_id_2") === col("doc_id_1") + PlantOffset)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
 
   /** MinHash estimator-calibration constants: K affine permutations
     * h_i(u) = (aᵢ·u + bᵢ) mod p over rolling-hashed shingles — unlike
@@ -1268,6 +1411,31 @@ object Dedup {
         |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "dd_lsh_recall" -> GQuery.sql(lshRecallCensus, lshRecallOracle),
     "dd_minhash_error" -> GQuery.sql(minhashErrorCensus, minhashErrorOracle),
+    // identical truth domain to dd_minhash_lsh: the stored-index probe
+    // must reproduce the same planted pairs the one-shot pipeline finds
+    "dd_incremental_probe" -> GQuery.sql(incrementalProbe,
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ' ' || text || chr(9)
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "dd_minhash_lsh" -> GQuery.sql(minhashLshPlanted,
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

@@ -109,7 +109,13 @@ object Events {
         .agg(min(col("ms")).as("session_start_ms"),
           max(col("ms")).as("session_end_ms"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("value_sum"))
+          // HALF_UP integer cents (the stream_upsert_sink_census money
+          // discipline, ADVICE r11 #2): each event's value rounds to
+          // cents ONCE, then sums are exact integers — so the default
+          // path, the skew-safe bucket decomposition, and the DuckDB
+          // oracle agree bit-for-bit under ANY addition order, not
+          // just away from half-cent boundaries.
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
         .orderBy("user_id", "session_seq")
     }
 
@@ -132,10 +138,13 @@ object Events {
     *       event lies between them), so the event-level gap equals
     *       mn(b2) − mx(b1) — exactly what the bucket-level lag
     *       compares (empty buckets in between only widen it past G).
-    * Session numbering, min/max, and counts then agree bucket-wise;
-    * value sums ride per-bucket partials whose 2-decimal money total
-    * re-rounds to the same cents (Round11SkewSpec pins byte equality
-    * on a boundary-planted corpus and the test SF).
+    * Session numbering, min/max, counts AND the money field then agree
+    * bucket-wise: value rides as per-event HALF_UP integer cents
+    * (rounded ONCE, before any partial), so the per-bucket partial sums
+    * re-associate to the identical integer total — the equality is
+    * exact arithmetic on every column, not an FP coincidence
+    * (ADVICE r11 #2; Round11SkewSpec pins byte equality on a
+    * boundary-planted corpus and the test SF).
     */
   def sessionizeSkewSafe(spark: SparkSession, dir: String): DataFrame = {
     val byUserBucket = Window.partitionBy("user_id").orderBy("bucket")
@@ -144,7 +153,8 @@ object Events {
       .withColumn("bucket", expr(s"ms div $SessionGapMs"))
       .groupBy("user_id", "bucket")
       .agg(count(lit(1)).as("n"), min(col("ms")).as("mn"),
-        max(col("ms")).as("mx"), sum(col("value")).as("vs"))
+        max(col("ms")).as("mx"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("vs"))
       .withColumn("prev_mx", lag(col("mx"), 1).over(byUserBucket))
       .withColumn("new_session",
         when(col("prev_mx").isNull || col("mn") - col("prev_mx") > SessionGapMs, 1)
@@ -155,7 +165,7 @@ object Events {
       .agg(min(col("mn")).as("session_start_ms"),
         max(col("mx")).as("session_end_ms"),
         sum(col("n")).as("n_events"),
-        round(sum(col("vs")), 2).as("value_sum"))
+        sum(col("vs")).as("value_cents"))
       .orderBy("user_id", "session_seq")
   }
 
@@ -2236,7 +2246,8 @@ object Events {
         |  FROM flagged)
         |SELECT user_id, session_seq,
         |  min(ms) AS session_start_ms, max(ms) AS session_end_ms,
-        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin),
     "ev_json_extract" -> GQuery.sql(jsonExtract,

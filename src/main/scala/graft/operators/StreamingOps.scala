@@ -142,10 +142,12 @@ object StreamingOps {
         lit(tpe).as("event_type"), lit(0.0).as("value"))
     // Pre-stage corpus + both sentinel generations and drain with
     // AvailableNow + maxFilesPerTrigger=1: the files process as
-    // ordered micro-batches (names sort a < s1 < s2), each batch-end
-    // advances the watermark, and the NEXT batch emits what the
-    // previous one sealed — same determinism as the interactive
-    // sentinel protocol at a third of the drain round-trips.
+    // ordered micro-batches — FileStreamSource orders by MODIFICATION
+    // TIME, which dropFile forces strictly increasing in call order
+    // (ADVICE r11 #3) — each batch-end advances the watermark, and
+    // the NEXT batch emits what the previous one sealed — same
+    // determinism as the interactive sentinel protocol at a third of
+    // the drain round-trips.
     // dropFile writes the already-normalized ts, so the watch-dir
     // stream reads TimestampType directly (the sessionize pattern).
     val watch = java.nio.file.Files.createTempDirectory("graft_attr_outer")

@@ -590,6 +590,14 @@ GROUP BY src ORDER BY node"""
 
   val BfsMaxRounds = 8
 
+  /** Betweenness overflow caps (ADVICE r11 #5): σ and δ×1e6 bounds
+    * that make the decimal(38,0) Brandes term provably overflow-free
+    * (2·10²⁵·(10⁶+10¹²) ≈ 2·10³⁷ < 10³⁸−1); exceeding either fails
+    * loudly via assert_true instead of silently NULLing terms.
+    */
+  val SigmaCap: java.math.BigDecimal = new java.math.BigDecimal("1E+25")
+  val DeltaCap: Long = 1000000000000L
+
   /** Single-source BFS shortest-hop distances over the co-purchase
     * graph — the remaining classic iterative MapReduce graph job next
     * to PageRank / connected components / k-core. Source = the minimum
@@ -875,7 +883,21 @@ FROM c$BfsMaxRounds GROUP BY seed ORDER BY seed"""
         .join(reached.filter(col("dist") === l.toLong).select("seed", "node"),
           Seq("seed", "node"))
         .groupBy("seed", "node")
-        .agg(sum(col("sigma")).as("sigma")).truncated
+        .agg(sum(col("sigma")).as("sigma"))
+        // Loud overflow guard (ADVICE r11 #5): under non-ANSI mode a
+        // decimal(38,0) overflow in the reverse sweep's
+        // 2·σ·(10⁶+δ) product would return NULL and be silently
+        // DROPPED by sum() — a quiet parity divergence on
+        // path-count-explosive graphs. With every σ entering a level
+        // ≤ 10²⁵ and every δ ≤ 10¹² (guarded below), that product is
+        // ≤ 2·10³⁷ < 10³⁸−1, so overflow is impossible downstream of
+        // the guards and any explosive graph dies HERE with a message
+        // instead of drifting from the oracle.
+        .filter(assert_true(col("sigma") <= lit(SigmaCap),
+          lit("wc_betweenness: shortest-path count σ exceeded 1e25 — " +
+            "path-count-explosive graph; shrink the landmark seed " +
+            "budget or the BFS round cap")).isNull)
+        .truncated
       if (level.isEmpty) drained = true
       else { levels += level; deepest = l }
     }
@@ -899,7 +921,15 @@ FROM c$BfsMaxRounds GROUP BY seed ORDER BY seed"""
         .groupBy(col("seed"), col("node"))
         .agg(coalesce(
           sum(expr("(2*sigma*(1000000 + dw) + sw) div (2*sw)")),
-          lit(0L)).as("delta")).truncated
+          lit(0L)).as("delta"))
+        // companion guard: δ ≤ 10¹² keeps the next level's product
+        // within decimal(38,0) (see σ guard above) and keeps the
+        // per-term long sum far from 2⁶³ (would need >9·10⁶ successor
+        // terms at the cap — orders beyond any corpus-bounded fan-in)
+        .filter(assert_true(col("delta") <= lit(DeltaCap),
+          lit("wc_betweenness: dependency δ×1e6 exceeded 1e12 — " +
+            "shrink the landmark seed budget")).isNull)
+        .truncated
       deltas += delta
     }
     deltas.reduce(_ unionByName _)

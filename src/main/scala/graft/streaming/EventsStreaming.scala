@@ -223,12 +223,25 @@ object EventsStreaming {
   /** Test/staging helper: write `df` as a single parquet file dropped
     * atomically into `watchDir` — one streaming-source "file arrival".
     */
+  private val lastDropMtime = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def dropFile(df: DataFrame, watchDir: String, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drop")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(watchDir, s"$name.parquet"))
+    val target = java.nio.file.Paths.get(watchDir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, target)
+    // FileStreamSource orders pending files by MODIFICATION TIME, not
+    // path, so under coarse filesystem mtime granularity a sentinel
+    // could tie with (and process before) the data file it must
+    // follow — advancing the watermark past real events and silently
+    // dropping them from outer joins / sessions (ADVICE r11 #3).
+    // Assign each drop a strictly increasing mtime: the sequential
+    // dropFile call order IS the intended micro-batch order.
+    val t = lastDropMtime.updateAndGet(prev => math.max(prev + 1000L,
+      java.nio.file.Files.getLastModifiedTime(target).toMillis))
+    java.nio.file.Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(t))
   }
 
   /** Stream-stream interval join — the streaming form of the batch

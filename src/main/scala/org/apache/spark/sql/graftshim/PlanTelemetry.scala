@@ -29,6 +29,22 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
 object PlanTelemetry {
   final case class Counts(exchanges: Int, skewSplits: Int)
 
+  /** Executes the DataFrame's OWN QueryExecution (a no-op job over its
+    * internal rows) so AdaptiveSparkPlanExec replans through to its
+    * FINAL plan, then counts off that. `df.count()` would NOT do:
+    * count() wraps df in a fresh aggregate QueryExecution and executes
+    * THAT, leaving df's own AQE root un-run (isFinalPlan=false) — `of`
+    * would then read the static initial plan: pre-AQE exchange counts
+    * and structurally-zero skew splits (ADVICE r11 #1). Note this runs
+    * the full plan INCLUDING any top-level sort that count() would let
+    * the optimizer elide — the published telemetry describes the
+    * operator's whole public contract, which is what we want.
+    */
+  def executedOf(df: DataFrame): Counts = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    of(df)
+  }
+
   def of(df: DataFrame): Counts = {
     var ex = 0
     var skew = 0

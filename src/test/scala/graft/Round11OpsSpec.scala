@@ -83,8 +83,10 @@ class Round11OpsSpec extends SparkTestBase {
   test("plan telemetry: the bucketed join reads zero join-side exchanges") {
     import org.apache.spark.sql.graftshim.PlanTelemetry
     val df = SparkEntry.queries("src_bucketed_join_census")(spark, SfDir)
-    df.count()
-    val t = PlanTelemetry.of(df)
+    // executedOf, not count()+of: count() runs a separate
+    // QueryExecution and the assertion would pin the STATIC plan
+    // (ADVICE r11 #1)
+    val t = PlanTelemetry.executedOf(df)
     // the fact-fact join itself is exchange-free (bucketed layout);
     // the ONLY exchanges in the whole executed plan are the post-join
     // 3-row status rollup and the final orderBy
@@ -102,8 +104,7 @@ class Round11OpsSpec extends SparkTestBase {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n_rows"))
         .orderBy("o_orderstatus")
-      plain.count()
-      val t2 = PlanTelemetry.of(plain)
+      val t2 = PlanTelemetry.executedOf(plain)
       assert(t2.exchanges == t.exchanges + 2,
         s"unbucketed twin should add exactly the 2 join shuffles: $t2 vs $t")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

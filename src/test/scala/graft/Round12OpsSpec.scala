@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PlanTelemetry
+
+/** Round-12 operators and hardening. */
+class Round12OpsSpec extends SparkTestBase {
+
+  test("plan telemetry reads the FINAL adaptive plan: skew splits are visible") {
+    import spark.implicits._
+    // ADVICE r11 #1: PlanTelemetry.of after count() read the STATIC
+    // plan, so skew_splits was structurally 0 in every bench.json
+    // entry. This is the positive control for the executedOf fix: a
+    // deliberately skewed sort-merge join under aggressive AQE skew
+    // thresholds MUST surface PartialReducerPartitionSpec splits —
+    // and the old static read on the same frame must miss them.
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE re-checks broadcastability at runtime with its OWN threshold;
+    // both must be off or it demotes the SMJ before skew handling runs
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    try {
+      def skewed = {
+        // key must be data-dependent (a lit() key constant-folds the
+        // equi-join away); ~99% of rows land on key 1
+        val left = spark.range(40000)
+          .select(when(col("id") % 100 < 99, lit(1L))
+            .otherwise(col("id") % 8).as("k"),
+            rpad(col("id").cast("string"), 64, "x").as("pay"))
+        val right = spark.range(8)
+          .select(col("id").as("k"), col("id").as("r"))
+        // the agg must reference pay or column pruning strips the
+        // payload from the shuffle and the partition ducks under the
+        // skew threshold
+        left.join(right, "k").select(sum(length(col("pay"))).as("n"))
+      }
+      val staticRead = PlanTelemetry.of(skewed)
+      assert(staticRead.skewSplits == 0,
+        "static (un-executed) plan should not show splits — it has no AQE reads yet")
+      val t = PlanTelemetry.executedOf(skewed)
+      assert(t.skewSplits > 0,
+        s"executed final plan must surface the AQE skew splits: $t")
+      assert(t.exchanges >= 2, s"SMJ must keep its two join shuffles: $t")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("dd_incremental_probe: stored-index probe matches the one-shot pipeline and reuses the staging") {
+    val probe = operators.Dedup.incrementalProbe(spark, SfDir)
+    val oneShot = operators.Dedup.minhashLshPlanted(spark, SfDir)
+    assert(probe.count() > 0)
+    assert(probe.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(probe).count() == 0,
+      "stored-index probe diverged from the in-memory LSH pipeline")
+    // idempotent staging: a second probe must REUSE the index, not
+    // rebuild it (the whole point of the incremental shape)
+    val marker = java.nio.file.Paths.get(
+      operators.Dedup.lshIndexPathFor(SfDir), "_SOURCE")
+    val before = java.nio.file.Files.getLastModifiedTime(marker)
+    operators.Dedup.incrementalProbe(spark, SfDir).count()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == before,
+      "second probe rebuilt the persisted index")
+    // and the probe plan actually READS the persisted artifact (the
+    // index side comes from parquet scans, not a corpus recompute)
+    val plan = operators.Dedup.incrementalProbe(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_index"),
+      "probe plan does not scan the staged index")
+  }
+
+  test("ev_sessionize money field is exact integer cents on both paths") {
+    import spark.implicits._
+    // exact-quarter values (0.25 is binary-exact): per-event HALF_UP
+    // cents make the session total a closed-form integer under ANY
+    // addition order — the association-independence the old
+    // round(sum(double),2) contract could not promise (ADVICE r11 #2).
+    val stage = "/root/repo/target/graft_cents_events"
+    val rows = (0 until 64).map { i =>
+      (i.toLong, 0L, i * 60000L, i + 0.25)
+    }
+    rows.toDF("event_id", "user_id", "ms", "v")
+      .select(col("event_id"), col("user_id"),
+        timestamp_millis(col("ms")).as("ts"), lit("click").as("event_type"),
+        col("v").as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$stage/events.parquet")
+    val default = operators.Events.sessionize(spark, stage)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("graft.session.skewsafe", "true")
+    val safe =
+      try operators.Events.sessionize(spark, stage).collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("graft.session.skewsafe")
+    assert(default == safe, s"paths diverged:\n $default\n $safe")
+    // one session (1-min spacing); cents(i) = 100i + 25 exactly
+    val cents = default.head(5).asInstanceOf[Long]
+    assert(cents == (0 until 64).map(i => 100L * i + 25L).sum,
+      s"expected exact HALF_UP per-event cents, got $cents")
+  }
+}
