@@ -77,6 +77,48 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval metric
+    * recommendation/recall systems actually rank by (user·item score,
+    * not angle): per query, exact top-k by RAW inner product, id
+    * tie-break, via the same bounded-heap Aggregator plan as
+    * `ann_topk_agg` — map partitions each contribute ≤ k rows before
+    * the shuffle, so the plan survives a 1000× corpus. Cosine top-k
+    * and MIPS top-k genuinely differ (norms vary), which is why
+    * retrieval stacks carry both. The at-scale ANN path is the
+    * standard norm-augmentation reduction (append sqrt(M²−‖x‖²) to
+    * each item, 0 to each query — Bachrach et al. 2014): augmented
+    * cosine order = inner-product order, so the IVF/sign-LSH
+    * machinery above applies unchanged; this row certifies the exact
+    * scorer those candidates verify against. DuckDB replays
+    * list_inner_product bit-for-bit against the native DotProduct.
+    *
+    * The synthetic embeddings are UNIT-NORM, which would collapse
+    * exact MIPS into a cosine alias — so the op mints the magnitude
+    * profile a real item catalog carries: item i scales by
+    * w(i) = 1 + (i mod 7)/4 (exact quarter steps, so the scalar
+    * product is the bit-identical IEEE op on both engines). Scaling a
+    * unit vector by w and taking the inner product IS multiplying the
+    * dot by w — the scalar form avoids materializing scaled arrays in
+    * the hot loop.
+    */
+  def mipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val topk = graft.functions.TopK.topKByScore(TopK)
+    val wq = lit(1.0) + pmod(col("q_id"), lit(7L)).cast("double") * lit(0.25)
+    val wv = lit(1.0) + pmod(col("vec_id"), lit(7L)).cast("double") * lit(0.25)
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        (wq * wv * dot(col("qv"), col("v"))).as("score"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), round(col("s.score"), 4).as("dot"))
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF-style ANN: deterministic hash-sampled centroids (≈ √n of
     * them — the classic IVF cell count, derived from the corpus count
     * inside the plan, so the index keeps per-cell size ≈ √n at ANY
@@ -2052,6 +2094,20 @@ ORDER BY vec_id, rank"""
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
+    "ann_mips_topk" -> GQuery.sql(mipsTopk,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    (1 + (q.q_id % 7) * 0.25) * (1 + (e.vec_id % 7) * 0.25) *
+        |      list_inner_product(q.qv, e.v) AS dot_raw
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, dot_raw,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dot_raw DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, round(dot_raw, 4) AS dot
         |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
     "ann_topk_agg" -> GQuery.sql(bruteforceTopkAgg,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

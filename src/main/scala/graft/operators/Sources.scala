@@ -513,7 +513,164 @@ object Sources {
       .orderBy("layout")
   }
 
+  // ---------------------------------------------------------------
+  // Snapshot isolation / time travel over a manifest-versioned layout
+  // ---------------------------------------------------------------
+
+  val SnapshotStageRoot = "/root/repo/target/graft_snapshot"
+
+  /** Appended rows in the v2 commit mint ids at doc_id + this offset
+    * (loudly guarded, the PlantOffset discipline).
+    */
+  val SnapAppendOffset = 4000000L
+
+  /** Stage a two-commit, manifest-versioned table — the poor-man's
+    * core of every production table format (Iceberg/Delta/Hudi):
+    *   v1: the documents table as 8 data files; `v1.manifest` lists
+    *       exactly those file names.
+    *   v2: one APPEND file (every 7th doc re-ingested at
+    *       doc_id + SnapAppendOffset) plus a merge-on-read DELETE
+    *       VECTOR (doc_id % 5 == 0); `v2.manifest` = v1 files + the
+    *       append file. v1's data files are NEVER rewritten — commits
+    *       add files and manifests, which is exactly what makes
+    *       snapshot isolation free.
+    * Same atomic-swap commit protocol as the other stagings.
+    */
+  def stageSnapshotDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stage = s"$SnapshotStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
+      val stagePath = Paths.get(stage)
+      val cur =
+        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
+        catch { case _: Exception => "" }
+      if (cur != dir) {
+        val nonce = System.nanoTime()
+        val tmp = Paths.get(s"$stage.tmp-$nonce")
+        val docs = Tables.documents(spark, dir)
+          .filter(assert_true(col("doc_id") < SnapAppendOffset,
+            lit(s"stageSnapshotDir: doc_id >= $SnapAppendOffset collides with v2 append ids")).isNull)
+        docs.repartition(8).write.mode("overwrite")
+          .parquet(tmp.resolve("data").toString)
+        def partsOf(p: java.nio.file.Path): Seq[String] =
+          Option(p.toFile.listFiles).toSeq.flatten
+            .map(_.getName).filter(_.startsWith("part-")).sorted
+        val v1Files = partsOf(tmp.resolve("data"))
+        // v2 append: write aside, then move the single part file into
+        // data/ under a stable name the manifest can reference
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+          .withColumn("doc_id", col("doc_id") + SnapAppendOffset)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(tmp.resolve("append").toString)
+        val appendName = "append-v2.parquet"
+        val appended = partsOf(tmp.resolve("append")).headOption.map { f =>
+          Files.move(tmp.resolve("append").resolve(f),
+            tmp.resolve("data").resolve(appendName))
+          appendName
+        }
+        deleteTree(tmp.resolve("append"))
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0L).select("doc_id")
+          .write.mode("overwrite").parquet(tmp.resolve("deletes_v2").toString)
+        Files.write(tmp.resolve("v1.manifest"),
+          v1Files.mkString("\n").getBytes("UTF-8"))
+        Files.write(tmp.resolve("v2.manifest"),
+          (v1Files ++ appended).mkString("\n").getBytes("UTF-8"))
+        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+        val old = Paths.get(s"$stage.old-$nonce")
+        if (Files.exists(stagePath))
+          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(old)) deleteTree(old)
+      }
+      stage
+    }
+
+  /** Read one snapshot version THROUGH ITS MANIFEST: only the listed
+    * files enter the scan (manifest-level file pruning — the reason a
+    * table format never lists directories at plan time), and v2
+    * subtracts the delete vector with an anti-join (merge-on-read).
+    * At 100 TB the anti-join is the standard MOR read amplification;
+    * compaction (see `src_compaction_census`) is the rewrite that
+    * retires it.
+    */
+  def readSnapshot(spark: SparkSession, stage: String, version: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val manifest = java.nio.file.Paths.get(stage, s"v$version.manifest")
+    val files = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    // an EMPTY corpus commits zero data files: scan the (existing,
+    // empty) data dir so the read stays schema-correct with no paths
+    val base =
+      if (files.isEmpty)
+        spark.read.schema(schema).parquet(s"$stage/data").filter(lit(false))
+      else spark.read.schema(schema)
+        .parquet(files.map(f => s"$stage/data/$f"): _*)
+    if (version == 1) base
+    else base.join(
+      spark.read.schema("doc_id BIGINT").parquet(s"$stage/deletes_v2"),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Snapshot-isolation certification: census v1 and v2 of the
+    * manifest-versioned staging — v1 must still equal the ORIGINAL
+    * table's census even though the v2 commit (append + delete
+    * vector) already exists in the same directory, and v2 must equal
+    * the original minus deletes plus appends. The DuckDB oracle
+    * recomputes both versions' censuses straight from `documents`, so
+    * any isolation leak (v1 seeing the append file, v2 missing a
+    * delete, a rewrite corrupting an old file) breaks the hash.
+    * Round12OpsSpec pins the physical reads: the v1 plan scans only
+    * v1-manifest files.
+    */
+  def snapshotCensus(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageSnapshotDir(spark, dir)
+    val schema = Tables.documents(spark, dir).schema
+    def census(df: DataFrame, version: String): DataFrame =
+      df.select(col("doc_id"),
+          concat_ws("|", col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text")).as("s"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(Text.rollingHash(col("s"))).as("content_sum"))
+        .select(lit(version).as("version"), col("n_rows"), col("id_sum"),
+          col("content_sum"))
+    census(readSnapshot(spark, stage, 1, schema), "v1")
+      .unionByName(census(readSnapshot(spark, stage, 2, schema), "v2"))
+      .orderBy("version")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "src_snapshot_census" -> GQuery.sql(snapshotCensus,
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM documents),
+        |v2 AS (
+        |  SELECT * FROM base WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, lang, source, n_chars, text
+        |  FROM base WHERE doc_id % 7 = 0),
+        |h1 AS (
+        |  SELECT doc_id, concat_ws('|', doc_id, lang, source, n_chars, text) AS s
+        |  FROM base),
+        |h2 AS (
+        |  SELECT doc_id, concat_ws('|', doc_id, lang, source, n_chars, text) AS s
+        |  FROM v2),
+        |r1 AS (
+        |  SELECT 'v1' AS version, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007)) AS BIGINT) AS content_sum
+        |  FROM h1),
+        |r2 AS (
+        |  SELECT 'v2' AS version, count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007)) AS BIGINT) AS content_sum
+        |  FROM h2)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY version""".stripMargin),
     "src_compaction_census" -> GQuery.sql(compactionCensus,
       """WITH c AS (
         |  SELECT doc_id,

@@ -164,6 +164,42 @@ object TextAnalysis {
       .select(col("doc_id"), Text.rollingHash(Text.normalized(col("text"))).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** Hashed linear text classifier — the fastText-style quality
+    * filter every large-scale training pipeline runs (hash word
+    * unigrams + bigrams into B buckets, sum the buckets' weights,
+    * threshold the score; CCNet et al. filter web crawl exactly this
+    * way). The scoring plan is the production one end to end: gram
+    * extraction → rolling-hash → bucket → weight lookup → per-doc
+    * sum, all codegen'd `functions._` with ONE corpus scan and zero
+    * shuffles before the per-doc aggregate. The 4096-entry weight
+    * table is a fixed affine mint W[b] = (b·2654435761) mod 1001 −
+    * 500 instead of learned logistic-regression weights — swapping in
+    * a learned table is a broadcast join or a `transform` lookup with
+    * the same plan shape — which keeps every arithmetic step integer,
+    * so DuckDB replays hash, bucketing, weights, score, and label
+    * cell-for-cell (the dd_lsh_recall standard).
+    */
+  val ClassifierBuckets = 4096L
+  def hashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val arr = Text.tokens(lower(col("text")))
+    val bigrams = zip_with(
+      slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+      slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+      (l, r) => concat_ws(" ", l, r))
+    val weight = pmod(pmod(col("h"), lit(ClassifierBuckets)) *
+      lit(2654435761L), lit(1001L)) - lit(500L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), arr.as("t"))
+      .select(col("doc_id"), explode(concat(col("t"), bigrams)).as("g"))
+      .select(col("doc_id"), Text.rollingHash(col("g")).as("h"))
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("score"))
+      .select(col("doc_id"), col("n_grams"), col("score"),
+        when(col("score") > 0, lit(1L)).otherwise(lit(0L)).as("label"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram language-model estimation — the classic MapReduce n-gram
     * LM job (count n-grams, normalize by context): P(w2 | w1) =
     * c(w1 w2) / Σ_w c(w1 w). The denominator is the bigram-context
@@ -1394,6 +1430,29 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_hash
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "txt_hashed_classifier" -> GQuery.sql(hashedClassifier,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, g FROM toks, unnest(t) AS u(g)
+        |  UNION ALL
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(range(1, length(g) + 1),
+        |         i -> CAST(ascii(g[i]) AS BIGINT))),
+        |       (acc, x) -> (acc * 131 + x) % 1000000007)
+        |     % 4096) * 2654435761 % 1001 - 500 AS w
+        |  FROM grams)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(w) AS BIGINT) AS score,
+        |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "txt_fingerprint_fnv" -> GQuery.sql(fingerprintFnv,
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s

@@ -79,6 +79,43 @@ class Round12OpsSpec extends SparkTestBase {
       "probe plan does not scan the staged index")
   }
 
+  test("src_snapshot_census: v1 reads prune to the v1 manifest and ignore the v2 commit") {
+    val stage = operators.Sources.stageSnapshotDir(spark, SfDir)
+    val schema = Tables.documents(spark, SfDir).schema
+    val v1 = operators.Sources.readSnapshot(spark, stage, 1, schema)
+    // time travel: the v2 commit (append file + delete vector) already
+    // sits in the same directory, yet v1 equals the original table
+    val orig = Tables.documents(spark, SfDir)
+    assert(v1.count() == orig.count() && v1.count() > 0)
+    assert(v1.select("doc_id").exceptAll(orig.select("doc_id")).count() == 0)
+    // manifest-level file pruning: the v1 scan must NOT touch the
+    // append file — commits are invisible until their manifest is read
+    val v1Files = v1.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(v1Files.nonEmpty && !v1Files.exists(_.contains("append-v2")),
+      s"v1 scan leaked the v2 append file: $v1Files")
+    // v2 sees the append and not the deleted ids
+    val v2 = operators.Sources.readSnapshot(spark, stage, 2, schema)
+    assert(v2.filter(col("doc_id") % 5 === 0 &&
+      col("doc_id") < operators.Sources.SnapAppendOffset).count() == 0,
+      "v2 still contains delete-vector rows")
+    assert(v2.filter(col("doc_id") >= operators.Sources.SnapAppendOffset).count() ==
+      orig.filter(col("doc_id") % 7 === 0).count(),
+      "v2 append rows missing")
+  }
+
+  test("ann_mips_topk ranks by inner product, not angle") {
+    val mips = operators.Similarity.mipsTopk(spark, SfDir)
+      .select("q_id", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    val cos = operators.Similarity.bruteforceTopkAgg(spark, SfDir)
+      .select("q_id", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    assert(mips.nonEmpty && mips.size == cos.size)
+    // norms vary across the synthetic embeddings, so the two metrics
+    // must produce genuinely different rankings somewhere — if they
+    // ever became identical the op would be a redundant alias
+    assert(mips != cos, "MIPS ordering collapsed to the cosine ordering")
+  }
+
   test("ev_sessionize money field is exact integer cents on both paths") {
     import spark.implicits._
     // exact-quarter values (0.25 is binary-exact): per-event HALF_UP
