@@ -320,6 +320,110 @@ object Bpe {
       .orderBy("source")
 
   // ---------------------------------------------------------------
+  // Viterbi subword segmentation (unigram-LM inference)
+  // ---------------------------------------------------------------
+
+  /** DP window bound: pieces longer than this never match (a standard
+    * Viterbi beam bound — BOTH engines apply the same window, so the
+    * result stays hash-equal even if a longer piece exists).
+    */
+  val MaxPieceLen = 16
+
+  /** Unreachable-position floor: far enough below zero that floor +
+    * any piece score can never win a `greatest`, near enough that the
+    * sum cannot overflow a long.
+    */
+  private val VitFloor = -1000000000000000L
+
+  /** Viterbi max-score subword segmentation — the INFERENCE step of a
+    * SentencePiece-unigram tokenizer (Kudo 2018: segment each word by
+    * the highest-scoring piece decomposition via DP over positions),
+    * run over the learned BPE piece inventory with the deterministic
+    * integer score s(p) = 1000·len(p)² − id(p): the len² term makes
+    * the DP genuinely nontrivial (splitting a coverable span always
+    * loses to covering it whole, but competing long-piece overlaps
+    * must be searched), and the id term prefers earlier-minted (more
+    * frequent) pieces — every score an integer, so both engines agree
+    * exactly. Output is the per-DISTINCT-WORD certification (w,
+    * n_chars, vit_score): the best SCORE is unique by definition of
+    * max even where multiple optimal paths tie, which is what makes
+    * the row deterministic without a path tie-break protocol.
+    *
+    * Plan shape: the DP runs on the VOCABULARY (never the corpus —
+    * the `encodedVocab` discipline) as maxLen chained column folds
+    * over a string accumulator of best-scores ("0 b1 b2 …"), each
+    * level one single-level `aggregate` over the ≤MaxPieceLen
+    * predecessor window with a broadcast piece-score map literal
+    * (collected symbol table — the ≤~100-row constant-size driver
+    * contract, same as the merge table). Lineage re-truncates every
+    * FoldStride levels. The DuckDB oracle replays the identical DP as
+    * a WITH RECURSIVE accumulator walk over the same replayed symbol
+    * table — same window, same floor, same arithmetic.
+    */
+  def viterbiSegment(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(spark, dir)
+    val scores: Map[String, Long] =
+      symbolIds(spark, vocabOf(spark, dir).select(col("w")), merges)
+        .collect()
+        .map(r => r.getString(0) ->
+          (1000L * r.getString(0).length * r.getString(0).length - r.getLong(1)))
+        .toMap
+    val scoreMap =
+      if (scores.isEmpty) typedLit(Map("" -> 0L)) else typedLit(scores)
+    var v = vocabOf(spark, dir).select(col("w"))
+      .withColumn("acc", lit("0"))
+    val maxLen = Option(v.agg(max(length(col("w")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    (1 to maxLen).foreach { i =>
+      val bestI = aggregate(
+        sequence(lit(math.max(i - MaxPieceLen, 0)), lit(i - 1)),
+        lit(VitFloor),
+        (m, j) => {
+          val piece = col("w").substr(j + 1, lit(i) - j)
+          val sc = element_at(scoreMap, piece)
+          val bj = element_at(split(col("acc"), " "), j + 1).cast("long")
+          greatest(m, when(sc.isNotNull, bj + sc).otherwise(m))
+        })
+      v = v.withColumn("acc",
+        when(length(col("w")) >= i,
+          concat(col("acc"), lit(" "), bestI.cast("string")))
+          .otherwise(col("acc")))
+      if (i % FoldStride == 0) v = v.truncated
+    }
+    v.select(col("w"),
+        length(col("w")).cast("long").as("n_chars"),
+        element_at(split(col("acc"), " "), length(col("w")) + 1)
+          .cast("long").as("vit_score"))
+      .orderBy("w")
+  }
+
+  private def viterbiOracle: String =
+    (trainChain + symbolChainSql).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+sm AS (
+  SELECT map(list(sym), list(1000 * length(sym) * length(sym) - id)) AS m
+  FROM symu),
+rec AS (
+  SELECT w, 0 AS i, '0' AS acc FROM v0
+  UNION ALL
+  SELECT w, i + 1,
+    acc || ' ' || CAST(
+      list_reduce(
+        list_prepend(CAST($VitFloor AS BIGINT),
+          range(greatest(i + 1 - $MaxPieceLen, 0), i + 1)),
+        (mm, j) -> greatest(mm, CASE
+          WHEN map_extract(sm.m, substr(w, CAST(j AS INTEGER) + 1,
+                 i + 1 - CAST(j AS INTEGER)))[1] IS NOT NULL
+          THEN CAST(string_split(acc, ' ')[CAST(j AS INTEGER) + 1] AS BIGINT)
+               + map_extract(sm.m, substr(w, CAST(j AS INTEGER) + 1,
+                   i + 1 - CAST(j AS INTEGER)))[1]
+          ELSE mm END)) AS VARCHAR)
+  FROM rec, sm WHERE i < length(w))
+SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+  CAST(string_split(acc, ' ')[length(w) + 1] AS BIGINT) AS vit_score
+FROM rec WHERE i = length(w) ORDER BY w"""
+
+  // ---------------------------------------------------------------
   // DuckDB oracle: the full unrolled merge-fixpoint replay
   // ---------------------------------------------------------------
 
@@ -375,8 +479,10 @@ mergetbl AS (
 SELECT CAST(merge_idx AS BIGINT) AS merge_idx, lhs, rhs, merged, pair_count
 FROM mergetbl ORDER BY merge_idx"""
 
-  private def encodeOracle: String =
-    trainChain + s""",
+  /** Symbol → id CTE chain (chars, syms, symid, symu) shared by the
+    * encode and Viterbi oracles — one definition of the id numbering.
+    */
+  private def symbolChainSql: String = s""",
 mergetbl AS (
   $mergeTableSql),
 chars AS (
@@ -394,7 +500,10 @@ symid AS (
        ((a.grp = 0 AND b.ck < a.ck) OR (a.grp = 1 AND b.mi < a.mi))))
     AS id
   FROM syms a),
-symu AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM symid GROUP BY sym),
+symu AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM symid GROUP BY sym)"""
+
+  private def encodeOracle: String =
+    trainChain + symbolChainSql + s""",
 wsym AS (
   SELECT w, CAST(split_part(sp, '|', 1) AS BIGINT) AS spos,
          split_part(sp, '|', 2) AS sym
@@ -441,5 +550,6 @@ GROUP BY source ORDER BY source"""
   val queries: Map[String, GQuery] = Map(
     "pipe_bpe_train" -> GQuery.sql(bpeTrain, trainOracle),
     "pipe_bpe_encode" -> GQuery.sql(bpeEncode, encodeOracle),
-    "pipe_bpe_fertility" -> GQuery.sql(bpeFertility, fertilityOracle))
+    "pipe_bpe_fertility" -> GQuery.sql(bpeFertility, fertilityOracle),
+    "pipe_viterbi_segment" -> GQuery.sql(viterbiSegment, viterbiOracle))
 }

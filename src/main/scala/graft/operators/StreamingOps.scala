@@ -168,6 +168,66 @@ object StreamingOps {
       .orderBy("event_id", "c_ms")
   }
 
+  /** Watermark-progression census — the OBSERVABILITY row a streaming
+    * operator on call actually reads (is the watermark advancing? how
+    * many rows rode each advance?): the corpus plus two far-future
+    * sentinel files drain as ordered micro-batches (dropFile's strictly
+    * increasing mtimes fix the order) under a windowed count with the
+    * standard 2-hour watermark, and the query's OWN progress telemetry
+    * (`recentProgress` — read synchronously after the drain, no async
+    * listener) reduces to (watermark_ms → input rows processed under
+    * it). Batch k runs under the watermark its predecessors
+    * established, so the expected progression is CLOSED-FORM over the
+    * corpus: 0 for the corpus batch, max(ts)−2h for the first
+    * sentinel's batch, +10h−2h for the second, +20h−2h for the final
+    * no-data flush — which is exactly what the DuckDB oracle computes
+    * (GREATEST(…, 0) folds the empty-corpus case, where the watermark
+    * floor merges batches). Grouping by watermark value rather than
+    * batch index keeps the census invariant to how many zero-row
+    * housekeeping batches the engine interleaves. recentProgress is a
+    * ≤4-entry driver read — the constant-size driver contract.
+    */
+  def streamWatermarkCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxMs = Option(all.select(max(unix_millis(col("ts")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    def sentinel(id: Long, ms: Long): DataFrame =
+      spark.range(1).select(lit(id).as("event_id"),
+        timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    val watch = java.nio.file.Files.createTempDirectory("graft_wm_census")
+    EventsStreaming.dropFile(all, watch.toString, "a")
+    EventsStreaming.dropFile(
+      sentinel(-1L, maxMs + 10L * 3600 * 1000), watch.toString, "s1")
+    EventsStreaming.dropFile(
+      sentinel(-2L, maxMs + 20L * 3600 * 1000), watch.toString, "s2")
+    withDrainConf(spark) {
+      val agg = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName("graft_stream_wm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      q.recentProgress.toSeq
+        .map { p =>
+          val wm = Option(p.eventTime.get("watermark"))
+            .map(s => java.time.Instant.parse(s).toEpochMilli)
+            .getOrElse(0L)
+          (wm, p.numInputRows)
+        }
+        .toDF("wm_ms", "rows_in")
+        .groupBy("wm_ms").agg(sum(col("rows_in")).as("rows_in"))
+        .orderBy("wm_ms")
+    }
+  }
+
   /** Exactly-once ingest: the events file is staged TWICE (every row
     * arrives duplicated, the at-least-once delivery the pattern
     * exists for) and `dropDuplicatesWithinWatermark` on event_id must
@@ -511,6 +571,21 @@ object StreamingOps {
     "stream_dedup_counts" -> GQuery.sql(streamDedupCounts,
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    "stream_watermark_census" -> GQuery.sql(streamWatermarkCensus,
+      """WITH m AS (
+        |  SELECT COALESCE(CAST(max(epoch_ms(ts)) AS BIGINT), 0) AS mx,
+        |    count(*) AS cnt
+        |  FROM events),
+        |raw AS (
+        |  SELECT CAST(0 AS BIGINT) AS wm_ms, cnt AS rows_in FROM m
+        |  UNION ALL
+        |  SELECT GREATEST(mx - 7200000, 0), 1 FROM m
+        |  UNION ALL
+        |  SELECT GREATEST(mx + 36000000 - 7200000, 0), 1 FROM m
+        |  UNION ALL
+        |  SELECT GREATEST(mx + 72000000 - 7200000, 0), 0 FROM m)
+        |SELECT wm_ms, CAST(sum(rows_in) AS BIGINT) AS rows_in
+        |FROM raw GROUP BY wm_ms ORDER BY wm_ms""".stripMargin),
     "stream_sessionize" -> GQuery.sql(streamSessionize,
       """WITH flagged AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms,

@@ -116,6 +116,25 @@ class Round12OpsSpec extends SparkTestBase {
     assert(mips != cos, "MIPS ordering collapsed to the cosine ordering")
   }
 
+  test("pipe_viterbi_segment: hand-replayed DP on the tiny BPE fixture") {
+    import spark.implicits._
+    val stage = "/root/repo/target/graft_vit_tiny"
+    // 10×"aaa" + 3×"abab" (the Round11 BPE fixture): merges mint
+    // aa(2), aaa(3), ab(4), abab(5) over alphabet a(0), b(1).
+    // Scores s(p) = 1000·len²−id:
+    //   a=1000, b=999, aa=3998, aaa=8997, ab=3996, abab=15995.
+    // Hand DP: "aaa" → whole piece 8997 beats aa+a (4998) and a·3
+    // (3000); "abab" → whole 15995 beats ab+ab (7992).
+    Seq((0L, "en", "web", (List.fill(10)("aaa") ++ List.fill(3)("abab")).mkString(" ")))
+      .map { case (id, l, s, t) => (id, l, s, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+    val got = operators.Bpe.viterbiSegment(spark, stage).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("aaa", 3L, 8997L), ("abab", 4L, 15995L)),
+      s"Viterbi diverged from the hand replay: $got")
+  }
+
   test("ev_sessionize money field is exact integer cents on both paths") {
     import spark.implicits._
     // exact-quarter values (0.25 is binary-exact): per-event HALF_UP
