@@ -514,6 +514,91 @@ object Sources {
   }
 
   // ---------------------------------------------------------------
+  // CSV dialect hazards (quoted commas/quotes/newlines, multiline)
+  // ---------------------------------------------------------------
+
+  val CsvStageRoot = "/root/repo/target/graft_csv_dialect"
+
+  /** The adversarial field: every document's text wrapped so the CSV
+    * value CONTAINS a comma, a double quote, and a real newline —
+    * the three classic dialect breakers. Same expression on both
+    * engines (pure string concat), so the oracle censuses the same
+    * ground truth the staging wrote.
+    */
+  private def dialectText(text: org.apache.spark.sql.Column) =
+    concat(lit("pre,\""), text, lit("\"\npost"))
+
+  /** Stage the adversarial slice as ONE Spark-written CSV (header,
+    * quote-doubling escape), idempotent per source dir.
+    */
+  def stageCsvDialectDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stage = s"$CsvStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
+      val stagePath = Paths.get(stage)
+      val cur =
+        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
+        catch { case _: Exception => "" }
+      if (cur != dir) {
+        val nonce = System.nanoTime()
+        val tmp = Paths.get(s"$stage.tmp-$nonce")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+            dialectText(col("text")).as("text"))
+          .write.mode("overwrite")
+          .option("header", "true").option("quote", "\"").option("escape", "\"")
+          .csv(tmp.resolve("csv").toString)
+        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+        val old = Paths.get(s"$stage.old-$nonce")
+        if (Files.exists(stagePath))
+          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(old)) deleteTree(old)
+      }
+      stage
+    }
+
+  /** CSV dialect certification — the ingestion hazard the parquet
+    * round-trips can't see: fields carrying embedded commas, quotes,
+    * and REAL NEWLINES (multiline records). The staged CSV write
+    * quote-wraps and quote-doubles them; the read must reassemble
+    * every record exactly (multiLine=true — note the 100 TB trade
+    * stated below), reduced to the same content census as the
+    * parquet truth under the identical adversarial transform, which
+    * the DuckDB oracle recomputes straight from `documents`. A single
+    * mis-split record anywhere breaks the hash.
+    *
+    * Scale note: multiLine CSV is NON-SPLITTABLE per file (a reader
+    * cannot resync mid-file when newlines occur inside quotes), so a
+    * 100 TB ingest of this dialect must arrive as many files — the
+    * parallelism unit becomes the file, not the block. That is a
+    * property of the format, not the engine; the op certifies
+    * correctness and the scaladoc prices the trade.
+    */
+  def csvDialectCensus(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageCsvDialectDir(spark, dir)
+    def census(df: DataFrame, layout: String): DataFrame =
+      df.select(col("doc_id"),
+          concat_ws("|", col("doc_id"), col("lang"), col("source"),
+            col("text")).as("s"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(Text.rollingHash(col("s"))).as("content_sum"))
+        .select(lit(layout).as("layout"), col("n_rows"), col("id_sum"),
+          col("content_sum"))
+    val truth = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        dialectText(col("text")).as("text"))
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(s"$stage/csv")
+    census(truth, "source").unionByName(census(back, "csv"))
+      .orderBy("layout")
+  }
+
+  // ---------------------------------------------------------------
   // Snapshot isolation / time travel over a manifest-versioned layout
   // ---------------------------------------------------------------
 
@@ -640,6 +725,25 @@ object Sources {
   }
 
   val queries: Map[String, GQuery] = Map(
+    "src_csv_dialect_census" -> GQuery.sql(csvDialectCensus,
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    'pre,"' || text || '"' || chr(10) || 'post' AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, concat_ws('|', doc_id, lang, source, text) AS s
+        |  FROM t),
+        |a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007)) AS BIGINT) AS content_sum
+        |  FROM c)
+        |SELECT f.layout, a.n_rows, a.id_sum, a.content_sum
+        |FROM a CROSS JOIN (VALUES ('csv'), ('source')) f(layout)
+        |ORDER BY layout""".stripMargin),
     "src_snapshot_census" -> GQuery.sql(snapshotCensus,
       """WITH base AS (
         |  SELECT doc_id, lang, source, n_chars, text FROM documents),
