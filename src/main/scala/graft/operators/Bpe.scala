@@ -380,7 +380,10 @@ object Bpe {
         lit(VitFloor),
         (m, j) => {
           val piece = col("w").substr(j + 1, lit(i) - j)
-          val sc = element_at(scoreMap, piece)
+          // try_element_at: a missing piece is the NORMAL case (not
+          // every substring is in the inventory) and must stay NULL
+          // under ANSI mode too, where plain element_at throws
+          val sc = try_element_at(scoreMap, piece)
           val bj = element_at(split(col("acc"), " "), j + 1).cast("long")
           greatest(m, when(sc.isNotNull, bj + sc).otherwise(m))
         })

@@ -473,8 +473,11 @@ object TextAnalysis {
       .filter(col("s1") < col("s2"))
     perWord.crossJoin(broadcast(pairs))
       .select(col("s1"), col("s2"),
-        element_at(col("m"), col("s1")).as("p"),
-        element_at(col("m"), col("s2")).as("q"))
+        // try_element_at: a word absent from one source is the point
+        // of the computation (NULL → 0 mass); plain element_at would
+        // throw on the missing key under ANSI mode
+        try_element_at(col("m"), col("s1")).as("p"),
+        try_element_at(col("m"), col("s2")).as("q"))
       .filter(col("p").isNotNull || col("q").isNotNull)
       .withColumn("t", coalesce(col("p"), lit(0.0)) + coalesce(col("q"), lit(0.0)))
       .withColumn("term",

@@ -1,0 +1,44 @@
+package graft
+
+/** ANSI-mode parity sweep — the silent-wraparound audit run as a
+  * structural property over the WHOLE registry: every query must
+  * return byte-identical rows with `spark.sql.ansi.enabled=true`.
+  *
+  * Why this matters at 100 TB: under default (non-ANSI) semantics an
+  * integer overflow WRAPS and a decimal overflow NULLs — both flow
+  * silently into downstream aggregates, which is exactly the failure
+  * mode ADVICE r11 #5 flagged for betweenness σ (now assert-guarded).
+  * Under ANSI the same conditions THROW. A registry that produces
+  * identical output under both modes is therefore certified free of
+  * arithmetic that silently relies on wrap/NULL-on-overflow at the
+  * tested scale — and any FUTURE operator that sneaks one in fails
+  * this suite, not a 3 a.m. production job.
+  *
+  * NULL-on-missing lookups that are semantically intended (the
+  * Viterbi piece-score probe, the JS-divergence per-source mass) use
+  * try_element_at, which keeps NULL semantics in both modes.
+  */
+class AnsiParitySpec extends SparkTestBase {
+
+  test("every registry query is byte-identical under ANSI mode") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val diverged = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val default = fn(spark, SfDir).collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val ansi =
+        try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
+        catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+        finally spark.conf.set("spark.sql.ansi.enabled", "false")
+      ansi match {
+        case Left(err) => diverged += s"$name THREW under ANSI: $err"
+        case Right(rows) if rows != default =>
+          diverged += s"$name rows diverged under ANSI"
+        case _ => ()
+      }
+    }
+    assert(diverged.isEmpty,
+      s"${diverged.size} queries not ANSI-clean:\n  ${diverged.mkString("\n  ")}")
+  }
+}
