@@ -1,0 +1,39 @@
+package graft
+
+/** Partition-count invariance sweep — the single-machine analogue of
+  * "would this answer change on a 1000-executor cluster": every
+  * registry query must return byte-identical rows when
+  * `spark.sql.shuffle.partitions` changes (4 → 13, a deliberately
+  * awkward prime). Any operator that leaks physical partitioning into
+  * its OUTPUT — a per-partition sample, a limit without a total
+  * order, an aggregation whose tie-break depends on merge order, an
+  * unrounded FP sum whose association varies with reducer count —
+  * fails here instead of surfacing as a cluster-vs-laptop diff.
+  * Streaming drains pin their own state-partition count (8) inside
+  * withDrainConf, so they are exercised for sink/replay invariance
+  * rather than state sizing.
+  */
+class PartitionInvarianceSpec extends SparkTestBase {
+
+  test("every registry query is byte-identical at 13 shuffle partitions") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val diverged = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val at4 = fn(spark, SfDir).collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val at13 =
+        try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
+        catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      at13 match {
+        case Left(err) => diverged += s"$name THREW at 13 partitions: $err"
+        case Right(rows) if rows != at4 =>
+          diverged += s"$name rows depend on the shuffle partition count"
+        case _ => ()
+      }
+    }
+    assert(diverged.isEmpty,
+      s"${diverged.size} queries not partition-invariant:\n  ${diverged.mkString("\n  ")}")
+  }
+}
