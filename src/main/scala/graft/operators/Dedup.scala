@@ -325,10 +325,15 @@ object Dedup {
       if (Files.exists(stagePath))
         Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
+      // bottom-up delete with the walk stream CLOSED (the ADVICE r9
+      // #5 lesson — a bare Files.walk(...).iterator() leaks the
+      // directory stream's file handles)
       if (Files.exists(old)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(old).iterator().asScala.toSeq
-          .reverse.foreach(Files.delete)
+        val walk = Files.walk(old)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        } finally walk.close()
       }
     }
     stage

@@ -170,8 +170,13 @@ object TextAnalysis {
     * threshold the score; CCNet et al. filter web crawl exactly this
     * way). The scoring plan is the production one end to end: gram
     * extraction → rolling-hash → bucket → weight lookup → per-doc
-    * sum, all codegen'd `functions._` with ONE corpus scan and zero
-    * shuffles before the per-doc aggregate. The 4096-entry weight
+    * sum, ONE corpus scan and zero shuffles before the per-doc
+    * aggregate. The rolling-hash fold is the same interpreted
+    * higher-order `aggregate` the fingerprint family rides (NOT the
+    * native fused-loop path — if this scan ever turns hot, a
+    * ShingleHashes-style native expression is the established
+    * upgrade); the bucket/weight arithmetic around it stays in
+    * codegen. The 4096-entry weight
     * table is a fixed affine mint W[b] = (b·2654435761) mod 1001 −
     * 500 instead of learned logistic-regression weights — swapping in
     * a learned table is a broadcast join or a `transform` lookup with
