@@ -168,6 +168,14 @@ object Similarity {
 
   /** IVF pipeline over corpus `e` for query set `q` (q_id, qv). */
   private def ivfTopkFrom(e: DataFrame, q: DataFrame): DataFrame = {
+    val (centroids, assigned) = ivfIndexOf(e)
+    ivfProbe(centroids, assigned, q)
+  }
+
+  /** IVF INDEX construction — centroids + cell assignments, the two
+    * tables a vector store persists (see `ann_index_probe`).
+    */
+  private def ivfIndexOf(e: DataFrame): (DataFrame, DataFrame) = {
     // Centroids by deterministic hash sampling: keep vec_ids whose
     // xxhash64 falls in a 1-in-(n/ceil(sqrt(n))) residue class — a
     // single scan + scalar count, instead of a single-task global
@@ -196,6 +204,14 @@ object Similarity {
       .agg(max_by(col("cell_id"), struct(col("cell_cos"), -col("cell_id"))).as("cell_id"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cell_id"))
+    (centroids, assigned)
+  }
+
+  /** IVF PROBE against an already-built index (in-memory frames or
+    * parquet-backed reads — the plan is identical either way).
+    */
+  private def ivfProbe(centroids: DataFrame, assigned: DataFrame,
+      q: DataFrame): DataFrame = {
     // Probe the nearest half of the cells. The crank window is
     // per-query over the ~√n centroid rows only (already reduced by
     // the centroid aggregate), never over corpus rows.
@@ -221,6 +237,81 @@ object Similarity {
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.id").as("vec_id"), round(col("s.score"), 4).as("cosine"))
       .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted IVF index + probe (the vector-store ingest/serve split)
+  // ---------------------------------------------------------------
+
+  val IvfIndexRoot = "/root/repo/target/graft_ivf_index"
+
+  private def ivfIndexPathFor(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"$IvfIndexRoot/${abs.getFileName}_$key"
+  }
+
+  /** Persist the IVF index (centroids + cell assignments) once per
+    * corpus dir — the ingest half of every production vector store:
+    * the index is BUILT offline and SERVED by probes that never touch
+    * the build path. Same atomic-swap protocol as the other stagings.
+    */
+  def stageIvfIndex(spark: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(ivfIndexPathFor(dir))
+    val cur =
+      try new String(Files.readAllBytes(stage.resolve("_SOURCE")), "UTF-8")
+      catch { case _: Exception => "" }
+    if (cur != dir) {
+      val nonce = System.nanoTime()
+      val tmp = Paths.get(s"$stage.tmp-$nonce")
+      val (centroids, assigned) = ivfIndexOf(vecs(spark, dir))
+      centroids.write.mode("overwrite")
+        .parquet(tmp.resolve("centroids").toString)
+      assigned.write.mode("overwrite")
+        .parquet(tmp.resolve("assigned").toString)
+      Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
+      val old = Paths.get(s"$stage.old-$nonce")
+      if (Files.exists(stage)) Files.move(stage, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, stage, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old)) {
+        val walk = Files.walk(old)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        } finally walk.close()
+      }
+    }
+    stage.toString
+  }
+
+  /** ANN serving against the PERSISTED IVF index — the
+    * `dd_incremental_probe` story on the vector side: `stageIvfIndex`
+    * builds centroids + assignments ONCE (the offline ingest job);
+    * this probe reads them back from parquet and serves the planted
+    * query set through `ivfProbe` without ever re-running sampling or
+    * assignment — the recurring cost is O(queries × probed cells),
+    * not a corpus re-index. Same planted construction and rank-1
+    * restriction as `ann_ivf_topk`, so the identical closed-form
+    * oracle hash-checks the WHOLE stored path (index write → schema'd
+    * read → probe → bounded-heap ranking). Round12OpsSpec pins index
+    * reuse and byte-equality with the in-memory pipeline.
+    */
+  def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = stageIvfIndex(spark, dir)
+    // explicit schemas: an empty corpus stages no part files
+    val centroids = spark.read
+      .schema("cell_id BIGINT, cv ARRAY<FLOAT>").parquet(s"$idx/centroids")
+    val assigned = spark.read
+      .schema("vec_id BIGINT, v ARRAY<FLOAT>, cell_id BIGINT")
+      .parquet(s"$idx/assigned")
+    val q = vecs(spark, dir).filter(pmod(col("vec_id"), lit(8L)) === 0L)
+      .select((col("vec_id") + QueryOffset).as("q_id"), col("v").as("qv"))
+    ivfProbe(centroids, assigned, q)
+      .filter(col("rank") === 1L)
+      .orderBy("q_id")
   }
 
   val GramDim = 64
@@ -2124,6 +2215,13 @@ ORDER BY vec_id, rank"""
         |SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cosine
         |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
     "ann_ivf_topk" -> GQuery.sql(ivfTopkPlanted,
+      s"""SELECT vec_id + $QueryOffset AS q_id, CAST(1 AS BIGINT) AS rank,
+        |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 8 = 0
+        |ORDER BY q_id""".stripMargin),
+    // identical truth domain to ann_ivf_topk: the stored-index probe
+    // must serve the same rank-1 answers the in-memory pipeline finds
+    "ann_index_probe" -> GQuery.sql(annIndexProbe,
       s"""SELECT vec_id + $QueryOffset AS q_id, CAST(1 AS BIGINT) AS rank,
         |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 8 = 0

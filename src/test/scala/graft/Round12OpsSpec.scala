@@ -104,6 +104,24 @@ class Round12OpsSpec extends SparkTestBase {
       "v2 append rows missing")
   }
 
+  test("ann_index_probe: persisted IVF index serves the in-memory pipeline's answers") {
+    val probe = operators.Similarity.annIndexProbe(spark, SfDir)
+    val mem = operators.Similarity.ivfTopkPlanted(spark, SfDir)
+    assert(probe.count() > 0)
+    assert(probe.exceptAll(mem).count() == 0 && mem.exceptAll(probe).count() == 0,
+      "stored-index probe diverged from the in-memory IVF pipeline")
+    val marker = java.nio.file.Paths.get(
+      operators.Similarity.stageIvfIndex(spark, SfDir), "_SOURCE")
+    val before = java.nio.file.Files.getLastModifiedTime(marker)
+    operators.Similarity.annIndexProbe(spark, SfDir).count()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == before,
+      "second probe rebuilt the persisted IVF index")
+    val plan = operators.Similarity.annIndexProbe(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_index"),
+      "probe plan does not scan the staged index")
+  }
+
   test("ann_mips_topk ranks by inner product, not angle") {
     val mips = operators.Similarity.mipsTopk(spark, SfDir)
       .select("q_id", "rank", "vec_id").collect().map(_.toSeq).toSeq
