@@ -82,7 +82,7 @@ object Dedup {
     * minhash-LSH 2.2→1.5 s. Output rows are identical (same tokenizer
     * regex, same xxhash64 seed).
     */
-  private def shingleHashRowsOf(docs: DataFrame): DataFrame =
+  private[operators] def shingleHashRowsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"),
         explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)).as("sh"))
@@ -201,7 +201,7 @@ object Dedup {
     * LSH and the persisted-index ops, so an index built yesterday and
     * a probe computed today can never drift on hashing semantics.
     */
-  private def sigsOf(r0: DataFrame): DataFrame = {
+  private[operators] def sigsOf(r0: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map { i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i")
     }
@@ -209,7 +209,7 @@ object Dedup {
   }
 
   /** LSH band buckets of a signature table: (doc_id, band, bucket). */
-  private def bandBucketsOf(sigs: DataFrame): DataFrame = {
+  private[operators] def bandBucketsOf(sigs: DataFrame): DataFrame = {
     val bands = (0 until MinhashK / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -344,7 +344,7 @@ object Dedup {
     * as today's ingest against yesterday's index. Guarded like
     * `withPlanted`: natural ids must sit below PlantOffset.
     */
-  private def ingestBatchOf(docs: DataFrame): DataFrame =
+  private[operators] def ingestBatchOf(docs: DataFrame): DataFrame =
     docs.filter(assert_true(col("doc_id") < PlantOffset,
         lit(s"ingestBatchOf: doc_id >= $PlantOffset collides with batch ids — raise PlantOffset")).isNull)
       .filter(pmod(col("doc_id"), lit(4L)) === 0L)
@@ -372,15 +372,24 @@ object Dedup {
     * pipeline's planted rows and that a second run reuses the staged
     * index without rebuilding).
     */
-  def incrementalProbe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = stageLshIndex(spark, dir)
+  def incrementalProbe(spark: SparkSession, dir: String): DataFrame =
+    probeLshIndex(spark, stageLshIndex(spark, dir),
+      ingestBatchOf(docsTable(spark, dir)))
+
+  /** The probe half against ANY on-disk index layout (batch-staged by
+    * `stageLshIndex` or stream-appended by
+    * `StreamingOps.streamIndexIngest` — the read path cannot tell the
+    * difference, which is the point).
+    */
+  private[operators] def probeLshIndex(spark: SparkSession, idx: String,
+      batch: DataFrame): DataFrame = {
     val idxBuckets = spark.read.schema(IdxBucketsSchema)
       .parquet(s"$idx/buckets")
     val idxShingles = spark.read.schema(IdxShinglesSchema)
       .parquet(s"$idx/shingles")
     val idxSizes = spark.read.schema(IdxSizesSchema)
       .parquet(s"$idx/sizes")
-    val b0 = shingleHashRowsOf(ingestBatchOf(docsTable(spark, dir))).truncated
+    val b0 = shingleHashRowsOf(batch).truncated
     val cand = bandBucketsOf(sigsOf(b0))
       .withColumnRenamed("doc_id", "doc_id_2")
       .join(idxBuckets.withColumnRenamed("doc_id", "doc_id_1"),

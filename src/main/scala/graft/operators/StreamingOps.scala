@@ -168,6 +168,67 @@ object StreamingOps {
       .orderBy("event_id", "c_ms")
   }
 
+  /** Streaming INDEX MAINTENANCE — the missing third of the
+    * persisted-index story (`dd_incremental_probe` probes it,
+    * `stageLshIndex` batch-builds it; production indexes are kept
+    * fresh by a STREAM): the documents corpus arrives as ordered file
+    * micro-batches, and foreachBatch computes each batch's shingle
+    * rows / MinHash signatures / band buckets / set sizes with the
+    * SAME shared Dedup primitives the batch build uses (signatures
+    * are per-doc, hence batch-computable with no cross-batch state)
+    * and APPENDS them to the parquet index — exactly-once per batch
+    * rides the streaming checkpoint like `stream_upsert_sink_census`.
+    * After the drain, the planted twin batch probes the STREAMED
+    * index through the same verify join as `dd_incremental_probe` —
+    * so the DuckDB brute-force oracle hash-checks stream-built index
+    * == batch-built index == ground truth in one row. At 100 TB this
+    * is the shape that keeps dedup current between full rebuilds:
+    * per-batch cost is O(batch), the probe never re-scans the corpus.
+    */
+  def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val watch = java.nio.file.Files.createTempDirectory("graft_idx_ingest")
+    // three roughly equal corpus slices arrive as ordered batches
+    EventsStreaming.dropFile(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L),
+      watch.toString, "a")
+    EventsStreaming.dropFile(docs.filter(pmod(col("doc_id"), lit(3L)) === 1L),
+      watch.toString, "b")
+    EventsStreaming.dropFile(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L),
+      watch.toString, "c")
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_stream")
+    // seed every index table EMPTY so the post-drain reads exist even
+    // when no batch writes (empty corpus) — explicit schemas besides
+    val emptyDocs = docs.filter(lit(false))
+    Dedup.shingleHashRowsOf(emptyDocs).select("doc_id", "sh")
+      .write.mode("overwrite").parquet(s"$idx/shingles")
+    Dedup.bandBucketsOf(Dedup.sigsOf(Dedup.shingleHashRowsOf(emptyDocs)))
+      .write.mode("overwrite").parquet(s"$idx/buckets")
+    Dedup.shingleHashRowsOf(emptyDocs).groupBy("doc_id")
+      .agg(count(lit(1)).as("sh_size"))
+      .write.mode("overwrite").parquet(s"$idx/sizes")
+    withDrainConf(spark) {
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val r = Dedup.shingleHashRowsOf(batch).localCheckpoint()
+          r.select("doc_id", "sh")
+            .write.mode("append").parquet(s"$idx/shingles")
+          Dedup.bandBucketsOf(Dedup.sigsOf(r))
+            .write.mode("append").parquet(s"$idx/buckets")
+          r.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
+            .write.mode("append").parquet(s"$idx/sizes")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    Dedup.probeLshIndex(spark, idx.toString,
+      Dedup.ingestBatchOf(docs))
+  }
+
   /** Watermark-progression census — the OBSERVABILITY row a streaming
     * operator on call actually reads (is the watermark advancing? how
     * many rows rode each advance?): the corpus plus two far-future
@@ -571,6 +632,31 @@ object StreamingOps {
     "stream_dedup_counts" -> GQuery.sql(streamDedupCounts,
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    // identical truth domain to dd_incremental_probe: a stream-built
+    // index must serve the same planted pairs the batch-built one does
+    "stream_index_ingest" -> GQuery.sql(streamIndexIngest,
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ' ' || text || chr(9)
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
     "stream_watermark_census" -> GQuery.sql(streamWatermarkCensus,
       """WITH m AS (
         |  SELECT COALESCE(CAST(max(epoch_ms(ts)) AS BIGINT), 0) AS mx,

@@ -122,6 +122,16 @@ class Round12OpsSpec extends SparkTestBase {
       "probe plan does not scan the staged index")
   }
 
+  test("stream_index_ingest: the stream-built index serves the batch-built answers") {
+    val streamed = operators.StreamingOps.streamIndexIngest(spark, SfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Dedup.incrementalProbe(spark, SfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streamed index diverged from the batch-staged index probe")
+  }
+
   test("ann_mips_topk ranks by inner product, not angle") {
     val mips = operators.Similarity.mipsTopk(spark, SfDir)
       .select("q_id", "rank", "vec_id").collect().map(_.toSeq).toSeq
