@@ -619,6 +619,31 @@ object Relational {
       .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
       .orderBy("o_orderpriority")
 
+  /** Unpivot (melt) — the inverse of `relPivot` and the missing half
+    * of the reshape surface: the four lineitem measures melt into
+    * (metric, value) rows via the native `Dataset.unpivot` (Spark's
+    * relational MELT, one narrow projection — no explode, no join),
+    * then reduce per (returnflag, metric). The ×4 row expansion never
+    * survives the map side: partial aggregation combines before the
+    * exchange, so the shuffle carries |flags × metrics| rows. Money
+    * rides per-value HALF_UP integer cents (the ev_sessionize
+    * discipline — order-free exact sums); the oracle melts by UNION
+    * ALL, a genuinely different construction, so hash equality
+    * verifies Spark's unpivot itself.
+    */
+  def relUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .orderBy("l_returnflag", "metric")
+
   /** CUBE over (returnflag, linestatus) with grouping flags. */
   def relCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -1884,6 +1909,19 @@ object Relational {
         |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    "rel_unpivot" -> GQuery.sql(relUnpivot,
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM m GROUP BY l_returnflag, metric
+        |ORDER BY l_returnflag, metric""".stripMargin),
     "rel_cube" -> GQuery.sql(relCube,
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
