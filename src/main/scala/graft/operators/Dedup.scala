@@ -383,12 +383,15 @@ object Dedup {
     */
   private[operators] def probeLshIndex(spark: SparkSession, idx: String,
       batch: DataFrame): DataFrame = {
+    // recursiveFileLookup: the stream-maintained layout nests
+    // batch-keyed subdirectories (idempotent per-batch overwrites);
+    // the flat batch-staged layout reads identically under it
     val idxBuckets = spark.read.schema(IdxBucketsSchema)
-      .parquet(s"$idx/buckets")
+      .option("recursiveFileLookup", "true").parquet(s"$idx/buckets")
     val idxShingles = spark.read.schema(IdxShinglesSchema)
-      .parquet(s"$idx/shingles")
+      .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
     val idxSizes = spark.read.schema(IdxSizesSchema)
-      .parquet(s"$idx/sizes")
+      .option("recursiveFileLookup", "true").parquet(s"$idx/sizes")
     val b0 = shingleHashRowsOf(batch).truncated
     val cand = bandBucketsOf(sigsOf(b0))
       .withColumnRenamed("doc_id", "doc_id_2")

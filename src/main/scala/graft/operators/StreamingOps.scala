@@ -176,8 +176,12 @@ object StreamingOps {
     * rows / MinHash signatures / band buckets / set sizes with the
     * SAME shared Dedup primitives the batch build uses (signatures
     * are per-doc, hence batch-computable with no cross-batch state)
-    * and APPENDS them to the parquet index — exactly-once per batch
-    * rides the streaming checkpoint like `stream_upsert_sink_census`.
+    * and writes them into BATCH-KEYED subdirectories with overwrite
+    * semantics — a retried micro-batch overwrites ITS OWN
+    * subdirectory, so replay is idempotent by construction (the
+    * table-format trick without the manifest; plain `append` would
+    * duplicate rows on retry — the `stream_upsert_sink_census`
+    * lesson applied to index maintenance).
     * After the drain, the planted twin batch probes the STREAMED
     * index through the same verify join as `dd_incremental_probe` —
     * so the DuckDB brute-force oracle hash-checks stream-built index
@@ -197,28 +201,31 @@ object StreamingOps {
     EventsStreaming.dropFile(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L),
       watch.toString, "c")
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_stream")
-    // seed every index table EMPTY so the post-drain reads exist even
-    // when no batch writes (empty corpus) — explicit schemas besides
+    // seed every index table with an EMPTY slice so the post-drain
+    // reads exist even when no batch writes (empty corpus) — explicit
+    // schemas besides
     val emptyDocs = docs.filter(lit(false))
     Dedup.shingleHashRowsOf(emptyDocs).select("doc_id", "sh")
-      .write.mode("overwrite").parquet(s"$idx/shingles")
+      .write.mode("overwrite").parquet(s"$idx/shingles/seed")
     Dedup.bandBucketsOf(Dedup.sigsOf(Dedup.shingleHashRowsOf(emptyDocs)))
-      .write.mode("overwrite").parquet(s"$idx/buckets")
+      .write.mode("overwrite").parquet(s"$idx/buckets/seed")
     Dedup.shingleHashRowsOf(emptyDocs).groupBy("doc_id")
       .agg(count(lit(1)).as("sh_size"))
-      .write.mode("overwrite").parquet(s"$idx/sizes")
+      .write.mode("overwrite").parquet(s"$idx/sizes/seed")
     withDrainConf(spark) {
       val q = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(watch.toString)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // overwrite into a batchId-keyed subdirectory: a retried
+          // micro-batch replaces its own slice — idempotent replay
           val r = Dedup.shingleHashRowsOf(batch).localCheckpoint()
           r.select("doc_id", "sh")
-            .write.mode("append").parquet(s"$idx/shingles")
+            .write.mode("overwrite").parquet(s"$idx/shingles/b$batchId")
           Dedup.bandBucketsOf(Dedup.sigsOf(r))
-            .write.mode("append").parquet(s"$idx/buckets")
+            .write.mode("overwrite").parquet(s"$idx/buckets/b$batchId")
           r.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
-            .write.mode("append").parquet(s"$idx/sizes")
+            .write.mode("overwrite").parquet(s"$idx/sizes/b$batchId")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
