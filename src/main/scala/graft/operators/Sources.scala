@@ -724,6 +724,31 @@ object Sources {
       .orderBy("version")
   }
 
+  /** Version-to-version dataset diff THROUGH THE MANIFESTS — what a
+    * data steward asks of a versioned table ("what changed between
+    * yesterday's snapshot and today's?"): v1 and v2 read through
+    * `readSnapshot` (manifest pruning + delete-vector anti-join), keyed
+    * anti-joins both ways, reduced to a per-status census. Row counts
+    * stay O(|changes|) after the joins regardless of table size — the
+    * incremental-audit shape. Oracle: the change set is closed-form
+    * over `documents` (deletes = doc_id%5==0, appends = %7 twins at
+    * +4e6), so the whole manifest read path is hash-checked doing real
+    * diff work, not just censusing itself.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageSnapshotDir(spark, dir)
+    val schema = Tables.documents(spark, dir).schema
+    val v1 = readSnapshot(spark, stage, 1, schema).select("doc_id")
+    val v2 = readSnapshot(spark, stage, 2, schema).select("doc_id")
+    def census(df: DataFrame, status: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+        .select(lit(status).as("status"), col("n_rows"), col("id_sum"))
+    census(v2.join(v1, Seq("doc_id"), "left_anti"), "added")
+      .unionByName(census(v1.join(v2, Seq("doc_id"), "left_anti"), "removed"))
+      .unionByName(census(v1.join(v2, Seq("doc_id"), "left_semi"), "kept"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, GQuery] = Map(
     "src_csv_dialect_census" -> GQuery.sql(csvDialectCensus,
       """WITH t AS (
@@ -744,6 +769,18 @@ object Sources {
         |SELECT f.layout, a.n_rows, a.id_sum, a.content_sum
         |FROM a CROSS JOIN (VALUES ('csv'), ('source')) f(layout)
         |ORDER BY layout""".stripMargin),
+    "src_snapshot_diff" -> GQuery.sql(snapshotDiff,
+      """WITH b AS (SELECT doc_id FROM documents)
+        |SELECT 'added' AS status, count(*) AS n_rows,
+        |  CAST(sum(doc_id + 4000000) AS BIGINT) AS id_sum
+        |FROM b WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'kept', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM b WHERE doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT 'removed', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM b WHERE doc_id % 5 = 0
+        |ORDER BY status""".stripMargin),
     "src_snapshot_census" -> GQuery.sql(snapshotCensus,
       """WITH base AS (
         |  SELECT doc_id, lang, source, n_chars, text FROM documents),

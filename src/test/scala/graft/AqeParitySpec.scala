@@ -1,0 +1,37 @@
+package graft
+
+/** AQE parity sweep — the third engine-mode invariance axis (with
+  * AnsiParitySpec and PartitionInvarianceSpec): every registry query
+  * must return byte-identical rows with adaptive query execution ON.
+  * The test session pins AQE off for deterministic plan-shape
+  * assertions, while Bench runs AQE on — this sweep certifies that
+  * the two configurations can never disagree on RESULTS, i.e. no
+  * operator's output depends on runtime re-planning (coalesced
+  * partitions, demoted joins, skew splits). Streaming queries disable
+  * AQE internally and ride through unchanged — included for the
+  * sink/replay invariance.
+  */
+class AqeParitySpec extends SparkTestBase {
+
+  test("every registry query is byte-identical under adaptive execution") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val diverged = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val default = fn(spark, SfDir).collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val aqe =
+        try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
+        catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+        finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+      aqe match {
+        case Left(err) => diverged += s"$name THREW under AQE: $err"
+        case Right(rows) if rows != default =>
+          diverged += s"$name rows diverged under AQE"
+        case _ => ()
+      }
+    }
+    assert(diverged.isEmpty,
+      s"${diverged.size} queries not AQE-invariant:\n  ${diverged.mkString("\n  ")}")
+  }
+}
