@@ -16,7 +16,7 @@ object Similarity {
 
   import graft.functions.VectorFunctions.{vec_dot => dot, vec_cosine => cosine}
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
@@ -176,6 +176,15 @@ object Similarity {
     * tables a vector store persists (see `ann_index_probe`).
     */
   private def ivfIndexOf(e: DataFrame): (DataFrame, DataFrame) = {
+    val centroids = ivfCentroidsOf(e)
+    (centroids, ivfAssign(e, centroids))
+  }
+
+  /** Centroid selection alone — the OFFLINE training half every IVF
+    * store runs once; streaming maintenance (`stream_vec_index_ingest`)
+    * assigns new vectors against these without retraining.
+    */
+  private[graft] def ivfCentroidsOf(e: DataFrame): DataFrame = {
     // Centroids by deterministic hash sampling: keep vec_ids whose
     // xxhash64 falls in a 1-in-(n/ceil(sqrt(n))) residue class — a
     // single scan + scalar count, instead of a single-task global
@@ -192,25 +201,31 @@ object Similarity {
     val fallback = e.crossJoin(broadcast(e.agg(min(col("vec_id")).as("min_id"))))
       .filter(col("vec_id") === col("min_id"))
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
-    val centroids = sampled.unionByName(fallback).dropDuplicates("cell_id")
-    // Nearest-centroid assignment as an aggregation, not a window:
-    // max_by partials run map-side, so the shuffle carries one row per
-    // (partition, vec_id) — not corpus × n_cells. Ties break to the
-    // lowest cell_id via the (cos, -cell_id) ordering struct.
-    val assigned = e.join(broadcast(centroids), lit(true))
+    sampled.unionByName(fallback).dropDuplicates("cell_id")
+  }
+
+  /** Nearest-centroid assignment for ANY vector set against ANY
+    * centroid set — the per-vector half shared by offline builds
+    * (whole corpus) and streaming maintenance (one micro-batch).
+    * Aggregation, not a window: max_by partials run map-side, so the
+    * shuffle carries one row per (partition, vec_id) — not
+    * rows × n_cells. Ties break to the lowest cell_id via the
+    * (cos, -cell_id) ordering struct — the deterministic rule the
+    * planted oracle depends on.
+    */
+  private[graft] def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("v"), col("cell_id"),
         cosine(col("v"), col("cv")).as("cell_cos"))
       .groupBy("vec_id")
       .agg(max_by(col("cell_id"), struct(col("cell_cos"), -col("cell_id"))).as("cell_id"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cell_id"))
-    (centroids, assigned)
-  }
 
   /** IVF PROBE against an already-built index (in-memory frames or
     * parquet-backed reads — the plan is identical either way).
     */
-  private def ivfProbe(centroids: DataFrame, assigned: DataFrame,
+  private[operators] def ivfProbe(centroids: DataFrame, assigned: DataFrame,
       q: DataFrame): DataFrame = {
     // Probe the nearest half of the cells. The crank window is
     // per-query over the ~√n centroid rows only (already reduced by
@@ -245,47 +260,22 @@ object Similarity {
 
   val IvfIndexRoot = "/root/repo/target/graft_ivf_index"
 
-  private def ivfIndexPathFor(dir: String): String = {
-    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
-    s"$IvfIndexRoot/${abs.getFileName}_$key"
-  }
+  def ivfIndexPathFor(dir: String): String =
+    Staging.pathFor(IvfIndexRoot, dir)
 
   /** Persist the IVF index (centroids + cell assignments) once per
     * corpus dir — the ingest half of every production vector store:
     * the index is BUILT offline and SERVED by probes that never touch
-    * the build path. Same atomic-swap protocol as the other stagings.
+    * the build path. Shared `Staging.stagedDir` commit protocol.
     */
-  def stageIvfIndex(spark: SparkSession, dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Paths.get(ivfIndexPathFor(dir))
-    val cur =
-      try new String(Files.readAllBytes(stage.resolve("_SOURCE")), "UTF-8")
-      catch { case _: Exception => "" }
-    if (cur != dir) {
-      val nonce = System.nanoTime()
-      val tmp = Paths.get(s"$stage.tmp-$nonce")
+  def stageIvfIndex(spark: SparkSession, dir: String): String =
+    Staging.stagedDir(IvfIndexRoot, dir) { tmp =>
       val (centroids, assigned) = ivfIndexOf(vecs(spark, dir))
       centroids.write.mode("overwrite")
         .parquet(tmp.resolve("centroids").toString)
       assigned.write.mode("overwrite")
         .parquet(tmp.resolve("assigned").toString)
-      Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-      val old = Paths.get(s"$stage.old-$nonce")
-      if (Files.exists(stage)) Files.move(stage, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, stage, StandardCopyOption.ATOMIC_MOVE)
-      if (Files.exists(old)) {
-        val walk = Files.walk(old)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        } finally walk.close()
-      }
     }
-    stage.toString
-  }
 
   /** ANN serving against the PERSISTED IVF index — the
     * `dd_incremental_probe` story on the vector side: `stageIvfIndex`
@@ -301,18 +291,38 @@ object Similarity {
     */
   def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val idx = stageIvfIndex(spark, dir)
-    // explicit schemas: an empty corpus stages no part files
-    val centroids = spark.read
-      .schema("cell_id BIGINT, cv ARRAY<FLOAT>").parquet(s"$idx/centroids")
-    val assigned = spark.read
-      .schema("vec_id BIGINT, v ARRAY<FLOAT>, cell_id BIGINT")
-      .parquet(s"$idx/assigned")
-    val q = vecs(spark, dir).filter(pmod(col("vec_id"), lit(8L)) === 0L)
-      .select((col("vec_id") + QueryOffset).as("q_id"), col("v").as("qv"))
-    ivfProbe(centroids, assigned, q)
+    val (centroids, assigned) = readIvfIndex(spark, idx)
+    ivfProbe(centroids, assigned, plantedVecQueriesOf(vecs(spark, dir)))
       .filter(col("rank") === 1L)
       .orderBy("q_id")
   }
+
+  /** The serve-side read of ANY on-disk IVF layout — batch-staged by
+    * `stageIvfIndex` (flat) or stream-maintained by
+    * `StreamingOps.streamVecIndexIngest` (per-batchId assigned
+    * subdirectories): recursiveFileLookup makes the two
+    * indistinguishable to the probe, exactly like
+    * `Dedup.probeLshIndex`. Explicit schemas: an empty corpus stages
+    * no part files.
+    */
+  private[graft] def readIvfIndex(spark: SparkSession,
+      idx: String): (DataFrame, DataFrame) = {
+    val centroids = spark.read.schema("cell_id BIGINT, cv ARRAY<FLOAT>")
+      .option("recursiveFileLookup", "true").parquet(s"$idx/centroids")
+    val assigned = spark.read
+      .schema("vec_id BIGINT, v ARRAY<FLOAT>, cell_id BIGINT")
+      .option("recursiveFileLookup", "true").parquet(s"$idx/assigned")
+    (centroids, assigned)
+  }
+
+  /** The planted certification query set (every 8th vector, copied to
+    * vec_id + QueryOffset) — shared by `ann_ivf_topk`,
+    * `ann_index_probe`, and the streamed index's probe so all three
+    * rows share one closed-form oracle.
+    */
+  private[operators] def plantedVecQueriesOf(e: DataFrame): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
+      .select((col("vec_id") + QueryOffset).as("q_id"), col("v").as("qv"))
 
   val GramDim = 64
 

@@ -30,25 +30,8 @@ object Sources {
     */
   val RoundtripStageRoot = "/root/repo/target/graft_roundtrip"
 
-  /** Bottom-up recursive delete with the walk stream CLOSED (ADVICE
-    * r9 #5 — the bare `Files.walk(...).iterator()` idiom leaked the
-    * underlying directory stream's file handles).
-    */
-  private def deleteTree(root: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-    } finally walk.close()
-  }
-
-  private def stagePathFor(dir: String): String = {
-    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
-    s"$RoundtripStageRoot/${abs.getFileName}_$key"
-  }
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    Staging.deleteTree(root)
 
   /** The audited column slice: integers + strings only (see above). */
   private def slice(spark: SparkSession, dir: String): DataFrame =
@@ -63,31 +46,14 @@ object Sources {
     * staging).
     */
   def stageRoundtripDir(spark: SparkSession, dir: String): String =
-    synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stage = stagePathFor(dir)
-      val stagePath = Paths.get(stage)
-      val cur =
-        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
-        catch { case _: Exception => "" }
-      if (cur != dir) {
-        val nonce = System.nanoTime()
-        val tmp = Paths.get(s"$stage.tmp-$nonce")
-        val src = slice(spark, dir).repartition(4)
-        src.write.mode("overwrite").option("header", "true")
-          .csv(s"$tmp/csv")
-        src.write.mode("overwrite").json(s"$tmp/json")
-        src.write.mode("overwrite").orc(s"$tmp/orc")
-        src.write.mode("overwrite").partitionBy("c_mktsegment")
-          .parquet(s"$tmp/parquet_part")
-        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-        val old = Paths.get(s"$stage.old-$nonce")
-        if (Files.exists(stagePath))
-          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) deleteTree(old)
-      }
-      stage
+    Staging.stagedDir(RoundtripStageRoot, dir) { tmp =>
+      val src = slice(spark, dir).repartition(4)
+      src.write.mode("overwrite").option("header", "true")
+        .csv(s"$tmp/csv")
+      src.write.mode("overwrite").json(s"$tmp/json")
+      src.write.mode("overwrite").orc(s"$tmp/orc")
+      src.write.mode("overwrite").partitionBy("c_mktsegment")
+        .parquet(s"$tmp/parquet_part")
     }
 
   /** Census of one read-back: (rows, Σ c_custkey, Σ rollingHash(row)).
@@ -139,12 +105,7 @@ object Sources {
 
   val BucketStageRoot = "/root/repo/target/graft_bucketed"
 
-  private def dirKey(dir: String): String = {
-    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
-  }
+  private def dirKey(dir: String): String = Staging.dirKey(dir)
 
   /** Stage `orders` and `lineitem` as BUCKETED tables (bucketBy +
     * sortBy on the join key, one file per bucket via a pre-write
@@ -250,34 +211,17 @@ object Sources {
     * commit protocol as the roundtrip staging.
     */
   def stageEvolutionDir(spark: SparkSession, dir: String): String =
-    synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stage = s"$EvolutionStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
-      val stagePath = Paths.get(stage)
-      val cur =
-        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
-        catch { case _: Exception => "" }
-      if (cur != dir) {
-        val nonce = System.nanoTime()
-        val tmp = Paths.get(s"$stage.tmp-$nonce")
-        val docs = Tables.documents(spark, dir)
-        docs.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"), col("lang"), col("source"))
-          .repartition(2)
-          .write.mode("overwrite").parquet(s"$tmp/v1")
-        docs.filter(col("doc_id") % 2 === 1)
-          .select(col("doc_id"), col("lang"), col("source"),
-            col("n_chars").as("quality_x1000"))
-          .repartition(2)
-          .write.mode("overwrite").parquet(s"$tmp/v2")
-        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-        val old = Paths.get(s"$stage.old-$nonce")
-        if (Files.exists(stagePath))
-          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) deleteTree(old)
-      }
-      stage
+    Staging.stagedDir(EvolutionStageRoot, dir) { tmp =>
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").as("quality_x1000"))
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$tmp/v2")
     }
 
   /** Read BOTH generations through one mergeSchema scan and census
@@ -313,31 +257,14 @@ object Sources {
     * other stagings.
     */
   def stageCorruptJsonDir(spark: SparkSession, dir: String): String =
-    synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stage = s"$CorruptStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
-      val stagePath = Paths.get(stage)
-      val cur =
-        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
-        catch { case _: Exception => "" }
-      if (cur != dir) {
-        val nonce = System.nanoTime()
-        val tmp = Paths.get(s"$stage.tmp-$nonce")
-        Tables.documents(spark, dir)
-          .select(when(col("doc_id") % 7 === 0,
-            concat(lit("{\"doc_id\":"), col("doc_id"), lit(",")))
-            .otherwise(to_json(struct(col("doc_id"), col("lang"),
-              col("source"), col("n_chars")))).as("value"))
-          .repartition(2)
-          .write.mode("overwrite").text(s"$tmp/lines")
-        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-        val old = Paths.get(s"$stage.old-$nonce")
-        if (Files.exists(stagePath))
-          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) deleteTree(old)
-      }
-      stage
+    Staging.stagedDir(CorruptStageRoot, dir) { tmp =>
+      Tables.documents(spark, dir)
+        .select(when(col("doc_id") % 7 === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id"), lit(",")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("source"), col("n_chars")))).as("value"))
+        .repartition(2)
+        .write.mode("overwrite").text(s"$tmp/lines")
     }
 
   /** PERMISSIVE-mode corrupt-record quarantine, driver-certified: the
@@ -438,38 +365,21 @@ object Sources {
     * commit protocol as the other stagings.
     */
   def stageCompactionDir(spark: SparkSession, dir: String): String =
-    synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stage = s"$CompactionStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
-      val stagePath = Paths.get(stage)
-      val cur =
-        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
-        catch { case _: Exception => "" }
-      if (cur != dir) {
-        val nonce = System.nanoTime()
-        val tmp = Paths.get(s"$stage.tmp-$nonce")
-        val docs = Tables.documents(spark, dir)
-        docs.repartition(CompactSmallFiles)
-          .write.mode("overwrite").parquet(s"$tmp/small")
-        val plan = compactionPlan(s"$tmp/small")
-        // explicit schema + max(bins, 1): an EMPTY corpus writes no
-        // part files at all, so there is nothing to infer from and no
-        // bin to pack — the compacted layout is then just as empty
-        val binOf = typedLit(plan.flatMap(b => b.files.map(_ -> b.bin)).toMap)
-        spark.read.schema(docs.schema).parquet(s"$tmp/small")
-          .withColumn("bin",
-            element_at(binOf, regexp_extract(input_file_name(), "[^/]+$", 0)))
-          .repartition(math.max(plan.length, 1), col("bin"))
-          .write.mode("overwrite").partitionBy("bin")
-          .parquet(s"$tmp/compacted")
-        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-        val old = Paths.get(s"$stage.old-$nonce")
-        if (Files.exists(stagePath))
-          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) deleteTree(old)
-      }
-      stage
+    Staging.stagedDir(CompactionStageRoot, dir) { tmp =>
+      val docs = Tables.documents(spark, dir)
+      docs.repartition(CompactSmallFiles)
+        .write.mode("overwrite").parquet(s"$tmp/small")
+      val plan = compactionPlan(s"$tmp/small")
+      // explicit schema + max(bins, 1): an EMPTY corpus writes no
+      // part files at all, so there is nothing to infer from and no
+      // bin to pack — the compacted layout is then just as empty
+      val binOf = typedLit(plan.flatMap(b => b.files.map(_ -> b.bin)).toMap)
+      spark.read.schema(docs.schema).parquet(s"$tmp/small")
+        .withColumn("bin",
+          element_at(binOf, regexp_extract(input_file_name(), "[^/]+$", 0)))
+        .repartition(math.max(plan.length, 1), col("bin"))
+        .write.mode("overwrite").partitionBy("bin")
+        .parquet(s"$tmp/compacted")
     }
 
   /** Small-file maintenance certification (VERDICT r10 #8): the
@@ -532,30 +442,13 @@ object Sources {
     * quote-doubling escape), idempotent per source dir.
     */
   def stageCsvDialectDir(spark: SparkSession, dir: String): String =
-    synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stage = s"$CsvStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
-      val stagePath = Paths.get(stage)
-      val cur =
-        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
-        catch { case _: Exception => "" }
-      if (cur != dir) {
-        val nonce = System.nanoTime()
-        val tmp = Paths.get(s"$stage.tmp-$nonce")
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), col("lang"), col("source"),
-            dialectText(col("text")).as("text"))
-          .write.mode("overwrite")
-          .option("header", "true").option("quote", "\"").option("escape", "\"")
-          .csv(tmp.resolve("csv").toString)
-        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-        val old = Paths.get(s"$stage.old-$nonce")
-        if (Files.exists(stagePath))
-          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) deleteTree(old)
-      }
-      stage
+    Staging.stagedDir(CsvStageRoot, dir) { tmp =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          dialectText(col("text")).as("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(tmp.resolve("csv").toString)
     }
 
   /** CSV dialect certification — the ingestion hazard the parquet
@@ -622,52 +515,36 @@ object Sources {
     * Same atomic-swap commit protocol as the other stagings.
     */
   def stageSnapshotDir(spark: SparkSession, dir: String): String =
-    synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stage = s"$SnapshotStageRoot/${Paths.get(dir).toAbsolutePath.normalize.getFileName}_${dirKey(dir)}"
-      val stagePath = Paths.get(stage)
-      val cur =
-        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
-        catch { case _: Exception => "" }
-      if (cur != dir) {
-        val nonce = System.nanoTime()
-        val tmp = Paths.get(s"$stage.tmp-$nonce")
-        val docs = Tables.documents(spark, dir)
-          .filter(assert_true(col("doc_id") < SnapAppendOffset,
-            lit(s"stageSnapshotDir: doc_id >= $SnapAppendOffset collides with v2 append ids")).isNull)
-        docs.repartition(8).write.mode("overwrite")
-          .parquet(tmp.resolve("data").toString)
-        def partsOf(p: java.nio.file.Path): Seq[String] =
-          Option(p.toFile.listFiles).toSeq.flatten
-            .map(_.getName).filter(_.startsWith("part-")).sorted
-        val v1Files = partsOf(tmp.resolve("data"))
-        // v2 append: write aside, then move the single part file into
-        // data/ under a stable name the manifest can reference
-        docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
-          .withColumn("doc_id", col("doc_id") + SnapAppendOffset)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(tmp.resolve("append").toString)
-        val appendName = "append-v2.parquet"
-        val appended = partsOf(tmp.resolve("append")).headOption.map { f =>
-          Files.move(tmp.resolve("append").resolve(f),
-            tmp.resolve("data").resolve(appendName))
-          appendName
-        }
-        deleteTree(tmp.resolve("append"))
-        docs.filter(pmod(col("doc_id"), lit(5L)) === 0L).select("doc_id")
-          .write.mode("overwrite").parquet(tmp.resolve("deletes_v2").toString)
-        Files.write(tmp.resolve("v1.manifest"),
-          v1Files.mkString("\n").getBytes("UTF-8"))
-        Files.write(tmp.resolve("v2.manifest"),
-          (v1Files ++ appended).mkString("\n").getBytes("UTF-8"))
-        Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-        val old = Paths.get(s"$stage.old-$nonce")
-        if (Files.exists(stagePath))
-          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) deleteTree(old)
+    Staging.stagedDir(SnapshotStageRoot, dir) { tmp =>
+      import java.nio.file.Files
+      val docs = Tables.documents(spark, dir)
+        .filter(assert_true(col("doc_id") < SnapAppendOffset,
+          lit(s"stageSnapshotDir: doc_id >= $SnapAppendOffset collides with v2 append ids")).isNull)
+      docs.repartition(8).write.mode("overwrite")
+        .parquet(tmp.resolve("data").toString)
+      def partsOf(p: java.nio.file.Path): Seq[String] =
+        Option(p.toFile.listFiles).toSeq.flatten
+          .map(_.getName).filter(_.startsWith("part-")).sorted
+      val v1Files = partsOf(tmp.resolve("data"))
+      // v2 append: write aside, then move the single part file into
+      // data/ under a stable name the manifest can reference
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+        .withColumn("doc_id", col("doc_id") + SnapAppendOffset)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("append").toString)
+      val appendName = "append-v2.parquet"
+      val appended = partsOf(tmp.resolve("append")).headOption.map { f =>
+        Files.move(tmp.resolve("append").resolve(f),
+          tmp.resolve("data").resolve(appendName))
+        appendName
       }
-      stage
+      deleteTree(tmp.resolve("append"))
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0L).select("doc_id")
+        .write.mode("overwrite").parquet(tmp.resolve("deletes_v2").toString)
+      Files.write(tmp.resolve("v1.manifest"),
+        v1Files.mkString("\n").getBytes("UTF-8"))
+      Files.write(tmp.resolve("v2.manifest"),
+        (v1Files ++ appended).mkString("\n").getBytes("UTF-8"))
     }
 
   /** Read one snapshot version THROUGH ITS MANIFEST: only the listed

@@ -232,8 +232,74 @@ object StreamingOps {
         .start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
-    Dedup.probeLshIndex(spark, idx.toString,
-      Dedup.ingestBatchOf(docs))
+    Dedup.plantedPairsOnly(Dedup.probeLshIndex(spark, idx.toString,
+      Dedup.ingestBatchOf(docs)))
+  }
+
+  /** One micro-batch of IVF index maintenance: assign the batch's
+    * vectors to the ALREADY-TRAINED centroids (read back from the
+    * index — no retraining, the whole point) and overwrite the
+    * batch's own `assigned/b<batchId>` subdirectory — idempotent
+    * under micro-batch replay, like `streamIndexIngest`'s writer.
+    */
+  private[graft] def appendVecBatch(spark: SparkSession, idx: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val centroids = spark.read.schema("cell_id BIGINT, cv ARRAY<FLOAT>")
+      .option("recursiveFileLookup", "true").parquet(s"$idx/centroids")
+    Similarity.ivfAssign(batch, centroids)
+      .write.mode("overwrite").parquet(s"$idx/assigned/b$batchId")
+  }
+
+  /** Vector-side streaming index maintenance (VERDICT r12 #4) — the
+    * IVF mirror of `stream_index_ingest`: centroids are trained ONCE
+    * from the corpus (the offline half every vector store runs, here
+    * written up front), then the corpus arrives as three ordered
+    * micro-batches of vectors, each of which assigns ITSELF to the
+    * stored centroids and appends a per-batchId cell file — recurring
+    * cost O(batch × √n cells), no corpus re-index, replay-idempotent
+    * by per-batch overwrite. After the drain, the planted query set
+    * probes the STREAM-MAINTAINED layout through the identical
+    * `readIvfIndex`/`ivfProbe` serve path as `ann_index_probe`, so
+    * one closed-form oracle certifies stream-built == batch-built ==
+    * ground truth. At 100 TB this is what keeps ANN serving current
+    * between full rebuilds.
+    */
+  def streamVecIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.vecs(spark, dir).select(col("vec_id"), col("v"))
+    val watch = java.nio.file.Files.createTempDirectory("graft_vecidx_ingest")
+    EventsStreaming.dropFile(e.filter(pmod(col("vec_id"), lit(3L)) === 0L),
+      watch.toString, "a")
+    EventsStreaming.dropFile(e.filter(pmod(col("vec_id"), lit(3L)) === 1L),
+      watch.toString, "b")
+    EventsStreaming.dropFile(e.filter(pmod(col("vec_id"), lit(3L)) === 2L),
+      watch.toString, "c")
+    val idx = java.nio.file.Files.createTempDirectory("graft_vecidx_stream")
+    // offline centroid training, written once; seed assigned/ with an
+    // empty slice so the post-drain read exists even for an empty
+    // corpus (the RobustnessSpec contract)
+    Similarity.ivfCentroidsOf(e)
+      .write.mode("overwrite").parquet(s"$idx/centroids/seed")
+    Similarity.ivfAssign(e.filter(lit(false)),
+        spark.read.schema("cell_id BIGINT, cv ARRAY<FLOAT>")
+          .option("recursiveFileLookup", "true").parquet(s"$idx/centroids"))
+      .write.mode("overwrite").parquet(s"$idx/assigned/seed")
+    withDrainConf(spark) {
+      val q = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          appendVecBatch(spark, idx.toString, batch, batchId)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    val (centroids, assigned) = Similarity.readIvfIndex(spark, idx.toString)
+    Similarity.ivfProbe(centroids, assigned,
+        Similarity.plantedVecQueriesOf(e))
+      .filter(col("rank") === 1L)
+      .orderBy("q_id")
   }
 
   /** Watermark-progression census — the OBSERVABILITY row a streaming
@@ -641,6 +707,13 @@ object StreamingOps {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     // identical truth domain to dd_incremental_probe: a stream-built
     // index must serve the same planted pairs the batch-built one does
+    // identical truth domain to ann_ivf_topk/ann_index_probe: the
+    // stream-maintained index must serve the same rank-1 answers
+    "stream_vec_index_ingest" -> GQuery.sql(streamVecIndexIngest,
+      s"""SELECT vec_id + ${Similarity.QueryOffset} AS q_id, CAST(1 AS BIGINT) AS rank,
+        |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 8 = 0
+        |ORDER BY q_id""".stripMargin),
     "stream_index_ingest" -> GQuery.sql(streamIndexIngest,
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

@@ -71,13 +71,8 @@ object WordCount {
     * staging path, so a bench run can't clobber the staging an oracle
     * compare is reading.
     */
-  def stagePathFor(dir: String): String = {
-    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
-    s"$TextStageRoot/${abs.getFileName}_$key"
-  }
+  def stagePathFor(dir: String): String =
+    Staging.pathFor(TextStageRoot, dir)
 
   /** Stage `documents.text` as raw `.txt` files, idempotent per source
     * dir. Commit protocol: write into a fresh temp sibling (with the
@@ -91,32 +86,12 @@ object WordCount {
     * retry, unlike a partial listing, which it cannot detect). The
     * old dir is deleted only after the swap.
     */
-  def stageTextDir(spark: SparkSession, dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = stagePathFor(dir)
-    val stagePath = Paths.get(stage)
-    val cur =
-      try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
-      catch { case _: Exception => "" }
-    if (cur != dir) {
-      val nonce = System.nanoTime()
-      val tmp = Paths.get(s"$stage.tmp-$nonce")
+  def stageTextDir(spark: SparkSession, dir: String): String =
+    Staging.stagedDir(TextStageRoot, dir) { tmp =>
       Tables.documents(spark, dir).select("text")
         .repartition(8)
         .write.mode("overwrite").text(tmp.toString)
-      Files.write(tmp.resolve("_SOURCE"), dir.getBytes("UTF-8"))
-      val old = Paths.get(s"$stage.old-$nonce")
-      if (Files.exists(stagePath))
-        Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-      if (Files.exists(old)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(old).iterator().asScala.toSeq
-          .reverse.foreach(Files.delete)
-      }
     }
-    stage
-  }
 
   /** Distributed grep: the generic "map = filter" job the reference's
     * pluggable STEP_ID_TO_FUNCTION was built to host.

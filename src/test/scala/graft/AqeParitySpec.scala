@@ -9,7 +9,10 @@ package graft
   * operator's output depends on runtime re-planning (coalesced
   * partitions, demoted joins, skew splits). Streaming queries disable
   * AQE internally and ride through unchanged — included for the
-  * sink/replay invariance.
+  * sink/replay invariance. Scope note (ADVICE r12 #1): memoized
+  * artifacts and staged indexes built under the default conf are
+  * reused, so the sweep certifies the serve/probe paths, not the
+  * one-time build paths.
   */
 class AqeParitySpec extends SparkTestBase {
 
@@ -19,11 +22,15 @@ class AqeParitySpec extends SparkTestBase {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val default = fn(spark, SfDir).collect().map(_.toSeq).toSeq
+      // restore the PREVIOUS value, not a literal: the session is
+      // shared across suites via getOrCreate (ADVICE r12 #2)
+      val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       val aqe =
         try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
         catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
-        finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+        finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+          spark.conf.set("spark.sql.adaptive.enabled", _))
       aqe match {
         case Left(err) => diverged += s"$name THREW under AQE: $err"
         case Right(rows) if rows != default =>

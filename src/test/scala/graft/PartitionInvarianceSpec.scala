@@ -9,6 +9,9 @@ package graft
   * order, an aggregation whose tie-break depends on merge order, an
   * unrounded FP sum whose association varies with reducer count —
   * fails here instead of surfacing as a cluster-vs-laptop diff.
+  * Scope note (ADVICE r12 #1): memoized artifacts and staged indexes
+  * built under the default conf are reused, so the sweep certifies
+  * the serve/probe paths, not the one-time build paths.
   * Streaming drains pin their own state-partition count (8) inside
   * withDrainConf, so they are exercised for sink/replay invariance
   * rather than state sizing.
@@ -21,11 +24,15 @@ class PartitionInvarianceSpec extends SparkTestBase {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val at4 = fn(spark, SfDir).collect().map(_.toSeq).toSeq
+      // restore the PREVIOUS value, not a literal: the session is
+      // shared across suites via getOrCreate (ADVICE r12 #2)
+      val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "13")
       val at13 =
         try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
         catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
-        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+        finally prev.fold(spark.conf.unset("spark.sql.shuffle.partitions"))(
+          spark.conf.set("spark.sql.shuffle.partitions", _))
       at13 match {
         case Left(err) => diverged += s"$name THREW at 13 partitions: $err"
         case Right(rows) if rows != at4 =>
