@@ -104,11 +104,23 @@ object Bpe {
     * concatenations of word characters), so the suffix test is exact.
     */
   private def foldMerge(seq: Column, a: String, b: String): Column =
-    aggregate(split(seq, " "), lit(""), (acc, x) =>
-      when(x === lit(b) && (acc === lit(a) || acc.like("% " + a)),
-        concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
-        .otherwise(
-          when(acc === lit(""), x).otherwise(concat(acc, lit(" "), x))))
+    foldMergeMulti(seq, Seq((a, b)))
+
+  /** One pass applying a BATCH of string-disjoint pairs (see
+    * `selectDisjoint`: no pair's lhs/rhs/minted string collides with
+    * another's, so at most one arm can fire per (suffix, x) and a
+    * just-minted token can never feed another arm — simultaneous
+    * application equals any sequential order).
+    */
+  private def foldMergeMulti(seq: Column, pairs: Seq[(String, String)]): Column =
+    aggregate(split(seq, " "), lit(""), (acc, x) => {
+      val base = when(acc === lit(""), x).otherwise(concat(acc, lit(" "), x))
+      pairs.foldRight(base) { case ((a, b), els) =>
+        when(x === lit(b) && (acc === lit(a) || acc.like("% " + a)),
+          concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+          .otherwise(els)
+      }
+    })
 
   /** Adjacent symbol pairs of each word, weighted by word count:
     * zip(symbols[0..n−2], symbols[1..n−1]) — length-0 slices for
@@ -159,8 +171,21 @@ object Bpe {
     * like the graph memos: a production pipeline trains the tokenizer
     * once and every downstream op (encode, roundtrip certification)
     * probes the artifact.
+    *
+    * `graft.bpe.batched=true` (the `graft.session.skewsafe` conf
+    * pattern) swaps in the BATCHED schedule below for every consumer
+    * — the production switch for large vocabularies; each schedule
+    * keeps its own memo, so flipping the conf mid-session can't serve
+    * a stale table. The driver-checked registry rows pin each path
+    * against its own oracle (`pipe_bpe_train` sequential,
+    * `pipe_bpe_train_batched` batched).
     */
   def trainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
+    if (spark.conf.getOption("graft.bpe.batched").contains("true"))
+      trainMergesBatched(spark, dir)
+    else trainMergesSequential(spark, dir)
+
+  private def trainMergesSequential(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
     mergesMemo.getOrElseUpdate(
       (spark, java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString),
       timedFill {
@@ -185,14 +210,110 @@ object Bpe {
       })
 
   /** The merge table as the driver-visible artifact. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    mergeTableOf(spark, trainMergesSequential(spark, dir))
+
+  private def mergeTableOf(spark: SparkSession,
+      merges: Seq[(String, String, Long)]): DataFrame = {
     import spark.implicits._
-    val rows = trainMerges(spark, dir).zipWithIndex.map {
+    val rows = merges.zipWithIndex.map {
       case ((a, b, c), i) => (i + 1L, a, b, a + b, c)
     }
     rows.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count")
       .orderBy("merge_idx")
   }
+
+  // ---------------------------------------------------------------
+  // Batched merge rounds (VERDICT r12 #5)
+  // ---------------------------------------------------------------
+
+  /** Disjoint merges applied per round. 48 sequential argmax
+    * round-trips become NumMerges/BpeBatch = 6 — the classic
+    * distributed-BPE batching: a 50k-merge production vocabulary is
+    * ~500 driver round-trips at B=100 instead of 50k.
+    */
+  val BpeBatch = 8
+
+  /** Batched rounds — compile-time (the oracle unrolls exactly this
+    * many), budgeting the same NumMerges total merges.
+    */
+  val BpeRounds: Int = NumMerges / BpeBatch
+
+  /** Ranked candidate slice BOTH engines select from: the greedy
+    * disjoint picks are defined over the top-W pairs by
+    * (count DESC, lhs, rhs) — W is what bounds the per-round driver
+    * collect (constant-size contract) and the oracle's selection CTEs
+    * apply the identical window, so the schedules can never drift.
+    */
+  val BpeCandidateWindow = 64
+
+  /** Greedy STRING-level-disjoint batch selection from the ranked
+    * candidates: scan in rank order, pick a pair unless its lhs, rhs,
+    * or minted string (lhs+rhs) collides with the {lhs, rhs, minted}
+    * set of an earlier pick. Symbol-level disjointness alone is NOT
+    * enough: BPE can mint the same STRING twice, so a pick whose rhs
+    * equals another pick's minted string would let a just-merged
+    * token feed a second arm inside the one-pass fold (order
+    * dependence); the string-level rule forbids exactly that, which
+    * is what makes the simultaneous fold equal every sequential
+    * application order — and pair counts of string-disjoint pairs
+    * are invariant under each other's application, so each pick's
+    * recorded count is exact at its own application point too.
+    */
+  private[graft] def selectDisjoint(cands: Seq[(String, String, Long)],
+      batch: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    for (c @ (a, b, _) <- cands if out.length < batch) {
+      val syms = Set(a, b, a + b)
+      if (!syms.exists(used.contains)) { out += c; used ++= syms }
+    }
+    out.toList
+  }
+
+  private val batchedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String, Long)]]
+
+  /** Batched-round training: per round ONE TakeOrdered collect of the
+    * top-BpeCandidateWindow pairs (constant-size driver contract),
+    * greedy string-disjoint selection of ≤BpeBatch merges, ONE fold
+    * pass applying them all. Driver round-trips and refold passes
+    * drop 48 → 6 at identical plan shapes per round — the difference
+    * a real 50k-merge training feels. The schedule differs from
+    * sequential BPE only where sequential's next argmax would involve
+    * a symbol minted THIS round (the standard batched-BPE
+    * approximation); the batched schedule itself is deterministic and
+    * the `pipe_bpe_train_batched` oracle replays it cell-for-cell.
+    */
+  def trainMergesBatched(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
+    batchedMemo.getOrElseUpdate(
+      (spark, java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString),
+      timedFill {
+        var v = vocabOf(spark, dir)
+          .withColumn("seq", charSeq(col("w"))).truncated
+        val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var round = 0
+        var exhausted = false
+        while (round < BpeRounds && !exhausted) {
+          val top = pairCounts(v)
+            .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
+            .limit(BpeCandidateWindow).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+          val picks = selectDisjoint(top, BpeBatch)
+          if (picks.isEmpty) exhausted = true
+          else {
+            out ++= picks
+            v = v.withColumn("seq",
+              foldMergeMulti(col("seq"), picks.map(p => (p._1, p._2)))).truncated
+          }
+          round += 1
+        }
+        out.toList
+      })
+
+  /** The batched merge table as the driver-visible artifact. */
+  def bpeTrainBatched(spark: SparkSession, dir: String): DataFrame =
+    mergeTableOf(spark, trainMergesBatched(spark, dir))
 
   // ---------------------------------------------------------------
   // Encoding
@@ -435,16 +556,32 @@ FROM rec WHERE i = length(w) ORDER BY w"""
     * refold; LEFT JOIN keeps words flowing when b$k is empty and the
     * NULL pair makes the fold an identity).
     */
-  private def trainChain: String = {
-    def round(k: Int): String = s""",
+  /** Shared v0/s0 prefix (tokenize → vocabulary → char spellings). */
+  private def chainPrefix: String = s"""WITH toks AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+    x -> len(x) > 0)) AS w
+  FROM documents),
+v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
+s0 AS (
+  SELECT w, cnt,
+    array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+    AS seq
+  FROM v0)"""
+
+  /** Pair counts of round k over the previous spelling state `prev`. */
+  private def pairCountsSql(k: Int, prev: String): String = s""",
 p$k AS MATERIALIZED (
   SELECT split_part(pr, '|', 1) AS lhs, split_part(pr, '|', 2) AS rhs,
          CAST(sum(cnt) AS BIGINT) AS pair_count
   FROM (SELECT cnt,
           unnest(list_transform(range(1, len(a)),
             i -> a[i] || '|' || a[i+1])) AS pr
-        FROM (SELECT cnt, string_split(seq, ' ') AS a FROM s${k - 1}))
-  GROUP BY 1, 2),
+        FROM (SELECT cnt, string_split(seq, ' ') AS a FROM $prev))
+  GROUP BY 1, 2)"""
+
+  private def trainChain: String = {
+    def round(k: Int): String = pairCountsSql(k, s"s${k - 1}") + s""",
 b$k AS MATERIALIZED (
   SELECT lhs, rhs, pair_count FROM p$k
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
@@ -456,17 +593,71 @@ s$k AS MATERIALIZED (
           THEN substr(acc, 1, length(acc) - length(b.lhs)) || b.lhs || b.rhs
         ELSE CASE WHEN acc = '' THEN x ELSE acc || ' ' || x END END) AS seq
   FROM s${k - 1} LEFT JOIN b$k b ON TRUE)"""
-    s"""WITH toks AS (
-  SELECT unnest(list_filter(
-    regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
-    x -> len(x) > 0)) AS w
-  FROM documents),
-v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
-s0 AS (
+    chainPrefix + (1 to NumMerges).map(round).mkString
+  }
+
+  /** The batched replay (`pipe_bpe_train_batched`): per round, rank
+    * the pairs, keep the top-BpeCandidateWindow slice, unroll
+    * BpeBatch greedy selection steps — each c{k}_j is the best pair
+    * whose lhs/rhs/minted string avoids the accumulated used-symbol
+    * set u{k}_{j−1} (string-level disjointness, `selectDisjoint`'s
+    * exact rule) — then ONE fold applies all picks: at most one CASE
+    * arm can fire per (suffix, x) because rhs values are pairwise
+    * distinct, so arm order is immaterial, like the Spark fold. An
+    * empty p$k leaves every pick NULL and the fold an identity — the
+    * exhaustion convention of the sequential chain.
+    */
+  private def batchedChain: String = {
+    def selection(k: Int, j: Int): String = {
+      val from = if (j == 1) s"r$k"
+        else s"""r$k
+  WHERE lhs NOT IN (SELECT s FROM u${k}_${j - 1})
+    AND rhs NOT IN (SELECT s FROM u${k}_${j - 1})
+    AND lhs || rhs NOT IN (SELECT s FROM u${k}_${j - 1})"""
+      val uPrev = if (j == 1) "" else s"SELECT s FROM u${k}_${j - 1} UNION "
+      s""",
+c${k}_$j AS MATERIALIZED (
+  SELECT lhs, rhs, pair_count FROM $from
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+u${k}_$j AS (
+  ${uPrev}SELECT lhs AS s FROM c${k}_$j UNION SELECT rhs FROM c${k}_$j
+  UNION SELECT lhs || rhs FROM c${k}_$j)"""
+    }
+    def round(k: Int): String = {
+      val prev = if (k == 1) "s0" else s"t${k - 1}"
+      val arms = (1 to BpeBatch).map(j =>
+        s"""        WHEN x = m$j.rhs AND (acc = m$j.lhs OR acc LIKE '% ' || m$j.lhs)
+          THEN substr(acc, 1, length(acc) - length(m$j.lhs)) || m$j.lhs || m$j.rhs""")
+        .mkString("\n")
+      val joins = (1 to BpeBatch).map(j =>
+        s"  LEFT JOIN c${k}_$j m$j ON TRUE").mkString("\n")
+      pairCountsSql(k, prev) + s""",
+r$k AS MATERIALIZED (
+  SELECT lhs, rhs, pair_count FROM p$k
+  ORDER BY pair_count DESC, lhs, rhs LIMIT $BpeCandidateWindow)""" +
+        (1 to BpeBatch).map(selection(k, _)).mkString + s""",
+t$k AS MATERIALIZED (
   SELECT w, cnt,
-    array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
-    AS seq
-  FROM v0)""" + (1 to NumMerges).map(round).mkString
+    list_reduce(list_prepend('', string_split(seq, ' ')),
+      (acc, x) -> CASE
+$arms
+        ELSE CASE WHEN acc = '' THEN x ELSE acc || ' ' || x END END) AS seq
+  FROM $prev
+$joins)"""
+    }
+    chainPrefix + (1 to BpeRounds).map(round).mkString
+  }
+
+  private def batchedTrainOracle: String = {
+    val picks = (for (k <- 1 to BpeRounds; j <- 1 to BpeBatch) yield
+      s"SELECT $k AS rk, $j AS rj, lhs, rhs, pair_count FROM c${k}_$j")
+      .mkString("\n  UNION ALL\n  ")
+    batchedChain + s""",
+allpicks AS (
+  $picks)
+SELECT row_number() OVER (ORDER BY rk, rj) AS merge_idx,
+  lhs, rhs, lhs || rhs AS merged, pair_count
+FROM allpicks ORDER BY merge_idx"""
   }
 
   /** UNION ALL of the per-round argmax rows — the merge table. */
@@ -552,6 +743,7 @@ GROUP BY source ORDER BY source"""
 
   val queries: Map[String, GQuery] = Map(
     "pipe_bpe_train" -> GQuery.sql(bpeTrain, trainOracle),
+    "pipe_bpe_train_batched" -> GQuery.sql(bpeTrainBatched, batchedTrainOracle),
     "pipe_bpe_encode" -> GQuery.sql(bpeEncode, encodeOracle),
     "pipe_bpe_fertility" -> GQuery.sql(bpeFertility, fertilityOracle),
     "pipe_viterbi_segment" -> GQuery.sql(viterbiSegment, viterbiOracle))

@@ -81,6 +81,108 @@ class Round13OpsSpec extends SparkTestBase {
       "replayed batch duplicated index rows — append is not idempotent")
   }
 
+  test("ann_mips_zipf: heavy-tailed magnitudes rank where cosine and MIPS disagree most") {
+    val zipf = operators.Similarity.mipsZipfTopk(spark, SfDir)
+      .select("q_id", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    val cos = operators.Similarity.bruteforceTopkAgg(spark, SfDir)
+      .select("q_id", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    val quarter = operators.Similarity.mipsTopk(spark, SfDir)
+      .select("q_id", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    assert(zipf.nonEmpty && zipf.size == cos.size)
+    // the zipf profile must diverge from BOTH the angle ranking and
+    // the mild quarter-step profile — magnitude dominates the order
+    val vsCos = zipf.zip(cos).count { case (a, b) => a != b }
+    val vsQuarter = zipf.zip(quarter).count { case (a, b) => a != b }
+    assert(vsCos * 2 > zipf.size,
+      s"zipf-MIPS barely diverged from cosine: $vsCos/${zipf.size} rows differ")
+    assert(vsQuarter * 2 > zipf.size,
+      s"zipf-MIPS barely diverged from quarter-step MIPS: $vsQuarter/${zipf.size}")
+  }
+
+  test("pipe_bpe_train_batched equals an independent batched-BPE reference (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    // independent in-JVM reference for the BATCHED rule: per round,
+    // rank pairs by (count desc, lhs, rhs), keep the top
+    // BpeCandidateWindow, greedily pick ≤BpeBatch whose
+    // {lhs, rhs, lhs+rhs} sets are pairwise disjoint, apply each pick
+    // sequentially (equal to the simultaneous fold under
+    // string-disjointness). No shared code with the Spark path.
+    def refMerge(seq: List[String], a: String, b: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      seq.foreach { x =>
+        if (buf.nonEmpty && buf.last == a && x == b) {
+          buf.remove(buf.length - 1); buf += (a + b)
+        } else buf += x
+      }
+      buf.toList
+    }
+    def refBatched(tokens: Seq[String]): Seq[(String, String, Long)] = {
+      var vocab = tokens.groupBy(identity).map { case (w, ws) =>
+        w -> (w.map(_.toString).toList, ws.size.toLong) }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var round = 0
+      var done = false
+      while (round < operators.Bpe.BpeRounds && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.values.foreach { case (seq, c) =>
+          seq.sliding(2).filter(_.length == 2).foreach { p =>
+            pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        val ranked = pairs.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }
+          .take(operators.Bpe.BpeCandidateWindow)
+        val used = scala.collection.mutable.Set.empty[String]
+        val picks = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        for (((l, r), n) <- ranked if picks.length < operators.Bpe.BpeBatch) {
+          if (!Set(l, r, l + r).exists(used.contains)) {
+            picks += ((l, r, n)); used ++= Set(l, r, l + r)
+          }
+        }
+        if (picks.isEmpty) done = true
+        else {
+          out ++= picks
+          picks.foreach { case (a, b, _) =>
+            vocab = vocab.map { case (w, (seq, n)) => w -> (refMerge(seq, a, b), n) }
+          }
+        }
+        round += 1
+      }
+      out.toList
+    }
+    val word = for {
+      len <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpus = Gen.choose(3, 25).flatMap(n => Gen.listOfN(n, word))
+    var caseNo = 0
+    val prop = Prop.forAll(corpus) { tokens =>
+      caseNo += 1
+      val dir = s"/root/repo/target/graft_bpe_batched_prop/c$caseNo"
+      Seq((1L, "en", "p", tokens.mkString(" "), 0L))
+        .toDF("doc_id", "lang", "source", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      operators.Bpe.trainMergesBatched(spark, dir) == refBatched(tokens)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("graft.bpe.batched conf routes every trainMerges consumer to the batched schedule") {
+    val prev = spark.conf.getOption("graft.bpe.batched")
+    spark.conf.set("graft.bpe.batched", "true")
+    try {
+      assert(operators.Bpe.trainMerges(spark, SfDir) ==
+        operators.Bpe.trainMergesBatched(spark, SfDir))
+    } finally prev.fold(spark.conf.unset("graft.bpe.batched"))(
+      spark.conf.set("graft.bpe.batched", _))
+    val sequential = operators.Bpe.bpeTrain(spark, SfDir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(operators.Bpe.trainMerges(spark, SfDir) == sequential,
+      "default conf must keep the sequential schedule")
+  }
+
   test("mm_decode_meta dimensions are parsed from real PNG headers") {
     // the payloads are genuine PNGs: magic bytes + ImageIO parse
     val df = operators.Multimodal.decodeMeta(spark, SfDir)
