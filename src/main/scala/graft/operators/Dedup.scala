@@ -219,6 +219,31 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Optional hot-bucket cap (`graft.lsh.bucketcap`): when set, band
+    * buckets WIDER than the cap are excluded from candidate
+    * generation — the standard LSH super-bucket mitigation for
+    * boilerplate-heavy corpora, where near-identical shingle sets
+    * collapse thousands of docs into one bucket and the candidate
+    * join goes quadratic in its width (measured on the §5.2
+    * `--boilerplate` rehearsal: widest bucket 2,660 docs, 18.6M raw
+    * band pairs at sf1). A pair dropped from one hot bucket still
+    * surfaces through any of its other bands unless those are hot
+    * too — the residual loss is confined to docs near-identical to
+    * ≥cap others, which under dedup semantics is the drop-all-but-one
+    * population anyway. Unset (the default and every registry row)
+    * the probe is exhaustive; Round13OpsSpec pins byte-identity under
+    * cap=64 on corpora whose buckets are all narrower.
+    */
+  private def capBuckets(buckets: DataFrame): DataFrame =
+    buckets.sparkSession.conf.getOption("graft.lsh.bucketcap")
+      .map(_.toLong).fold(buckets) { c =>
+        val ok = buckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bucket_w"))
+          .filter(col("bucket_w") <= c)
+          .select("band", "bucket")
+        buckets.join(ok, Seq("band", "bucket"))
+      }
+
   def minhashLshOn(docs: DataFrame): DataFrame = {
     // The shingle rows feed FOUR subtrees (signatures, both exact-
     // verify sides, sizes) and the bucket self-join would otherwise
@@ -228,7 +253,7 @@ object Dedup {
     // probed by banding and verification (dd_incremental_probe IS
     // that stored form).
     val r0 = shingleHashRowsOf(docs).truncated
-    val buckets = bandBucketsOf(sigsOf(r0))
+    val buckets = capBuckets(bandBucketsOf(sigsOf(r0)))
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -375,8 +400,8 @@ object Dedup {
     // recursiveFileLookup: the stream-maintained layout nests
     // batch-keyed subdirectories (idempotent per-batch overwrites);
     // the flat batch-staged layout reads identically under it
-    val idxBuckets = spark.read.schema(IdxBucketsSchema)
-      .option("recursiveFileLookup", "true").parquet(s"$idx/buckets")
+    val idxBuckets = capBuckets(spark.read.schema(IdxBucketsSchema)
+      .option("recursiveFileLookup", "true").parquet(s"$idx/buckets"))
     val idxShingles = spark.read.schema(IdxShinglesSchema)
       .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
     val idxSizes = spark.read.schema(IdxSizesSchema)

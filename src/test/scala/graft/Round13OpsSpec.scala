@@ -183,6 +183,53 @@ class Round13OpsSpec extends SparkTestBase {
       "default conf must keep the sequential schedule")
   }
 
+  test("graft.lsh.bucketcap=64 is byte-identical on corpora without super-buckets") {
+    val off1 = operators.Dedup.minhashLshPlanted(spark, SfDir).collect().map(_.toSeq).toSeq
+    val off2 = operators.Dedup.incrementalProbe(spark, SfDir).collect().map(_.toSeq).toSeq
+    val prev = spark.conf.getOption("graft.lsh.bucketcap")
+    spark.conf.set("graft.lsh.bucketcap", "64")
+    try {
+      assert(operators.Dedup.minhashLshPlanted(spark, SfDir)
+        .collect().map(_.toSeq).toSeq == off1,
+        "cap changed dd_minhash_lsh on a corpus with no super-buckets")
+      assert(operators.Dedup.incrementalProbe(spark, SfDir)
+        .collect().map(_.toSeq).toSeq == off2,
+        "cap changed dd_incremental_probe on a corpus with no super-buckets")
+    } finally prev.fold(spark.conf.unset("graft.lsh.bucketcap"))(
+      spark.conf.set("graft.lsh.bucketcap", _))
+  }
+
+  test("graft.lsh.bucketcap drops candidates from a planted super-bucket only") {
+    import spark.implicits._
+    // 6 boilerplate docs with IDENTICAL token streams (whitespace
+    // perturbation only — identical signatures, so every band holds
+    // one width-6 bucket) + one organic near-dup pair: cap=5 must
+    // drop the boilerplate pairs and keep the organic pair
+    val bp = (0 until 6).map(i =>
+      (100L + i, "webB",
+        " " * (i + 1) + "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val organic = Seq(
+      (500L, "webO", "one two three four five six seven eight nine ten"),
+      (501L, "webO", " one two three four five six seven eight nine ten\t"))
+    val docs = (bp ++ organic).toDF("doc_id", "source", "text")
+    val prev = spark.conf.getOption("graft.lsh.bucketcap")
+    spark.conf.set("graft.lsh.bucketcap", "5")
+    try {
+      val got = operators.Dedup.minhashLshOn(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((500L, 501L)), s"organic pair lost under cap: $got")
+      assert(!got.exists(p => p._1 >= 100L && p._1 < 106L),
+        s"super-bucket pairs must be dropped under cap=5: $got")
+    } finally prev.fold(spark.conf.unset("graft.lsh.bucketcap"))(
+      spark.conf.set("graft.lsh.bucketcap", _))
+    // and WITHOUT the cap the boilerplate pairs are found (the
+    // control proving the cap, not the corpus, dropped them)
+    val full = operators.Dedup.minhashLshOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.exists(p => p._1 >= 100L && p._1 < 106L),
+      s"control: boilerplate near-dups should pair without the cap: $full")
+  }
+
   test("mm_decode_meta dimensions are parsed from real PNG headers") {
     // the payloads are genuine PNGs: magic bytes + ImageIO parse
     val df = operators.Multimodal.decodeMeta(spark, SfDir)

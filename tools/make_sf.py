@@ -31,15 +31,25 @@ per-user session windows serialize through one task, which the
 graft.session.skewsafe code path exists for. Composable with --skew
 (orders/lineitem keep their 20% routes; events take the 80% route).
 
-Usage: make_sf.py <src_dir> <dst_dir> <factor> [--skew] [--firehose]
+--boilerplate is the round-13 hot-band-bucket rehearsal (VERDICT r12
+#3): every 10th document's text (ALL copies, keyed on the pre-shift
+doc_id) is replaced by a fixed 60-token boilerplate drawn from the
+SAME bounded qq-pool plus the doc's first two original tokens -- a
+boilerplate-heavy corpus whose near-identical shingle sets collapse
+thousands of docs into the same MinHash band buckets, the LSH
+candidate-join failure mode no uniform corpus exercises. Vocabulary
+stays bounded (the qq pool is reused, no new types).
+
+Usage: make_sf.py <src_dir> <dst_dir> <factor> [--skew] [--firehose] [--boilerplate]
 """
 import sys
 import duckdb
 
-FLAGS = {"--skew", "--firehose"}
+FLAGS = {"--skew", "--firehose", "--boilerplate"}
 args = [a for a in sys.argv[1:] if a not in FLAGS]
 SKEW = "--skew" in sys.argv[1:]
 FIREHOSE = "--firehose" in sys.argv[1:]
+BOILERPLATE = "--boilerplate" in sys.argv[1:]
 src, dst, n = args[0], args[1], int(args[2])
 con = duckdb.connect()
 # The source parquet stores instant (isAdjustedToUTC) timestamps,
@@ -103,6 +113,15 @@ PERTURB_TEXT = """CASE WHEN i = 0 THEN t.text ELSE
                 THEN 'qq' || CAST((j + i) % 7 AS VARCHAR) ELSE w END),
     ' ') END"""
 
+# --boilerplate: the fixed 60-token pattern (qq pool only) + the
+# doc's first two original tokens as the distinctive tail.
+BP_PATTERN = " ".join("qq%d" % (k % 7) for k in range(60))
+if BOILERPLATE:
+    PERTURB_TEXT = f"""CASE WHEN t.doc_id % 10 = 0 THEN
+  '{BP_PATTERN} ' ||
+  array_to_string(string_split(t.text, ' ')[1:2], ' ')
+ELSE {PERTURB_TEXT} END"""
+
 stride = {}
 for k, (tbl, col) in SPACES.items():
     # max + 1: keys start at 0, so max alone would collide copy i's key 0
@@ -123,6 +142,8 @@ for tbl, shifts in SHIFTS.items():
             return f"CAST({PERTURB_TEXT} AS {types[c]}) AS {c}"
         if tbl == "documents" and c == "n_chars":
             # keep the metadata honest on perturbed copies
+            if BOILERPLATE:
+                return f"CAST(length({PERTURB_TEXT}) AS {types[c]}) AS {c}"
             return (f"CAST(CASE WHEN i = 0 THEN t.n_chars "
                     f"ELSE length({PERTURB_TEXT}) END AS {types[c]}) AS {c}")
         return f"t.{c}"
@@ -147,4 +168,5 @@ for tbl, shifts in SHIFTS.items():
     want = n * con.execute(f"SELECT count(*) FROM '{src}/{tbl}.parquet'").fetchone()[0]
     assert got == want, (tbl, got, want)
 print(f"wrote {dst} at {n}x {src}" +
-      (" [skew]" if SKEW else "") + (" [firehose]" if FIREHOSE else ""))
+      (" [skew]" if SKEW else "") + (" [firehose]" if FIREHOSE else "") +
+      (" [boilerplate]" if BOILERPLATE else ""))
