@@ -36,7 +36,9 @@ object BenchOne {
         }
       })
     val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warmup: JIT + codegen + file listing
+    val w0 = System.nanoTime()
+    fn(spark, sfDir).count() // warmup: JIT + codegen + file listing + memo fill
+    val warm = (System.nanoTime() - w0) / 1e9
     val ts = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -44,8 +46,8 @@ object BenchOne {
     }.sorted
     val med = if (ts.length % 2 == 1) ts(ts.length / 2)
       else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
-    println(f"$name%s min=${ts.min}%.3f median=$med%.3f max=${ts.max}%.3f sec" +
-      s" codegen_fallbacks=${CodegenGuard.count}")
+    println(f"$name%s min=${ts.min}%.3f median=$med%.3f max=${ts.max}%.3f" +
+      f" warmup=$warm%.3f sec codegen_fallbacks=${CodegenGuard.count}")
     spark.stop()
   }
 }

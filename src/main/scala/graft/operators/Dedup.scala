@@ -1090,6 +1090,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Maximal duplicated-span interval merge — the substring-REMOVAL
+    * shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): where `spanDedup` COUNTS duplicated
+    * K-token windows, this op merges each doc's duplicated window
+    * positions into maximal contiguous token intervals (two windows
+    * merge when they overlap or touch: next_pos ≤ pos + K) and
+    * reports, per doc, the interval count, total duplicated-token
+    * coverage, and longest run — exactly the cut list a
+    * substring-dedup pass feeds to the rewrite stage.
+    *
+    * Scale shape: reuses `spanDedup`'s one span-keyed shuffle (groupBy
+    * min + join-back); the added work is gaps-and-islands over each
+    * doc's DUPLICATED positions only — a per-doc window bounded by
+    * document length (never corpus-wide), then two keyed rollups. The
+    * final LEFT JOIN back to `documents` keeps one row per doc so
+    * clean docs report zeros.
+    */
+  def spanIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.NGrams.ngrams(col("text"), SpanTokens))
+          .as(Seq("pos", "span")))
+      .filter(assert_true(col("pos") < 1048576L,
+        lit("spanIntervals: in-doc span position >= 2^20 breaks the packed order key")).isNull)
+      .withColumn("pos", col("pos").cast("long"))
+      .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
+    val first = occ.groupBy("span").agg(min(col("k")).as("fk"))
+    val dup = occ.join(first, "span")
+      .filter(col("k") =!= col("fk"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dup
+      // island break: this window starts past the previous one's end
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + lit(SpanTokens.toLong),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) + lit(SpanTokens.toLong) - min(col("pos")))
+        .as("len"))
+    val perDoc = intervals.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("len")).as("dup_tokens"),
+        max(col("len")).as("max_run"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster size histogram — the census the exact-dedup
     * pass reports to a curation dashboard ("how MUCH of the corpus is
     * 2-way / k-way duplicated"): exact clusters by normalized-text
@@ -1303,6 +1357,45 @@ object Dedup {
         |SELECT size, count(*) AS n_clusters,
         |  CAST(size * count(*) AS BIGINT) AS n_docs
         |FROM c GROUP BY size ORDER BY size""".stripMargin),
+    "dd_span_intervals" -> GQuery.sql(spanIntervals,
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - ${SpanTokens - 2}, 1)),
+        |    i -> struct_pack(pos := i - 1,
+        |                     span := array_to_string(t[i:i+${SpanTokens - 1}], ' ')))) AS s
+        |  FROM toks),
+        |occ AS (SELECT doc_id, s.pos AS pos,
+        |        doc_id * 1048576 + s.pos AS k, s.span AS span FROM o),
+        |f AS (SELECT span, min(k) AS fk FROM occ GROUP BY span),
+        |dup AS (SELECT doc_id, pos FROM occ JOIN f USING (span) WHERE k <> fk),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                   + $SpanTokens
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |iv AS (
+        |  SELECT doc_id, max(pos) + $SpanTokens - min(pos) AS len
+        |  FROM isl2 GROUP BY doc_id, island),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_intervals,
+        |    sum(len) AS dup_tokens, max(len) AS max_run
+        |  FROM iv GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_intervals, 0) AS BIGINT) AS n_intervals,
+        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_run
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "dd_span_dedup" -> GQuery.sql(spanDedup,
       """WITH toks AS (
         |  SELECT doc_id,

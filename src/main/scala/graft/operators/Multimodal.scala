@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2.G): media payloads are
   * opaque `binary` columns with typed metadata travelling alongside.
-  * The decode step is STUBBED (no media libs in this environment) —
-  * `stubDecode` below is a deterministic fake — but everything
-  * Spark-side is real: schema, binary handling, per-partition
-  * batching, and the feature-vector output shape a downstream
-  * embedding/training stage consumes.
+  * IMAGE decode is REAL since r13 (`decodeTiles`/`decodeMeta` —
+  * `javax.imageio` PNG round-trip) and AUDIO decode is REAL too
+  * (`decodeAudio` — `javax.sound.sampled` RIFF/WAVE round-trip);
+  * VIDEO decode stays stubbed (no codec ships with the JDK) —
+  * `stubDecode` below is the deterministic fake for that family —
+  * but everything Spark-side is real throughout: schema, binary
+  * handling, per-partition batching, and the feature-vector output
+  * shape a downstream embedding/training stage consumes.
   */
 object Multimodal {
 
@@ -529,7 +532,123 @@ object Multimodal {
       .orderBy("w", "h")
   }
 
+  // ---------------------------------------------------------------
+  // REAL audio decode: javax.sound.sampled RIFF/WAVE round-trip
+  // ---------------------------------------------------------------
+
+  val WavMod = 4L        // every 4th doc (remainder 1) mints a WAV
+  val WavWin = 64        // non-overlapping window, samples
+  private def wavSrOf(id: Long): Int = 8000 + (id % 3).toInt * 4000
+  private def wavNSampOf(id: Long): Int = 256 + (id % 5).toInt * 64
+
+  /** sample(id, i) — closed-form signed-16-bit ground truth shared by
+    * the WAV synthesizer and the DuckDB oracle (range [-1000, 1000],
+    * well inside Int16, so the PCM encode→decode is lossless).
+    */
+  private def wavSampleOf(id: Long, i: Int): Int =
+    (((id * 37L + i * 11L) % 2001L) - 1000L).toInt
+
+  private def wavOf(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = wavNSampOf(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = wavSampleOf(id, i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    // mono signed 16-bit little-endian PCM at a doc-dependent rate
+    val fmt = new AudioFormat(wavSrOf(id).toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  private val decodeAudioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("win_idx", LongType),
+    StructField("sr", LongType),
+    StructField("start_ms", LongType),
+    StructField("n_samp", LongType),
+    StructField("s_sum", LongType),
+    StructField("s_peak", LongType)))
+
+  /** GENUINE audio decode (companion to `decodeTiles`; retires the
+    * "audio decode stubbed" half of §2.G's caption): stage 1 mints a
+    * REAL RIFF/WAVE file per sampled doc (`javax.sound.sampled`
+    * encode — 44-byte header + mono 16-bit LE PCM, public JDK only,
+    * no audio device needed for parsing); stage 2 is a SEPARATE
+    * partition-local pass that re-parses the binary column through
+    * `AudioSystem.getAudioInputStream` — the sample RATE in the
+    * output comes from the parsed fmt-chunk, NOT the closed form, and
+    * `start_ms` divides by it, so a header-parse bug changes values.
+    * Window stats (sum, peak |amplitude|) reduce the DECODED samples.
+    * Sample function and per-doc rate/length rules are closed-form,
+    * so the DuckDB oracle replays expected windows exactly. Per-doc
+    * work is constant (≤1 KiB payload), no wide op but the
+    * verification ORDER BY — embarrassingly scalable.
+    */
+  def decodeAudio(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(WavMod)) === 1L)
+      .select(col("doc_id"))
+    val wavSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("wav", BinaryType)))
+    val wavEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(wavSchema)
+    val wavs = src.mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0), wavOf(r.getLong(0))) }
+    }(wavEnc)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodeAudioSchema)
+    wavs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val fmt = in.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+          !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+        val sr = fmt.getSampleRate.toLong // from the parsed fmt chunk
+        val pcm = in.readAllBytes()
+        val n = pcm.length / 2
+        (0 until n / WavWin).map { w =>
+          var s = 0L; var peak = 0L
+          var i = w * WavWin
+          while (i < (w + 1) * WavWin) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+            s += v; if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          Row(id, w.toLong, sr, w.toLong * WavWin * 1000L / sr,
+            WavWin.toLong, s, peak)
+        }
+      }
+    }(enc)
+      .orderBy("doc_id", "win_idx")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "mm_decode_audio" -> GQuery.sql(decodeAudio,
+      s"""WITH s AS (
+        |  SELECT d.doc_id, i.range AS i,
+        |    ((d.doc_id*37 + i.range*11) % 2001) - 1000 AS v
+        |  FROM documents d, range(0, 512) i
+        |  WHERE d.doc_id % $WavMod = 1
+        |    AND i.range < 256 + (d.doc_id % 5)*64)
+        |SELECT doc_id, CAST(i // $WavWin AS BIGINT) AS win_idx,
+        |  CAST(8000 + (doc_id % 3)*4000 AS BIGINT) AS sr,
+        |  CAST((i // $WavWin) * $WavWin * 1000
+        |    // (8000 + (doc_id % 3)*4000) AS BIGINT) AS start_ms,
+        |  CAST(count(*) AS BIGINT) AS n_samp,
+        |  CAST(sum(v) AS BIGINT) AS s_sum,
+        |  CAST(max(abs(v)) AS BIGINT) AS s_peak
+        |FROM s GROUP BY 1, 2, 3, 4
+        |ORDER BY doc_id, win_idx""".stripMargin),
     "mm_decode_tiles" -> GQuery.sql(decodeTiles,
       s"""WITH px AS (
         |  SELECT d.doc_id, x.range AS x, y.range AS y,

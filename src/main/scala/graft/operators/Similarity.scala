@@ -359,6 +359,134 @@ object Similarity {
     e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
       .select((col("vec_id") + QueryOffset).as("q_id"), col("v").as("qv"))
 
+  // ---------------------------------------------------------------
+  // Two-level IVF — the √n-centroid broadcast-budget escape hatch
+  // (SURVEY §3) as a code path, not just arithmetic
+  // ---------------------------------------------------------------
+
+  /** Coarse (level-1) centroids: ~n^(1/3) of them by the same
+    * deterministic xxhash64 residue sampling as `ivfCentroidsOf`,
+    * with the same guaranteed-nonempty fallback. At 10¹² vectors this
+    * is ~10⁴ rows — the ONLY table the two-level probe broadcasts,
+    * ~100× under the flat design's √n = 10⁶-row broadcast that §3's
+    * budget note flags at high dim.
+    */
+  private[graft] def ivf2CoarseOf(e: DataFrame): DataFrame = {
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val sampled = e.crossJoin(broadcast(n))
+      .filter(pmod(xxhash64(col("vec_id")),
+        greatest(expr("n_vecs div greatest(CAST(ceil(pow(n_vecs, 1.0/3)) AS BIGINT), 1)"),
+          lit(1L))) === 0L)
+      .select(col("vec_id").as("c1_id"), col("v").as("c1v"))
+    val fallback = e.crossJoin(broadcast(e.agg(min(col("vec_id")).as("min_id"))))
+      .filter(col("vec_id") === col("min_id"))
+      .select(col("vec_id").as("c1_id"), col("v").as("c1v"))
+    sampled.unionByName(fallback).dropDuplicates("c1_id")
+  }
+
+  /** Sub-centroids (level 2): within EACH coarse cell, ~√cell of the
+    * cell's own vectors by per-cell residue sampling (per-cell min
+    * vec_id as the nonempty fallback). The table is ~n^(2/3) rows
+    * total but it is PARTITIONED BY c1_id and only ever reached
+    * through joins KEYED on c1_id — it is never broadcast, which is
+    * the entire point of the second level.
+    */
+  private[graft] def ivf2SubOf(assigned1: DataFrame): DataFrame = {
+    val cellSizes = assigned1.groupBy("c1_id").agg(count(lit(1)).as("cell_n"))
+    val sampled = assigned1.join(cellSizes, "c1_id")
+      .filter(pmod(xxhash64(col("vec_id")),
+        greatest(expr("cell_n div greatest(CAST(ceil(sqrt(cell_n)) AS BIGINT), 1)"),
+          lit(1L))) === 0L)
+      .select(col("c1_id"), col("vec_id").as("c2_id"), col("v").as("c2v"))
+    val fallback = assigned1.groupBy("c1_id")
+      .agg(min(col("vec_id")).as("c2_id"), min_by(col("v"), col("vec_id")).as("c2v"))
+      .select(col("c1_id"), col("c2_id"), col("c2v"))
+    sampled.unionByName(fallback).dropDuplicates("c1_id", "c2_id")
+  }
+
+  /** Two-level IVF index: coarse assignment (broadcast n^(1/3)
+    * centroids, map-side max_by), then sub-assignment via a join
+    * KEYED on c1_id (per-vector fanout ≈ √cell, never corpus ×
+    * all-sub-cells) with the same (cos, -id) deterministic tie-break
+    * at both levels — the property the planted oracle rides.
+    */
+  private[graft] def ivf2IndexOf(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val coarse = ivf2CoarseOf(e)
+    val assigned1 = ivfAssign(e,
+      coarse.select(col("c1_id").as("cell_id"), col("c1v").as("cv")))
+      .select(col("vec_id"), col("v"), col("cell_id").as("c1_id"))
+    val sub = ivf2SubOf(assigned1)
+    val assigned2 = assigned1.join(sub, "c1_id")
+      .select(col("vec_id"), col("v"), col("c1_id"), col("c2_id"),
+        cosine(col("v"), col("c2v")).as("c2_cos"))
+      .groupBy("vec_id")
+      .agg(first(col("c1_id")).as("c1_id"),
+        max_by(col("c2_id"), struct(col("c2_cos"), -col("c2_id"))).as("c2_id"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("c1_id"), col("c2_id"))
+    (coarse, sub, assigned2)
+  }
+
+  /** Two-level probe: rank coarse cells against the BROADCAST coarse
+    * table (window over ~n^(1/3) reduced rows per query), keep the top
+    * half; descend into the probed cells' sub-centroids through a
+    * join KEYED on c1_id and keep the top half per (query, cell); the
+    * candidate fetch joins on (c1_id, c2_id). Probe work is
+    * O(queries × (n^(1/3) + probed_cells·√cell + candidates)) and NO
+    * n^(2/3)-row structure is ever broadcast or globally sorted.
+    */
+  private[graft] def ivf2Probe(coarse: DataFrame, sub: DataFrame,
+      assigned2: DataFrame, q: DataFrame): DataFrame = {
+    val nC1 = coarse.agg(count(lit(1)).as("n_c1"))
+    val qC1 = q.join(broadcast(coarse), lit(true))
+      .select(col("q_id"), col("qv"), col("c1_id"),
+        cosine(col("qv"), col("c1v")).as("c1_cos"))
+      .crossJoin(broadcast(nC1))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("c1_cos"), asc("c1_id"))))
+      .filter(col("crank") <= greatest(expr("n_c1 div 2"), lit(1L)))
+      .select(col("q_id"), col("qv"), col("c1_id"))
+    val subCounts = sub.groupBy("c1_id").agg(count(lit(1)).as("n_c2"))
+    val qC2 = qC1.join(sub, "c1_id")
+      .select(col("q_id"), col("qv"), col("c1_id"), col("c2_id"),
+        cosine(col("qv"), col("c2v")).as("c2_cos"))
+      .join(subCounts, "c1_id")
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("q_id", "c1_id").orderBy(desc("c2_cos"), asc("c2_id"))))
+      .filter(col("srank") <= greatest(expr("n_c2 div 2"), lit(1L)))
+      .select(col("q_id"), col("qv"), col("c1_id"), col("c2_id"))
+    val topk = graft.functions.TopK.topKByScore(TopK)
+    qC2.join(assigned2, Seq("c1_id", "c2_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("qv"), col("v")).as("score"), col("vec_id"))
+      .groupBy("q_id")
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"), round(col("s.score"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle-checked two-level IVF (`ann_ivf2_topk`): the planted-copy
+    * construction of `ann_ivf_topk` survives the second level — a
+    * copy's coarse ranking lands rank-1 on its source's assigned
+    * coarse cell (identical vector, identical (cos, -id) tie-break),
+    * the top-half rule always probes rank 1, the same argument
+    * repeats for the sub-level inside that cell, and the candidate
+    * join then surfaces the source at cosine 1.0 — so the ENTIRE
+    * two-level pipeline (both sampling levels → both assignments →
+    * two-stage descent → bounded-heap ranking) hash-checks against
+    * the same closed-form oracle.
+    */
+  def ivf2TopkPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val (coarse, sub, assigned2) = ivf2IndexOf(e)
+    ivf2Probe(coarse, sub, assigned2, plantedVecQueriesOf(e))
+      .filter(col("rank") === 1L)
+      .orderBy("q_id")
+  }
+
   val GramDim = 64
 
   /** Distributed Gram matrix G = Σ v·vᵀ over the embedding corpus —
@@ -2274,6 +2402,13 @@ ORDER BY vec_id, rank"""
         |SELECT q_id, rank, vec_id, round(cos_raw, 4) AS cosine
         |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
     "ann_ivf_topk" -> GQuery.sql(ivfTopkPlanted,
+      s"""SELECT vec_id + $QueryOffset AS q_id, CAST(1 AS BIGINT) AS rank,
+        |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 8 = 0
+        |ORDER BY q_id""".stripMargin),
+    // same truth domain again: the two-level descent must serve the
+    // identical rank-1 answers the flat pipeline finds
+    "ann_ivf2_topk" -> GQuery.sql(ivf2TopkPlanted,
       s"""SELECT vec_id + $QueryOffset AS q_id, CAST(1 AS BIGINT) AS rank,
         |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 8 = 0

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-13 operators and hardening. */
@@ -228,6 +229,95 @@ class Round13OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full.exists(p => p._1 >= 100L && p._1 < 106L),
       s"control: boilerplate near-dups should pair without the cap: $full")
+  }
+
+  test("mm_decode_audio windows come from genuinely decoded WAV samples") {
+    val rows = Multimodal.decodeAudio(spark, SfDir)
+      .filter(col("doc_id") === 9L).collect()
+    // doc 9: n = 256 + (9%5)*64 = 512 samples -> 8 windows of 64;
+    // sr = 8000 + (9%3)*4000 = 8000
+    assert(rows.length == 8, s"doc 9 must decode to 8 windows; got ${rows.length}")
+    def samp(id: Long, i: Int): Long = ((id * 37 + i * 11) % 2001) - 1000
+    for (r <- rows) {
+      val w = r.getLong(1).toInt
+      val vs = (w * 64 until (w + 1) * 64).map(samp(9L, _))
+      assert(r.getLong(2) == 8000L, s"parsed sample rate: ${r.getLong(2)}")
+      assert(r.getLong(3) == w.toLong * 64 * 1000 / 8000, "start_ms from parsed sr")
+      assert(r.getLong(5) == vs.sum, s"window $w decoded sum ${r.getLong(5)} != ${vs.sum}")
+      assert(r.getLong(6) == vs.map(math.abs).max, s"window $w peak")
+    }
+    // a doc on a different residue exercises the id-dependent rate
+    val r10 = Multimodal.decodeAudio(spark, SfDir)
+      .filter(col("doc_id") === 13L).head()
+    assert(r10.getLong(2) == 12000L, s"doc 13 sr must parse as 12000: ${r10.getLong(2)}")
+  }
+
+  test("dd_span_intervals merges duplicated windows into maximal runs") {
+    import spark.implicits._
+    // doc 0 plants the source; doc 1 repeats tokens 0..7 of it (a
+    // 8-token run -> 4 duplicated 5-gram positions 0..3, one maximal
+    // interval of length 3+5=8) and, after a 3-token unique gap,
+    // repeats tokens 20..25 (6 tokens -> positions at offset 11..12,
+    // one interval of length 1+5=6). Islands must NOT merge across
+    // the gap (gap > SpanTokens).
+    val src = (0 until 40).map(i => s"w$i").mkString(" ")
+    val d1 = ((0 until 8).map(i => s"w$i") ++ Seq("ua", "ub", "uc") ++
+      (20 until 26).map(i => s"w$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanint").toString
+    Seq((0L, src), (1L, d1)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.spanIntervals(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((0L, 0L, 0L)), s"source doc must be clean: ${got(0L)}")
+    assert(got(1L) == ((2L, 14L, 8L)),
+      s"doc 1 must report 2 intervals, 8+6=14 dup tokens, max run 8: ${got(1L)}")
+  }
+
+  test("two-level IVF: planted descent exact, natural recall sane, sub table never broadcast") {
+    import org.apache.spark.sql.functions.{col => c}
+    // 1. the planted pipeline must return exactly (source -> copy) at
+    //    cosine 1.0 — the oracle's claim, pinned locally for fast
+    //    feedback on a descent bug
+    val planted = Similarity.ivf2TopkPlanted(spark, SfDir).collect()
+    val srcs = Similarity.vecs(spark, SfDir)
+      .filter(c("vec_id") % 8 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.map(_.getLong(2)).toSet == srcs,
+      "every planted query must surface its source at rank 1")
+    assert(planted.forall(_.getDouble(3) == 1.0), "planted cosine must be 1.0")
+    // 2. natural-query recall vs brute force: probing half the coarse
+    //    cells then half of each cell's sub-cells covers ~a quarter of
+    //    a near-uniform corpus — recall@10 well above a 0.1 floor and
+    //    deterministic on fixed data
+    val e = Similarity.vecs(spark, SfDir)
+    val (coarse, sub, assigned2) = Similarity.ivf2IndexOf(e)
+    val q = e.filter(c("vec_id") < Similarity.NQueries)
+      .select(c("vec_id").as("q_id"), c("v").as("qv"))
+    val got = Similarity.ivf2Probe(coarse, sub, assigned2, q)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteforceTopk(spark, SfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.1, s"two-level recall@10 collapsed: $recall")
+    // 3. the scale claim itself: the coarse table is the ONLY
+    //    broadcast-hinted side; the n^(2/3)-row sub table reaches the
+    //    plan exclusively through joins keyed on c1_id
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = Similarity.ivf2Probe(coarse, sub, assigned2, q)
+      .queryExecution.optimizedPlan
+    var keyedJoins = 0
+    plan.foreach {
+      case j: Join if j.condition.isEmpty =>
+        assert(j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined),
+          "conditionless join must be a broadcast scalar/coarse attach")
+      case j: Join => keyedJoins += 1
+      case _ =>
+    }
+    assert(keyedJoins >= 2,
+      s"sub-centroid descent and candidate fetch must be keyed joins; saw $keyedJoins")
   }
 
   test("mm_decode_meta dimensions are parsed from real PNG headers") {
