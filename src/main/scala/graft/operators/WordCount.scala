@@ -265,10 +265,18 @@ object WordCount {
 
   val PageRankIters = 5
 
-  /** Node-id offset that puts suppliers in a disjoint id space from
-    * customers in the bipartite purchase graph.
+  /** Collision-free bipartite node encoding: customers on EVEN ids
+    * (2·custkey), suppliers on ODD ids (2·suppkey + 1). Replaced the
+    * former FIXED +1e6 supplier offset in r13 after the century
+    * rehearsal caught it as a scale bug: at sf10 the key-shifted
+    * custkeys reach 1.5e6, alias into the supplier id space, fuse the
+    * 100 disjoint rehearsal shards into one monster component, and
+    * wc_betweenness's DeltaCap fail-fast fires (exactly as designed —
+    * loud, not wrong). Parity tagging cannot collide at ANY corpus
+    * scale, costs the same two-token arithmetic on both engines, and
+    * keys recover as id div 2 when an operator needs them.
     */
-  val PageRankSuppOffset = 1000000L
+  val SuppParity = 1L // suppliers: 2·s + SuppParity; customers: 2·c
 
   /** The shared customer↔supplier purchase graph, MEMOIZED per
     * (session, corpus dir) like the landmark BFS state: eight graph
@@ -324,8 +332,8 @@ object WordCount {
         val l = Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_suppkey"))
         val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("a"),
-            (col("l_suppkey") + PageRankSuppOffset).as("b"))
+          .select((col("o_custkey") * 2L).as("a"),
+            (col("l_suppkey") * 2L + SuppParity).as("b"))
           .distinct()
           .truncated
         val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
@@ -390,7 +398,7 @@ r$i AS (
     FROM edges e JOIN r${i - 1} r ON e.src = r.node
     GROUP BY e.dst) s USING (node))"""
     s"""WITH eraw AS (
-  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
 edges AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM eall),
@@ -457,7 +465,7 @@ r$i AS (
     FROM edges e JOIN r${i - 1} r ON e.src = r.node
     GROUP BY e.dst) s USING (node))"""
     s"""WITH eraw AS (
-  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
 edges AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM eall),
@@ -518,10 +526,10 @@ ORDER BY pr DESC, node LIMIT 100"""
     */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     // Same sparsified subgraph as before, derived from the memoized
-    // edge list instead of the fact tables: a = o_custkey and
-    // b = l_suppkey + offset, so a + b − offset ≡ custkey + suppkey.
+    // edge list instead of the fact tables: a = 2·custkey and
+    // b = 2·suppkey + 1, so a div 2 + b div 2 ≡ custkey + suppkey.
     val eraw = bipartiteGraph(spark, dir)._1
-      .filter(pmod(col("a") + col("b") - lit(PageRankSuppOffset), lit(3L)) === 0L)
+      .filter(pmod(expr("(a div 2) + (b div 2)"), lit(3L)) === 0L)
     var edges = eraw.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(eraw.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src")).truncated
@@ -554,7 +562,7 @@ k$i AS (SELECT src FROM (SELECT src, count(*) AS c FROM e${i - 1} GROUP BY src)
 e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
         JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
     s"""WITH eraw AS (
-  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
   WHERE (o_custkey + l_suppkey) % 3 = 0),
 e0 AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw)""" +
@@ -629,7 +637,7 @@ d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
   SELECT e.dst, d.dist + 1 FROM eall e JOIN d${i - 1} d ON e.src = d.node)
   GROUP BY node)"""
     s"""WITH eraw AS (
-  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
 d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM eall)""" +
@@ -755,7 +763,7 @@ c$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
   SELECT d.seed, e.dst, d.dist + 1 FROM eall e JOIN c${i - 1} d ON e.src = d.node)
   GROUP BY seed, node)"""
     s"""WITH eraw AS (
-  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
 nodes AS (SELECT DISTINCT src AS node FROM eall),
@@ -1009,7 +1017,7 @@ l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
           SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS mc FROM s$i)
         WHERE c = mc GROUP BY node)"""
     s"""WITH eraw AS (
-  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
 l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM eall)""" +
@@ -1132,7 +1140,7 @@ w$i AS MATERIALIZED (
   JOIN adj a ON a.src = w.node
     AND a.idx = ((w.walk_id % 999983) * 2654435761 + $i * 2246822519) % d.deg)"""
     s"""WITH eraw AS (
-  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
 adj AS (
@@ -1530,7 +1538,7 @@ hr$i AS (
 h$i AS (
   SELECT cust, round(h_raw / max(h_raw) OVER (), 8) AS h FROM hr$i)"""
     s"""WITH e AS (
-  SELECT DISTINCT o_custkey AS cust, l_suppkey + $PageRankSuppOffset AS supp
+  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
   FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
 h0 AS (SELECT DISTINCT cust, 1.0 AS h FROM e)""" +
       (1 to HitsIters).map(iter).mkString +
@@ -1889,7 +1897,7 @@ SELECT scc_size, count(*) AS n_sccs FROM sz GROUP BY scc_size ORDER BY scc_size"
     "wc_random_walks" -> GQuery.sql(randomWalks, randomWalksOracle),
     "wc_degree_dist" -> GQuery.sql(degreeDist,
       s"""WITH eraw AS (
-        |  SELECT DISTINCT o_custkey AS a, l_suppkey + $PageRankSuppOffset AS b
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey),
         |eall AS (SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
         |deg AS (SELECT src, count(*) AS deg FROM eall GROUP BY src)

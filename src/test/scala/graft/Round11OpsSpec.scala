@@ -138,10 +138,10 @@ class Round11OpsSpec extends SparkTestBase {
   test("wc_betweenness: hand-replayed Brandes on planted path + cycle graphs") {
     import spark.implicits._
     val stage = "/root/repo/target/graft_betweenness_graph"
-    val Off = operators.WordCount.PageRankSuppOffset
     // Two components; 7 nodes total, so the count-derived landmark
     // modulus is 1 and EVERY node seeds — landmark Brandes degenerates
-    // to exact Brandes, which is hand-computable:
+    // to exact Brandes, which is hand-computable (parity node
+    // encoding: customer c → 2c, supplier s → 2s+1):
     //  P3: c1 — s77 — c2        (center carries all 4 ordered pairs)
     //  C4: c3/c4 — s78/s79      (each pair of opposite nodes has TWO
     //                            shortest paths, σ = 2, so every
@@ -157,10 +157,10 @@ class Round11OpsSpec extends SparkTestBase {
     val got = operators.WordCount.betweennessCentrality(spark, stage)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(
-      (1L, 2L, 0L), (2L, 2L, 0L),
-      (3L, 3L, 1000000L), (4L, 3L, 1000000L),
-      (Off + 77L, 2L, 2000000L),
-      (Off + 78L, 3L, 1000000L), (Off + 79L, 3L, 1000000L)),
+      (2L, 2L, 0L), (4L, 2L, 0L),
+      (6L, 3L, 1000000L), (8L, 3L, 1000000L),
+      (2L * 77 + 1, 2L, 2000000L),
+      (2L * 78 + 1, 3L, 1000000L), (2L * 79 + 1, 3L, 1000000L)),
       s"betweenness diverged from the hand replay: $got")
   }
 

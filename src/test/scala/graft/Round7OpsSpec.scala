@@ -386,8 +386,8 @@ class Round7OpsSpec extends SparkTestBase {
     val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
     val nAll = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .filter(pmod(col("o_custkey") + col("l_suppkey"), lit(3L)) === 0L)
-      .select(explode(array(col("o_custkey"),
-        col("l_suppkey") + operators.WordCount.PageRankSuppOffset)).as("n"))
+      .select(explode(array(col("o_custkey") * 2,
+        col("l_suppkey") * 2 + operators.WordCount.SuppParity)).as("n"))
       .distinct().count()
     assert(rows.length < nAll, s"peel removed nothing: ${rows.length} of $nAll")
   }
@@ -396,8 +396,8 @@ class Round7OpsSpec extends SparkTestBase {
     val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
     val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("a"),
-        (col("l_suppkey") + operators.WordCount.PageRankSuppOffset).as("b"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + operators.WordCount.SuppParity).as("b"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj = (eraw ++ eraw.map(_.swap)).groupBy(_._1).map { case (k, v) =>
       k -> v.map(_._2).toSet
@@ -422,8 +422,8 @@ class Round7OpsSpec extends SparkTestBase {
     val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
     val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("a"),
-        (col("l_suppkey") + operators.WordCount.PageRankSuppOffset).as("b"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + operators.WordCount.SuppParity).as("b"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = eraw ++ eraw.map(_.swap)
     val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }

@@ -126,8 +126,9 @@ class Round8bOpsSpec extends SparkTestBase {
       scores.foreach(sc => assert(sc > 0.0 && sc <= 1.0))
       rs.foreach { r =>
         val n = r.getAs[Long]("node")
-        if (side == "auth") assert(n >= operators.WordCount.PageRankSuppOffset)
-        else assert(n < operators.WordCount.PageRankSuppOffset)
+        // parity encoding: suppliers (auth side) odd, customers even
+        if (side == "auth") assert(n % 2 == operators.WordCount.SuppParity)
+        else assert(n % 2 == 0)
       }
     }
   }

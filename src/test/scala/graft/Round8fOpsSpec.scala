@@ -14,8 +14,8 @@ class Round8fOpsSpec extends SparkTestBase {
     val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
     val eraw = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("a"),
-        (col("l_suppkey") + operators.WordCount.PageRankSuppOffset).as("b"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + operators.WordCount.SuppParity).as("b"))
       .distinct()
     val m = eraw.count()
     // Σ d_c = 2m (degrees partition), Σ e_c <= m
@@ -53,8 +53,8 @@ class Round8fOpsSpec extends SparkTestBase {
     val o = Tables.orders(spark, SfDir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, SfDir).select("l_orderkey", "l_suppkey")
     val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("a"),
-        (col("l_suppkey") + operators.WordCount.PageRankSuppOffset).as("b"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + operators.WordCount.SuppParity).as("b"))
       .distinct().collect()
       .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
       .toSet
