@@ -320,6 +320,24 @@ class Round13OpsSpec extends SparkTestBase {
       s"sub-centroid descent and candidate fetch must be keyed joins; saw $keyedJoins")
   }
 
+  test("bipartite parity encoding never aliases large custkeys into supplier ids (sf10 regression)") {
+    import spark.implicits._
+    // The exact shape the century rehearsal exposed: custkey 1_000_077
+    // ALIASED supplier 77 under the old fixed +1e6 offset, fusing two
+    // disjoint purchase pairs into one 3-node component (degree-2 hub).
+    // Under parity encoding all four nodes are distinct, so the degree
+    // histogram must be a single degree-1 band of 4 nodes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_alias").toString
+    Seq((0L, 1000077L), (1L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((0L, 5L), (1L, 77L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.WordCount.degreeDist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 4L)),
+      s"expected four distinct degree-1 nodes (no id aliasing); got $got")
+  }
+
   test("mm_decode_meta dimensions are parsed from real PNG headers") {
     // the payloads are genuine PNGs: magic bytes + ImageIO parse
     val df = operators.Multimodal.decodeMeta(spark, SfDir)
