@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2.G): media payloads are
   * opaque `binary` columns with typed metadata travelling alongside.
-  * IMAGE decode is REAL since r13 (`decodeTiles`/`decodeMeta` —
-  * `javax.imageio` PNG round-trip) and AUDIO decode is REAL too
-  * (`decodeAudio` — `javax.sound.sampled` RIFF/WAVE round-trip);
-  * VIDEO decode stays stubbed (no codec ships with the JDK) —
-  * `stubDecode` below is the deterministic fake for that family —
-  * but everything Spark-side is real throughout: schema, binary
-  * handling, per-partition batching, and the feature-vector output
-  * shape a downstream embedding/training stage consumes.
+  * ALL THREE modalities decode for REAL since r13: IMAGE
+  * (`decodeTiles`/`decodeMeta` — `javax.imageio` PNG round-trip),
+  * AUDIO (`decodeAudio` — `javax.sound.sampled` RIFF/WAVE
+  * round-trip), and VIDEO (`decodeVideo` — multi-frame GIF89a, the
+  * one motion-picture container the JDK can both encode and decode;
+  * MP4/VP9 would need a native codec this container doesn't ship).
+  * `stubDecode` below remains only as the deterministic fake behind
+  * the legacy feature-shape ops; everything Spark-side is real
+  * throughout: schema, binary handling, per-partition batching, and
+  * the feature-vector output shape a downstream embedding/training
+  * stage consumes.
   */
 object Multimodal {
 
@@ -632,7 +635,147 @@ object Multimodal {
       .orderBy("doc_id", "win_idx")
   }
 
+  // ---------------------------------------------------------------
+  // REAL video decode: javax.imageio multi-frame GIF89a round-trip
+  // ---------------------------------------------------------------
+
+  val VidMod = 4L   // every 4th doc (remainder 2) mints a GIF
+  val VidW = 16
+  val VidH = 12
+  val VidMaxFrames = 6
+  private def vidFramesOf(id: Long): Int = 3 + (id % 4).toInt
+
+  /** pixel(id, frame, x, y) — closed-form ground truth shared by the
+    * GIF synthesizer and the DuckDB oracle. A 256-gray explicit
+    * palette makes the GIF LZW round-trip bit-exact: the encoder
+    * stores palette indices verbatim (no quantization — 256 grays fit
+    * the 8-bit palette exactly) and the decoder maps index i back to
+    * RGB (i,i,i).
+    */
+  private def vpxOf(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31L + f * 17L + x * 7L + y * 13L) % 256L).toInt
+
+  private lazy val grayPalette = {
+    val g = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { g(i) = i.toByte; i += 1 }
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  private def gifOf(wr: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    val nf = vidFramesOf(id)
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(VidW, VidH,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < VidH) {
+        var x = 0
+        while (x < VidW) { raster.setSample(x, y, 0, vpxOf(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    wr.endWriteSequence()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** Test hook: the minted container bytes for one doc (signature
+    * and container-structure assertions live in Round13OpsSpec).
+    */
+  def gifBytesOf(id: Long): Array[Byte] = {
+    imageIoInit
+    gifOf(javax.imageio.ImageIO.getImageWritersByFormatName("gif").next(), id)
+  }
+
+  private val decodeVideoSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame", LongType),
+    StructField("n_frames", LongType),
+    StructField("n_px", LongType),
+    StructField("px_sum", LongType)))
+
+  /** GENUINE video decode — retires the last "stubbed" clause in
+    * §2.G's caption. The JDK ships no MP4/VP9 codec, but it DOES ship
+    * a real motion-picture container codec: animated GIF89a
+    * (`com.sun.imageio.plugins.gif`, public `javax.imageio` API).
+    * Stage 1 mints a real multi-frame GIF per sampled doc — header,
+    * logical-screen descriptor, per-frame image descriptors, LZW-
+    * compressed indexed rasters — with a doc-dependent FRAME COUNT;
+    * stage 2 is a separate partition-local pass that re-parses the
+    * binary column through an ImageIO GIF reader: the frame count
+    * comes from `getNumImages(true)` walking the container (a parse
+    * bug changes the row count) and per-frame pixel sums reduce the
+    * LZW-DECODED rasters. Pixel rule and frame-count rule are closed
+    * form, so the DuckDB oracle replays every (doc, frame) row — an
+    * encode or decode bug anywhere breaks the hash. Per-doc work is
+    * constant (≤6 tiny frames); the only wide op is the verification
+    * ORDER BY — embarrassingly scalable, same shape a mapInPandas
+    * frame-sampler has at 100 TB.
+    */
+  def decodeVideo(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(VidMod)) === 2L)
+      .select(col("doc_id"))
+    val gifSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("gif", BinaryType)))
+    val gifEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(gifSchema)
+    val gifs = src.mapPartitions { rows =>
+      imageIoInit
+      // one writer per partition; per-row setOutput/prepare/end
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      rows.map { r => Row(r.getLong(0), gifOf(wr, r.getLong(0))) }
+    }(gifEnc)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodeVideoSchema)
+    gifs.mapPartitions { rows =>
+      imageIoInit
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+        val nf = rd.getNumImages(true) // parsed from the container
+        (0 until nf).map { f =>
+          val img = rd.read(f)
+          var s = 0L; var n = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              s += (img.getRGB(x, y) & 0xff); n += 1; x += 1
+            }
+            y += 1
+          }
+          Row(id, f.toLong, nf.toLong, n, s)
+        }
+      }
+    }(enc)
+      .orderBy("doc_id", "frame")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "mm_decode_video" -> GQuery.sql(decodeVideo,
+      s"""WITH px AS (
+        |  SELECT d.doc_id, f.range AS f, x.range AS x, y.range AS y,
+        |    (d.doc_id*31 + f.range*17 + x.range*7 + y.range*13) % 256 AS v
+        |  FROM documents d, range(0, $VidMaxFrames) f,
+        |       range(0, $VidW) x, range(0, $VidH) y
+        |  WHERE d.doc_id % $VidMod = 2 AND f.range < 3 + (d.doc_id % 4))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |  CAST(3 + (doc_id % 4) AS BIGINT) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY doc_id, frame""".stripMargin),
     "mm_decode_audio" -> GQuery.sql(decodeAudio,
       s"""WITH s AS (
         |  SELECT d.doc_id, i.range AS i,

@@ -338,6 +338,32 @@ class Round13OpsSpec extends SparkTestBase {
       s"expected four distinct degree-1 nodes (no id aliasing); got $got")
   }
 
+  test("mm_decode_video frames come from a genuinely decoded multi-frame GIF") {
+    // doc 2: n_frames = 3 + (2%4) = 5 — the count must arrive via the
+    // reader's container walk, the sums via real LZW raster decode
+    val rows = Multimodal.decodeVideo(spark, SfDir)
+      .filter(col("doc_id") === 2L).collect()
+    assert(rows.length == 5, s"doc 2 must decode to 5 frames; got ${rows.length}")
+    def px(id: Long, f: Int, x: Int, y: Int): Long =
+      (id * 31 + f * 17 + x * 7 + y * 13) % 256
+    for (r <- rows) {
+      val f = r.getLong(1).toInt
+      val want = (for (y <- 0 until 12; x <- 0 until 16) yield px(2L, f, x, y)).sum
+      assert(r.getLong(2) == 5L, "n_frames must come from getNumImages")
+      assert(r.getLong(3) == 192L, s"frame $f must cover 16×12 px")
+      assert(r.getLong(4) == want,
+        s"frame $f decoded sum ${r.getLong(4)} != closed form $want")
+    }
+    // a doc on a different residue pins the id-dependent frame count
+    val n7 = Multimodal.decodeVideo(spark, SfDir)
+      .filter(col("doc_id") === 10L).count()
+    assert(n7 == 3L + (10L % 4), s"doc 10 frame count: $n7")
+    // and the payload really is a GIF89a container, not a raster dump
+    val bytes = Multimodal.gifBytesOf(2L)
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a",
+      "minted payload must carry the GIF89a signature")
+  }
+
   test("mm_decode_meta dimensions are parsed from real PNG headers") {
     // the payloads are genuine PNGs: magic bytes + ImageIO parse
     val df = operators.Multimodal.decodeMeta(spark, SfDir)
