@@ -626,7 +626,127 @@ object Sources {
       .orderBy("status")
   }
 
+  // ---------------------------------------------------------------
+  // Positional delete vectors (merge-on-read row-level deletes)
+  // ---------------------------------------------------------------
+
+  val DvStageRoot = "/root/repo/target/graft_dv_table"
+  val DvFiles = 4
+  val DvEvery = 7L
+  val DvPhase = 3L
+
+  /** Stage a positional-delete-vector table — the Iceberg-v2 /
+    * Delta-DV row-level delete mechanism `src_snapshot_census`'s
+    * KEY-based delete cannot express (a positional delete targets one
+    * physical row even when keys repeat, and needs no key column at
+    * all): `data/f{k}.parquet` holds the docs with doc_id % DvFiles
+    * = k ascending (one sorted writer task per file, then a rename to
+    * a stable name), so every row's file-relative position is
+    * closed-form — its doc_id rank within the residue class. The
+    * `dv/` sidecar is minted POSITION-ONLY (pos % DvEvery == DvPhase)
+    * by reading the staged files back through the real
+    * `_metadata.row_index` hidden column, never from row content.
+    */
+  def stageDvDir(spark: SparkSession, dir: String): String =
+    Staging.stagedDir(DvStageRoot, dir) { tmp =>
+      import java.nio.file.Files
+      val docs = Tables.documents(spark, dir).select("doc_id")
+      Files.createDirectories(tmp.resolve("data"))
+      for (k <- 0 until DvFiles) {
+        val one = tmp.resolve(s"one$k")
+        docs.filter(pmod(col("doc_id"), lit(DvFiles.toLong)) === k.toLong)
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(one.toString)
+        Option(one.toFile.listFiles).toSeq.flatten
+          .find(_.getName.startsWith("part-"))
+          .foreach(f => Files.move(f.toPath,
+            tmp.resolve("data").resolve(s"f$k.parquet")))
+        Staging.deleteTree(one)
+      }
+      spark.read.schema("doc_id BIGINT")
+        .parquet(tmp.resolve("data").toString)
+        .select(
+          element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("file_name"),
+          col("_metadata.row_index").as("pos"))
+        .filter(pmod(col("pos"), lit(DvEvery)) === DvPhase)
+        .repartition(1)
+        .write.mode("overwrite").parquet(tmp.resolve("dv").toString)
+    }
+
+  /** Merge-on-read through a positional delete vector: scan the data
+    * files WITH their hidden `_metadata` (file path + within-file row
+    * index), anti-join the (file, position) sidecar, and census live
+    * vs deleted rows per file. The row's content never identifies the
+    * delete — only its physical coordinates do, which is what makes
+    * this the mechanism behind Iceberg v2 position deletes and Delta
+    * deletion vectors. At 100 TB the DV side is tiny relative to data
+    * (positions, not rows), so the anti-join broadcasts (AQE-sized
+    * here, un-hinted) and the scan itself stays embarrassingly
+    * parallel — `row_index` is per-file, so file splits across tasks
+    * don't disturb it. The DuckDB oracle replays positions as the
+    * doc_id rank within each residue class (the staging's sort order)
+    * — a wrong rename, a dropped sidecar row, or a row_index
+    * miscount each break the hash.
+    */
+  /** The data-file scan with its physical coordinates attached —
+    * shared by the batch census and the stream-maintained variant.
+    */
+  private[graft] def readDvData(spark: SparkSession, stage: String): DataFrame =
+    spark.read.schema("doc_id BIGINT")
+      .parquet(s"$stage/data")
+      .select(col("doc_id"),
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("file_name"),
+        col("_metadata.row_index").as("pos"))
+
+  /** Layout-agnostic MOR census over any (file_name, pos) delete-
+    * vector relation — the batch sidecar and the stream-maintained
+    * per-batch directories both serve through this one path.
+    */
+  private[graft] def dvCensusOf(data: DataFrame, dv: DataFrame): DataFrame = {
+    val live = data.join(dv, Seq("file_name", "pos"), "left_anti")
+    data.groupBy("file_name").agg(count(lit(1)).as("n_rows"))
+      .join(live.groupBy("file_name")
+          .agg(count(lit(1)).as("n_live"),
+            sum(col("doc_id")).as("live_id_sum")),
+        Seq("file_name"), "left")
+      .select(col("file_name"), col("n_rows"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        (col("n_rows") - coalesce(col("n_live"), lit(0L))).as("n_deleted"),
+        coalesce(col("live_id_sum"), lit(0L)).as("live_id_sum"))
+      .orderBy("file_name")
+  }
+
+  def deleteVectorCensus(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageDvDir(spark, dir)
+    dvCensusOf(readDvData(spark, stage),
+      spark.read.schema("file_name STRING, pos BIGINT")
+        .parquet(s"$stage/dv"))
+  }
+
+  /** The DV census ground truth both `src_delete_vector_census` and
+    * `stream_dv_ingest` replay in DuckDB.
+    */
+  private[graft] val dvOracleSql: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id,
+      |    'f' || CAST(doc_id % $DvFiles AS VARCHAR) || '.parquet' AS file_name,
+      |    row_number() OVER (PARTITION BY doc_id % $DvFiles
+      |      ORDER BY doc_id) - 1 AS pos
+      |  FROM documents)
+      |SELECT file_name,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) FILTER (WHERE pos % $DvEvery <> $DvPhase) AS BIGINT)
+      |    AS n_live,
+      |  CAST(count(*) FILTER (WHERE pos % $DvEvery = $DvPhase) AS BIGINT)
+      |    AS n_deleted,
+      |  CAST(coalesce(sum(doc_id) FILTER (WHERE pos % $DvEvery <> $DvPhase),
+      |    0) AS BIGINT) AS live_id_sum
+      |FROM pos GROUP BY file_name ORDER BY file_name""".stripMargin
+
   val queries: Map[String, GQuery] = Map(
+    "src_delete_vector_census" -> GQuery.sql(deleteVectorCensus, dvOracleSql),
     "src_csv_dialect_census" -> GQuery.sql(csvDialectCensus,
       """WITH t AS (
         |  SELECT doc_id, lang, source,

@@ -264,6 +264,62 @@ object StreamingOps {
     * ground truth. At 100 TB this is what keeps ANN serving current
     * between full rebuilds.
     */
+  /** Append one micro-batch of positional delete commands as the
+    * batch's own `batch=<id>` subdirectory — idempotent under replay
+    * by per-batch overwrite, like `appendVecBatch`.
+    */
+  private[graft] def appendDvBatch(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Unit =
+    batch.repartition(1).write.mode("overwrite")
+      .parquet(s"$root/batch=b$batchId")
+
+  /** Streaming maintenance of the positional-delete sidecar — the DV
+    * member of the stream-maintained-artifact family (LSH index r12,
+    * IVF index r13): the data files are staged once (immutable, the
+    * whole point of merge-on-read), then the delete commands arrive
+    * as three ordered micro-batches of (file, position) rows, each
+    * appended as its own per-batchId directory — recurring cost
+    * O(batch), no data-file rewrite, replay-idempotent by per-batch
+    * overwrite. After the drain the census runs through the identical
+    * layout-agnostic `dvCensusOf` serve path as
+    * `src_delete_vector_census`, so one closed-form oracle certifies
+    * stream-maintained == batch-staged == ground truth. At 100 TB
+    * this is how row-level deletes land between compactions: DV
+    * commits, never data rewrites.
+    */
+  def streamDvIngest(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Sources.stageDvDir(spark, dir)
+    val cmds = spark.read.schema("file_name STRING, pos BIGINT")
+      .parquet(s"$stage/dv")
+    val watch = java.nio.file.Files.createTempDirectory("graft_dv_ingest")
+    EventsStreaming.dropFile(cmds.filter(pmod(col("pos"), lit(3L)) === 0L),
+      watch.toString, "a")
+    EventsStreaming.dropFile(cmds.filter(pmod(col("pos"), lit(3L)) === 1L),
+      watch.toString, "b")
+    EventsStreaming.dropFile(cmds.filter(pmod(col("pos"), lit(3L)) === 2L),
+      watch.toString, "c")
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_stream")
+    // seed an empty slice so the post-drain read exists even when the
+    // corpus (and so the command stream) is empty
+    cmds.filter(lit(false)).write.mode("overwrite")
+      .parquet(s"$root/batch=seed")
+    withDrainConf(spark) {
+      val q = spark.readStream.schema(cmds.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          appendDvBatch(spark, root.toString, batch, batchId)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    Sources.dvCensusOf(Sources.readDvData(spark, stage),
+      spark.read.schema("file_name STRING, pos BIGINT")
+        .option("recursiveFileLookup", "true").parquet(root.toString))
+  }
+
   def streamVecIndexIngest(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.vecs(spark, dir).select(col("vec_id"), col("v"))
     val watch = java.nio.file.Files.createTempDirectory("graft_vecidx_ingest")
@@ -709,6 +765,9 @@ object StreamingOps {
     // index must serve the same planted pairs the batch-built one does
     // identical truth domain to ann_ivf_topk/ann_index_probe: the
     // stream-maintained index must serve the same rank-1 answers
+    // identical truth domain to src_delete_vector_census: the
+    // stream-maintained sidecar must serve the same MOR census
+    "stream_dv_ingest" -> GQuery.sql(streamDvIngest, Sources.dvOracleSql),
     "stream_vec_index_ingest" -> GQuery.sql(streamVecIndexIngest,
       s"""SELECT vec_id + ${Similarity.QueryOffset} AS q_id, CAST(1 AS BIGINT) AS rank,
         |  vec_id, CAST(1.0 AS DOUBLE) AS cosine

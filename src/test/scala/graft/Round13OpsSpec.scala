@@ -338,6 +338,27 @@ class Round13OpsSpec extends SparkTestBase {
       s"expected four distinct degree-1 nodes (no id aliasing); got $got")
   }
 
+  test("delete vectors remove rows by physical position, which a key delete cannot") {
+    import spark.implicits._
+    // 8 copies of ONE key in one residue class: a key-based anti-join
+    // (the src_snapshot_census mechanism) could only drop all 8 or
+    // none; the positional DV must drop exactly the pos%7==3 row
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_pos").toString
+    Seq.fill(8)((4L, "same text")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Sources.deleteVectorCensus(spark, dir).collect()
+    assert(got.length == 1, s"one residue class → one file; got ${got.toSeq}")
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("f0.parquet", 8L, 7L, 1L, 28L)),
+      s"positional delete must drop exactly one of eight identical rows: $r")
+    // and the sidecar really is (file, position) rows — no key column
+    val stage = operators.Sources.stageDvDir(spark, dir)
+    val dv = spark.read.parquet(s"$stage/dv")
+    assert(dv.columns.toSeq == Seq("file_name", "pos"),
+      s"sidecar schema must be positional only: ${dv.columns.toSeq}")
+  }
+
   test("mm_decode_video frames come from a genuinely decoded multi-frame GIF") {
     // doc 2: n_frames = 3 + (2%4) = 5 — the count must arrive via the
     // reader's container walk, the sums via real LZW raster decode
@@ -362,6 +383,44 @@ class Round13OpsSpec extends SparkTestBase {
     val bytes = Multimodal.gifBytesOf(2L)
     assert(new String(bytes.take(6), "US-ASCII") == "GIF89a",
       "minted payload must carry the GIF89a signature")
+  }
+
+  test("stream_dv_ingest: stream-maintained delete sidecar serves the batch census") {
+    val streamed = operators.StreamingOps.streamDvIngest(spark, SfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Sources.deleteVectorCensus(spark, SfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "stream-maintained DV sidecar diverged from the batch-staged census")
+  }
+
+  test("appendDvBatch replay is idempotent: a retried micro-batch replaces its own slice") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_replay").toString
+    val batch = Seq(("f0.parquet", 3L), ("f1.parquet", 10L))
+      .toDF("file_name", "pos")
+    operators.StreamingOps.appendDvBatch(spark, root, batch, 0L)
+    def rows() = spark.read
+      .schema("file_name STRING, pos BIGINT")
+      .option("recursiveFileLookup", "true").parquet(root)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val once = rows()
+    operators.StreamingOps.appendDvBatch(spark, root, batch, 0L)
+    assert(rows() == once,
+      "replayed DV batch duplicated delete commands — append is not idempotent")
+  }
+
+  test("mm_video_cuts finds the planted scene boundary in decoded frames") {
+    val rows = Multimodal.videoCuts(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 6L, s"cut-family docs mint 6 frames: $r")
+      assert(r.getLong(2) == 1L, s"exactly one planted cut per doc: $r")
+      assert(r.getLong(3) == 1L + id % 5L,
+        s"detected cut must sit at the planted frame 1 + $id % 5: $r")
+    }
   }
 
   test("mm_decode_meta dimensions are parsed from real PNG headers") {
