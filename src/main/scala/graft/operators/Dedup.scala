@@ -43,7 +43,7 @@ object Dedup {
     */
   val PlantOffset = 1000000L
   private def withPlanted(docs: DataFrame): DataFrame = {
-    // Loud precondition (mirrors the EmbedDim assert): every natural
+    // Loud precondition (the PlantOffset guard): every natural
     // doc_id must sit below PlantOffset, else planted ids collide with
     // natural ones and the `doc_id_2 == doc_id_1 + PlantOffset`
     // restriction could silently admit natural pairs into both planted
@@ -857,7 +857,7 @@ object Dedup {
 
   val LshBits = 16
   val LshBands = 4 // 4 bits per band
-  val EmbedDim = 64 // TESTDATA embedding width (all scale factors)
+  val EmbedDim = 64 // fallback plane width for an EMPTY corpus (any value works: no rows sign)
 
   /** Sign-LSH (random-hyperplane) embedding near-dup — the HIGH-
     * threshold (τ = 0.9) scale path that `embedCosine`'s docstring
@@ -883,17 +883,20 @@ object Dedup {
     val dot = vec_dot _
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
-      // The hyperplane arrays are EmbedDim wide and vec_dot silently
-      // truncates to the shorter operand, so a wider corpus would get
-      // signatures over only the first EmbedDim components — degraded
-      // recall with no failure. Make the precondition loud, like the
-      // simhash lane-overflow assert.
-      .filter(assert_true(size(col("v")) === EmbedDim,
-        lit(s"embedCosineLsh: embedding width != $EmbedDim — regenerate hyperplanes")).isNull)
+    // Hyperplanes are minted at the CORPUS'S OWN width — one
+    // constant-size driver lookup (the Lloyd-seed discipline), so a
+    // dim-512 corpus signs over all 512 components instead of
+    // silently truncating to a fixed-width plane table (the r13
+    // dimension rehearsal caught exactly that) — vec_dot truncates to
+    // the shorter operand, so a narrow plane table means degraded
+    // recall with no failure. At dim 64 the seeded sequence is
+    // byte-identical to the historical planes.
+    val dim = Option(e.agg(max(size(col("v")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(EmbedDim)
     val aug = e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"),
       col("label"), transform(col("v"), x => x * lit(0.5f)).as("v")))
     val rnd = new scala.util.Random(42) // fixed seed: deterministic planes
-    val planes = Array.fill(LshBits, EmbedDim)(rnd.nextGaussian())
+    val planes = Array.fill(LshBits, dim)(rnd.nextGaussian())
     val sig = (0 until LshBits).map { h =>
       when(dot(col("v"), array(planes(h).toIndexedSeq.map(lit): _*)) >= 0,
         shiftleft(lit(1L), h)).otherwise(lit(0L))

@@ -499,9 +499,25 @@ object Similarity {
     * aggregating. Triangle indices decode through a broadcast 2080-row
     * literal map; cells round to 6 like every FP aggregate here.
     */
+  /** LOUD width guard for the Gram-workspace family (the r13
+    * dimension rehearsal's fix for this pair): the Gram aggregator's
+    * buffer and the driver-side eigensolve workspace are minted at
+    * GramDim — a dim(dim+1)/2 shuffle row and a dim-squared driver
+    * collect are ARCHITECTURAL constants (at dim 4096 the collect is
+    * 128 MiB and wants a distributed eigensolve instead), not a
+    * per-query knob — and the aggregator reads exactly GramDim
+    * components, so a wider corpus would be silently censused on its
+    * first GramDim dimensions. Fail loud instead; a wider deployment
+    * raises GramDim consciously.
+    */
+  private def guardGramWidth(e: DataFrame): DataFrame =
+    e.filter(assert_true(size(col("v")) === GramDim,
+      lit(s"Gram workspace minted at width $GramDim; corpus width differs — raise GramDim")).isNull)
+
   def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = vecs(spark, dir)
+      .transform(guardGramWidth)
       .select(graft.functions.Gram.gram(GramDim)(col("v")).as("g"))
     val idx = (for { i <- 0 until GramDim; j <- i until GramDim }
       yield (i * GramDim - i * (i - 1) / 2 + (j - i), i.toLong, j.toLong))
@@ -1363,21 +1379,27 @@ ORDER BY f.vec_id"""
       s"aggregate($sliceExpr, CAST(0 AS BIGINT), (acc, x) -> acc + " +
         s"CAST(floor(CAST(x AS DOUBLE) * $MrlScale + 0.5) AS BIGINT) * " +
         s"CAST(floor(CAST(x AS DOUBLE) * $MrlScale + 0.5) AS BIGINT))"
-    val perVec = vecs(spark, dir)
-      .select(col("label"),
-        expr(segEnergy("slice(v, 1, 8)")).as("s1"),
-        expr(segEnergy("slice(v, 9, 8)")).as("s2"),
-        expr(segEnergy("slice(v, 17, 16)")).as("s3"),
-        expr(segEnergy("slice(v, 33, 32)")).as("s4"))
-      .select(col("label"), col("s1").as("e8"),
-        (col("s1") + col("s2")).as("e16"),
-        (col("s1") + col("s2") + col("s3")).as("e32"),
-        (col("s1") + col("s2") + col("s3") + col("s4")).as("et"))
+    val e = vecs(spark, dir)
+    // Prefix ladder derived from the corpus's OWN width (the r13
+    // dimension-rehearsal fix: the ladder was pinned at {8,16,32,64}
+    // and the "total" energy stopped at component 64, so a dim-512
+    // corpus reported prefix shares of its first eighth): powers
+    // 8·2^k up to dim, plus dim itself; one constant-size driver
+    // lookup (the Lloyd-seed discipline). At dim 64 the ladder and
+    // every output row are unchanged.
+    val dim = Option(e.agg(max(size(col("v")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(64)
+    val ladder =
+      (Iterator.iterate(8)(_ * 2).takeWhile(_ <= dim).toSeq :+ dim)
+        .distinct.sorted
+    val perVec = e.select(
+      col("label") +:
+        expr(segEnergy("v")).as("et") +:
+        ladder.map(p => expr(segEnergy(s"slice(v, 1, $p)")).as(s"e$p")): _*)
     perVec
       .select(col("label"), col("et"),
         explode(map(
-          lit(8L), col("e8"), lit(16L), col("e16"),
-          lit(32L), col("e32"), lit(64L), col("et")))
+          ladder.flatMap(p => Seq(lit(p.toLong), col(s"e$p"))): _*))
           .as(Seq("prefix_dim", "ep")))
       .withColumn("frac_ppm",
         expr("(2*ep*1000000 + greatest(et, 1)) div (2*greatest(et, 1))"))
@@ -1413,6 +1435,7 @@ ORDER BY f.vec_id"""
     */
   def pcaComponent(spark: SparkSession, dir: String): (Array[Double], Double) = {
     val tri = vecs(spark, dir)
+      .transform(guardGramWidth)
       .select(graft.functions.Gram.gram(GramDim)(col("v")).as("g"))
       .head().getSeq[Double](0).toArray
     // mirror the upper triangle; round like the vec_gram_matrix cells
@@ -1555,15 +1578,21 @@ ORDER BY f.vec_id"""
   /** Hyperplane count for `vec_bit_balance`. */
   val BalanceBits = 16
 
-  /** The shared seeded hyperplanes: regenerated identically here and
-    * in the oracle-SQL builder, and exported into the DuckDB query as
-    * double literals (Scala's Double.toString round-trips exactly, so
-    * both engines hold bit-identical planes).
+  /** Closed-form pseudo-random hyperplane component — replayable in
+    * SQL at ANY embedding width (the r13 dimension-rehearsal fix: the
+    * old fixed-seed Gaussian table was 64 wide, and `vec_dot`
+    * silently truncates to the shorter operand, so a dim-512 corpus
+    * was signed over its first 64 components with no failure):
+    * plane(h)[j] = (((h·73 + j·127) · 2654435761) mod 2001 − 1000)
+    * / 1000 ∈ [−1, 1] — integer-exact on both engines, then ONE exact
+    * double divide, so the planes are bit-identical by construction
+    * and scale with `size(v)` instead of a minted table.
     */
-  private lazy val balancePlanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(4242)
-    Array.fill(BalanceBits, 64)(rnd.nextGaussian())
-  }
+  private def balancePlane(h: Int): Column =
+    transform(
+      sequence(lit(0L), size(col("v")).cast("long") - lit(1L)),
+      j => (((lit(h.toLong) * lit(73L) + j * lit(127L)) * lit(2654435761L))
+        % lit(2001L) - lit(1000L)).cast("double") / lit(1000.0))
 
   /** Sign-bit balance census over the LSH hyperplane family — the
     * health check for hyperplane LSH (a bit far from 50/50 carries
@@ -1580,7 +1609,7 @@ ORDER BY f.vec_id"""
     import graft.functions.VectorFunctions.vec_dot
     val cells = (0 until BalanceBits).map { h =>
       struct(lit(h.toLong).as("bit"),
-        (vec_dot(col("v"), array(balancePlanes(h).toIndexedSeq.map(lit): _*)) >= 0)
+        (vec_dot(col("v"), balancePlane(h)) >= 0)
           .cast("long").as("one"))
     }
     vecs(spark, dir)
@@ -1593,19 +1622,20 @@ ORDER BY f.vec_id"""
       .orderBy("bit")
   }
 
-  private def bitBalanceOracle: String = {
-    val arms = (0 until BalanceBits).map { h =>
-      val lits = balancePlanes(h).map(_.toString).mkString("[", ", ", "]")
-      s"SELECT CAST($h AS BIGINT) AS bit, CASE WHEN list_inner_product(v, $lits) >= 0 THEN 1 ELSE 0 END AS one FROM e"
-    }.mkString("\n  UNION ALL ")
+  private def bitBalanceOracle: String =
     s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (
-       |  $arms)
+       |  SELECT h.range AS bit,
+       |    CASE WHEN list_inner_product(v,
+       |      list_transform(range(0, len(v)),
+       |        j -> (((h.range*73 + j*127) * 2654435761) % 2001 - 1000)
+       |             / 1000.0)) >= 0
+       |    THEN 1 ELSE 0 END AS one
+       |  FROM e, range(0, $BalanceBits) h)
        |SELECT bit, count(*) AS n_vecs, CAST(sum(one) AS BIGINT) AS n_ones,
        |  (2*CAST(sum(one) AS BIGINT)*1000000 + count(*)) // (2*count(*))
        |    AS ones_ppm
        |FROM b GROUP BY bit ORDER BY bit""".stripMargin
-  }
 
   /** Sample budget for `vec_pair_distance_hist` (a conf knob: the
     * sampled pair count is ≤ PdhSample², constant at any corpus
@@ -1726,10 +1756,17 @@ ORDER BY f.vec_id"""
       // ssw can be quantization-pushed to <= 0 (and k = 1 zeroes the
       // denominator): F is undefined there — NULL on BOTH engines, so
       // the ANSI-div-vs-floor disagreement on negatives never fires
+      // the final F product is the one dim-scaled term that can leave
+      // BIGINT (ssb_e6 grows with per-dim mass; the r13 dimension
+      // rehearsal overflowed it at dim 512): widen to DECIMAL(38,0) /
+      // HUGEINT for the product+divide, BIGINT result (the
+      // wc_betweenness σ discipline)
       .withColumn("f_x1000",
         expr("""CASE WHEN ssw_e6 <= 0 OR k <= 1 THEN NULL
-               ELSE (2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1))
-                      div (2*ssw_e6*(k - 1)) END"""))
+               ELSE CAST((2*CAST(ssb_e6 AS DECIMAL(38,0))*(n - k)*1000
+                          + CAST(ssw_e6 AS DECIMAL(38,0))*(k - 1))
+                      div (2*CAST(ssw_e6 AS DECIMAL(38,0))*(k - 1))
+                    AS BIGINT) END"""))
       .orderBy("dim")
   }
 
@@ -2266,8 +2303,9 @@ ORDER BY vec_id, rank"""
         |  FROM d)
         |SELECT dim, n, k, ssb_e6, ssw_e6,
         |  CASE WHEN ssw_e6 <= 0 OR k <= 1 THEN NULL
-        |       ELSE (2*ssb_e6*(n - k)*1000 + ssw_e6*(k - 1))
-        |              // (2*ssw_e6*(k - 1)) END AS f_x1000
+        |       ELSE CAST((2*ssb_e6::HUGEINT*(n - k)*1000
+        |                  + ssw_e6::HUGEINT*(k - 1))
+        |              // (2*ssw_e6::HUGEINT*(k - 1)) AS BIGINT) END AS f_x1000
         |FROM f ORDER BY dim""".stripMargin),
     "vec_mean_direction_census" -> GQuery.sql(meanDirectionCensus,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2505,7 +2543,14 @@ ORDER BY vec_id, rank"""
         |    CAST(floor(xv * 10000.0 + 0.5) AS BIGINT) AS u
         |  FROM (SELECT vec_id, label, unnest(v) AS xv,
         |          generate_subscripts(v, 1) AS dim FROM e)),
-        |p AS (SELECT * FROM (VALUES (8), (16), (32), (64)) t(prefix_dim)),
+        |p AS (
+        |  SELECT DISTINCT prefix_dim FROM (
+        |    SELECT CAST(8 * power(2, k.range) AS BIGINT) AS prefix_dim
+        |    FROM range(0, 16) k, (SELECT max(len(v)) AS d FROM e) m
+        |    WHERE 8 * power(2, k.range) <= m.d
+        |    UNION ALL
+        |    SELECT CAST(max(len(v)) AS BIGINT) FROM e)
+        |  WHERE prefix_dim IS NOT NULL),
         |pv AS (
         |  SELECT vec_id, label, CAST(prefix_dim AS BIGINT) AS prefix_dim,
         |    CAST(sum(CASE WHEN dim < prefix_dim THEN u*u ELSE 0 END) AS BIGINT) AS ep,

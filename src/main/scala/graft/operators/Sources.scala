@@ -725,6 +725,40 @@ object Sources {
         .parquet(s"$stage/dv"))
   }
 
+  /** Delete-vector compaction — the rewrite that RETIRES merge-on-read
+    * amplification and completes the DV lifecycle (commit →
+    * serve → stream-maintain → compact): the MOR read (data ⟕̸ DV
+    * anti-join) is rewritten as plain data files, and the census
+    * compares the two paths — the compacted side's file count and id
+    * sum come from the REWRITTEN files' own `_metadata`, so a rewrite
+    * that drops or duplicates rows, or silently fails to write,
+    * breaks the hash against the MOR side and the closed-form oracle.
+    * At 100 TB compaction is incremental per partition and scheduled
+    * off the DV-to-data ratio; the correctness contract demonstrated
+    * here is the same: compact(MOR read) ≡ MOR read, after which the
+    * sidecar is dead weight and reads need no anti-join.
+    */
+  def dvCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageDvDir(spark, dir)
+    val live = readDvData(spark, stage)
+      .join(spark.read.schema("file_name STRING, pos BIGINT")
+        .parquet(s"$stage/dv"), Seq("file_name", "pos"), "left_anti")
+    val cdir = java.nio.file.Files.createTempDirectory("graft_dv_compact")
+    live.select("doc_id").repartition(1)
+      .write.mode("overwrite").parquet(cdir.toString)
+    val back = spark.read.schema("doc_id BIGINT").parquet(cdir.toString)
+      .select(col("doc_id"), col("_metadata.file_path").as("file_name"))
+    def census(df: DataFrame, path: String): DataFrame =
+      df.agg(count_distinct(col("file_name")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(path).as("path"), col("n_files"), col("n_rows"),
+          col("id_sum"))
+    census(back, "compacted")
+      .unionByName(census(live, "mor"))
+      .orderBy("path")
+  }
+
   /** The DV census ground truth both `src_delete_vector_census` and
     * `stream_dv_ingest` replay in DuckDB.
     */
@@ -747,6 +781,26 @@ object Sources {
 
   val queries: Map[String, GQuery] = Map(
     "src_delete_vector_census" -> GQuery.sql(deleteVectorCensus, dvOracleSql),
+    "src_dv_compaction" -> GQuery.sql(dvCompaction,
+      s"""WITH pos AS (
+        |  SELECT doc_id,
+        |    'f' || CAST(doc_id % $DvFiles AS VARCHAR) || '.parquet' AS file_name,
+        |    row_number() OVER (PARTITION BY doc_id % $DvFiles
+        |      ORDER BY doc_id) - 1 AS pos
+        |  FROM documents),
+        |live AS (SELECT * FROM pos WHERE pos % $DvEvery <> $DvPhase)
+        |SELECT 'compacted' AS path,
+        |  CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM live
+        |UNION ALL
+        |SELECT 'mor',
+        |  CAST(count(DISTINCT file_name) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT)
+        |FROM live
+        |ORDER BY path""".stripMargin),
     "src_csv_dialect_census" -> GQuery.sql(csvDialectCensus,
       """WITH t AS (
         |  SELECT doc_id, lang, source,

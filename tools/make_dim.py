@@ -10,11 +10,14 @@ dim-bound centroid broadcast).
 Every non-embeddings table is copied byte-identical. embeddings keeps
 the SAME vec_ids and label rule (vec_id % 10 matches the source
 generator's range) and mints dim-D float components from a closed
-form, g(id, j) = ((id*1009 + j*917) % 2001 - 1000) / 2000.0 — the
-same [-0.5, 0.5] envelope as the source corpus, deterministic so
-reruns are byte-stable. No query constant in the engine depends on
-dim (PQ subvector splits read the array length; Lloyd seeds read
-rows), so the registry runs unchanged.
+form, g(id, j) = ((id*1009 + j*917 + id*j*37) % 2003 - 1001) / 2003.0
+— the same [-0.5, 0.5] envelope as the source corpus, deterministic
+so reruns are byte-stable. The id*j interaction term matters: a pure
+lattice (id*a + j*b) makes vectors of nearby ids differ by a near-
+constant offset (cosine > 0.9 natural pairs), which breaks the
+exact-recall precondition of the sign-LSH oracle; with the mixer the
+max natural cosine is ~0.59 (checked by brute force at dim 512,
+n=500), comfortably under every threshold in the registry.
 
 Usage: make_dim.py <src_dir> <dst_dir> <dim>
 """
@@ -40,8 +43,8 @@ con.execute(f"""
 COPY (
   SELECT vec_id,
     list_transform(range(0, {dim}),
-      j -> CAST(((vec_id*1009 + j*917) % 2001 - 1000) / 2000.0 AS FLOAT))
-      AS embedding,
+      j -> CAST(((vec_id*1009 + j*917 + vec_id*j*37) % 2003 - 1001)
+                / 2003.0 AS FLOAT)) AS embedding,
     CAST(vec_id % 10 AS INTEGER) AS label
   FROM '{src}/embeddings.parquet'
   ORDER BY vec_id
