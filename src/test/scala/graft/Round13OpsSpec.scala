@@ -385,6 +385,25 @@ class Round13OpsSpec extends SparkTestBase {
       "minted payload must carry the GIF89a signature")
   }
 
+  test("dv compaction preserves exactly the MOR-live rows through the rewrite") {
+    val rows = operators.Sources.dvCompaction(spark, SfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("compacted", "mor"), s"paths: ${rows.keySet}")
+    val (cf, cn, cs) = rows("compacted")
+    val (mf, mn, ms) = rows("mor")
+    assert(cn == mn && cs == ms,
+      s"rewrite must carry the exact live rows: compacted ($cn, $cs) vs mor ($mn, $ms)")
+    assert(cf == 1L, s"single-writer rewrite must land one file, got $cf")
+    assert(mf == operators.Sources.DvFiles.toLong,
+      s"MOR side must span all ${operators.Sources.DvFiles} data files, got $mf")
+    // and the rewrite really dropped the deleted rows, not a no-op copy
+    val census = operators.Sources.deleteVectorCensus(spark, SfDir).collect()
+    val deleted = census.map(_.getLong(3)).sum
+    val total = census.map(_.getLong(1)).sum
+    assert(deleted > 0L && mn == total - deleted,
+      s"live count $mn must equal total $total minus deleted $deleted")
+  }
+
   test("stream_dv_ingest: stream-maintained delete sidecar serves the batch census") {
     val streamed = operators.StreamingOps.streamDvIngest(spark, SfDir)
       .collect().map(_.toSeq).toSeq
