@@ -884,15 +884,14 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
     // Hyperplanes are minted at the CORPUS'S OWN width — one
-    // constant-size driver lookup (the Lloyd-seed discipline), so a
-    // dim-512 corpus signs over all 512 components instead of
-    // silently truncating to a fixed-width plane table (the r13
-    // dimension rehearsal caught exactly that) — vec_dot truncates to
-    // the shorter operand, so a narrow plane table means degraded
-    // recall with no failure. At dim 64 the seeded sequence is
-    // byte-identical to the historical planes.
-    val dim = Option(e.agg(max(size(col("v")))).head().get(0))
-      .map(_.asInstanceOf[Int]).getOrElse(EmbedDim)
+    // constant-size driver pass (Similarity.uniformDim: min+max of
+    // size(v) together, LOUD on a mixed-width corpus, since vec_dot
+    // truncates to the shorter operand and a narrow row under a wide
+    // plane table means degraded recall with no failure; the r13
+    // dimension rehearsal caught the fixed-width variant of exactly
+    // that). At dim 64 the seeded sequence is byte-identical to the
+    // historical planes.
+    val dim = Similarity.uniformDim(e).getOrElse(EmbedDim)
     val aug = e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"),
       col("label"), transform(col("v"), x => x * lit(0.5f)).as("v")))
     val rnd = new scala.util.Random(42) // fixed seed: deterministic planes

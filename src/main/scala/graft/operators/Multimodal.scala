@@ -643,7 +643,11 @@ object Multimodal {
   val VidW = 16
   val VidH = 12
   val VidMaxFrames = 6
-  private def vidFramesOf(id: Long): Int = 3 + (id % 4).toInt
+  // (id / 4) % 4, NOT id % 4: the samplers pin id % 4 per family, so
+  // an id%4 frame count would be CONSTANT within each family and the
+  // "a container-parse bug changes the row count" property would only
+  // ever be tested against one value (review finding, r13)
+  private def vidFramesOf(id: Long): Int = 3 + ((id / 4) % 4).toInt
 
   /** pixel(id, frame, x, y) — closed-form ground truth shared by the
     * GIF synthesizer and the DuckDB oracle. A 256-gray explicit
@@ -855,9 +859,9 @@ object Multimodal {
   val queries: Map[String, GQuery] = Map(
     "mm_video_cuts" -> GQuery.sql(videoCuts,
       s"""SELECT doc_id,
-        |  CAST(3 + (doc_id % 4) AS BIGINT) AS n_frames,
+        |  CAST(3 + ((doc_id // 4) % 4) AS BIGINT) AS n_frames,
         |  CAST(1 AS BIGINT) AS n_cuts,
-        |  CAST(1 + (doc_id % (2 + (doc_id % 4))) AS BIGINT) AS cut_frame
+        |  CAST(1 + (doc_id % (2 + ((doc_id // 4) % 4))) AS BIGINT) AS cut_frame
         |FROM documents WHERE doc_id % $CutMod = 3
         |ORDER BY doc_id""".stripMargin),
     "mm_decode_video" -> GQuery.sql(decodeVideo,
@@ -866,9 +870,10 @@ object Multimodal {
         |    (d.doc_id*31 + f.range*17 + x.range*7 + y.range*13) % 256 AS v
         |  FROM documents d, range(0, $VidMaxFrames) f,
         |       range(0, $VidW) x, range(0, $VidH) y
-        |  WHERE d.doc_id % $VidMod = 2 AND f.range < 3 + (d.doc_id % 4))
+        |  WHERE d.doc_id % $VidMod = 2
+        |    AND f.range < 3 + ((d.doc_id // 4) % 4))
         |SELECT doc_id, CAST(f AS BIGINT) AS frame,
-        |  CAST(3 + (doc_id % 4) AS BIGINT) AS n_frames,
+        |  CAST(3 + ((doc_id // 4) % 4) AS BIGINT) AS n_frames,
         |  CAST(count(*) AS BIGINT) AS n_px,
         |  CAST(sum(v) AS BIGINT) AS px_sum
         |FROM px GROUP BY 1, 2, 3

@@ -20,6 +20,26 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
 
+  /** The corpus's uniform embedding width, or None when empty: ONE
+    * column-pruned pass computing min AND max of `size(v)` together,
+    * failing LOUD on a mixed-width corpus — the silent hazard behind
+    * every width-derived artifact (`vec_dot` truncates to the shorter
+    * operand, so planes/ladders minted at max width would silently
+    * degrade narrower rows; review finding, r13). Constant driver
+    * traffic, the Lloyd-seed discipline.
+    */
+  private[operators] def uniformDim(e: DataFrame): Option[Int] = {
+    val r = e.agg(min(size(col("v"))).as("lo"),
+      max(size(col("v"))).as("hi")).head()
+    if (r.isNullAt(0)) None
+    else {
+      require(r.getInt(0) == r.getInt(1),
+        s"mixed embedding widths: min ${r.getInt(0)} != max ${r.getInt(1)} — " +
+          "width-derived artifacts (planes, ladders) need a uniform corpus")
+      Some(r.getInt(1))
+    }
+  }
+
   val NQueries = 5
   val TopK = 10
   val SaltBuckets = 64
@@ -1363,10 +1383,12 @@ ORDER BY f.vec_id"""
 
   /** Matryoshka truncation-energy census — the planning input for
     * embedding truncation (MRL-style serving): per label and prefix
-    * length P ∈ {8,16,32,64}, how much of each vector's squared norm
-    * the first P dims retain. Per-vector energies come from
-    * `aggregate` over disjoint array segments inside ONE scan
-    * projection (64 element visits per vector, no explode, no
+    * length P in the data-derived ladder (8·2^k up to dim, plus dim
+    * itself — {8,16,32,64} on the stock corpus), how much of each
+    * vector's squared norm the first P dims retain. Per-vector
+    * energies come from `aggregate` over the P-prefixes inside ONE
+    * scan projection (the overlapping prefixes cost ≤ 2·dim element
+    * visits total — the ladder is geometric — no explode, no
     * per-vector shuffle); fractions are HALF_UP ppm integers; the
     * only shuffle is the partial-agged (label, prefix) cell grid.
     * Per-label stats are the MEAN/min/max of per-vector fractions —
@@ -1387,15 +1409,16 @@ ORDER BY f.vec_id"""
     // 8·2^k up to dim, plus dim itself; one constant-size driver
     // lookup (the Lloyd-seed discipline). At dim 64 the ladder and
     // every output row are unchanged.
-    val dim = Option(e.agg(max(size(col("v")))).head().get(0))
-      .map(_.asInstanceOf[Int]).getOrElse(64)
+    val dim = uniformDim(e).getOrElse(64)
     val ladder =
       (Iterator.iterate(8)(_ * 2).takeWhile(_ <= dim).toSeq :+ dim)
         .distinct.sorted
+    // et IS the ladder's last entry (prefix = dim spans the whole
+    // vector) — alias it instead of aggregating the same value twice
     val perVec = e.select(
       col("label") +:
-        expr(segEnergy("v")).as("et") +:
         ladder.map(p => expr(segEnergy(s"slice(v, 1, $p)")).as(s"e$p")): _*)
+      .withColumn("et", col(s"e$dim"))
     perVec
       .select(col("label"), col("et"),
         explode(map(
@@ -1588,11 +1611,20 @@ ORDER BY f.vec_id"""
     * double divide, so the planes are bit-identical by construction
     * and scale with `size(v)` instead of a minted table.
     */
-  private def balancePlane(h: Int): Column =
-    transform(
-      sequence(lit(0L), size(col("v")).cast("long") - lit(1L)),
-      j => (((lit(h.toLong) * lit(73L) + j * lit(127L)) * lit(2654435761L))
-        % lit(2001L) - lit(1000L)).cast("double") / lit(1000.0))
+  private[operators] def balancePlaneVal(h: Int, j: Int): Double =
+    (((h.toLong * 73L + j.toLong * 127L) * 2654435761L) % 2001L - 1000L)
+      .toDouble / 1000.0
+
+  /** The plane as a LITERAL array at the corpus's (uniform, checked)
+    * width: the closed form evaluates ONCE on the driver instead of
+    * per row (a sequence+transform build would allocate 16·dim cells
+    * on every row of the scan; review finding, r13) — integer-exact
+    * then one exact double divide, so the literals are bit-identical
+    * to the oracle's list_transform replay.
+    */
+  private def balancePlane(h: Int, dim: Int): Column =
+    if (dim == 0) typedlit(Array.empty[Double])
+    else array((0 until dim).map(j => lit(balancePlaneVal(h, j))): _*)
 
   /** Sign-bit balance census over the LSH hyperplane family — the
     * health check for hyperplane LSH (a bit far from 50/50 carries
@@ -1607,9 +1639,10 @@ ORDER BY f.vec_id"""
     */
   def bitBalance(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
+    val dim = uniformDim(vecs(spark, dir)).getOrElse(0)
     val cells = (0 until BalanceBits).map { h =>
       struct(lit(h.toLong).as("bit"),
-        (vec_dot(col("v"), balancePlane(h)) >= 0)
+        (vec_dot(col("v"), balancePlane(h, dim)) >= 0)
           .cast("long").as("one"))
     }
     vecs(spark, dir)

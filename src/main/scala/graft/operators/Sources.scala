@@ -738,15 +738,23 @@ object Sources {
     * here is the same: compact(MOR read) ≡ MOR read, after which the
     * sidecar is dead weight and reads need no anti-join.
     */
+  val DvCompactRoot = "/root/repo/target/graft_dv_compact"
+
   def dvCompaction(spark: SparkSession, dir: String): DataFrame = {
     val stage = stageDvDir(spark, dir)
-    val live = readDvData(spark, stage)
+    def live = readDvData(spark, stage)
       .join(spark.read.schema("file_name STRING, pos BIGINT")
         .parquet(s"$stage/dv"), Seq("file_name", "pos"), "left_anti")
-    val cdir = java.nio.file.Files.createTempDirectory("graft_dv_compact")
-    live.select("doc_id").repartition(1)
-      .write.mode("overwrite").parquet(cdir.toString)
-    val back = spark.read.schema("doc_id BIGINT").parquet(cdir.toString)
+    // the rewrite commits ONCE per corpus through the shared staging
+    // protocol (a fresh temp dir per call would leak a full live-row
+    // copy on every invocation; review finding, r13) — which is also
+    // the production semantics: compaction is a scheduled commit, not
+    // per-query work
+    val cstage = Staging.stagedDir(DvCompactRoot, dir) { tmp =>
+      live.select("doc_id").repartition(1)
+        .write.mode("overwrite").parquet(tmp.resolve("data").toString)
+    }
+    val back = spark.read.schema("doc_id BIGINT").parquet(s"$cstage/data")
       .select(col("doc_id"), col("_metadata.file_path").as("file_name"))
     def census(df: DataFrame, path: String): DataFrame =
       df.agg(count_distinct(col("file_name")).as("n_files"),

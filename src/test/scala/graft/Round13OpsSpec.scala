@@ -360,25 +360,28 @@ class Round13OpsSpec extends SparkTestBase {
   }
 
   test("mm_decode_video frames come from a genuinely decoded multi-frame GIF") {
-    // doc 2: n_frames = 3 + (2%4) = 5 — the count must arrive via the
-    // reader's container walk, the sums via real LZW raster decode
+    // doc 2: n_frames = 3 + ((2/4)%4) = 3 — the count must arrive via
+    // the reader's container walk, the sums via real LZW raster decode
     val rows = Multimodal.decodeVideo(spark, SfDir)
       .filter(col("doc_id") === 2L).collect()
-    assert(rows.length == 5, s"doc 2 must decode to 5 frames; got ${rows.length}")
+    assert(rows.length == 3, s"doc 2 must decode to 3 frames; got ${rows.length}")
     def px(id: Long, f: Int, x: Int, y: Int): Long =
       (id * 31 + f * 17 + x * 7 + y * 13) % 256
     for (r <- rows) {
       val f = r.getLong(1).toInt
       val want = (for (y <- 0 until 12; x <- 0 until 16) yield px(2L, f, x, y)).sum
-      assert(r.getLong(2) == 5L, "n_frames must come from getNumImages")
+      assert(r.getLong(2) == 3L, "n_frames must come from getNumImages")
       assert(r.getLong(3) == 192L, s"frame $f must cover 16×12 px")
       assert(r.getLong(4) == want,
         s"frame $f decoded sum ${r.getLong(4)} != closed form $want")
     }
-    // a doc on a different residue pins the id-dependent frame count
-    val n7 = Multimodal.decodeVideo(spark, SfDir)
+    // a doc with a DIFFERENT frame count pins the id-dependence (the
+    // count rule is (id/4)%4, deliberately coprime with the id%4
+    // family sampler so counts genuinely vary within the family)
+    val n10 = Multimodal.decodeVideo(spark, SfDir)
       .filter(col("doc_id") === 10L).count()
-    assert(n7 == 3L + (10L % 4), s"doc 10 frame count: $n7")
+    assert(n10 == 3L + ((10L / 4) % 4), s"doc 10 frame count: $n10")
+    assert(n10 == 5L, s"doc 10 must differ from doc 2's count: $n10")
     // and the payload really is a GIF89a container, not a raster dump
     val bytes = Multimodal.gifBytesOf(2L)
     assert(new String(bytes.take(6), "US-ASCII") == "GIF89a",
@@ -435,11 +438,15 @@ class Round13OpsSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     for (r <- rows) {
       val id = r.getLong(0)
-      assert(r.getLong(1) == 6L, s"cut-family docs mint 6 frames: $r")
+      val nf = 3L + (id / 4) % 4
+      assert(r.getLong(1) == nf, s"cut-family doc $id must mint $nf frames: $r")
       assert(r.getLong(2) == 1L, s"exactly one planted cut per doc: $r")
-      assert(r.getLong(3) == 1L + id % 5L,
-        s"detected cut must sit at the planted frame 1 + $id % 5: $r")
+      assert(r.getLong(3) == 1L + id % (nf - 1),
+        s"detected cut must sit at the planted frame 1 + $id % ${nf - 1}: $r")
     }
+    // frame counts genuinely vary within the family (coprime rule)
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "cut-family frame counts must not be constant")
   }
 
   test("mm_decode_meta dimensions are parsed from real PNG headers") {
