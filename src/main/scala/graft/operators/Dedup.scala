@@ -315,6 +315,15 @@ object Dedup {
   private val IdxShinglesSchema = "doc_id BIGINT, sh BIGINT"
   private val IdxSizesSchema = "doc_id BIGINT, sh_size BIGINT"
 
+  /** (subtable, read schema) of the on-disk LSH index layout — the
+    * compaction helper rewrites each subtable through these schemas
+    * (StreamingOps.compactStreamedIndex).
+    */
+  private[graft] val LshIndexTables: Seq[(String, String)] = Seq(
+    "shingles" -> IdxShinglesSchema,
+    "buckets" -> IdxBucketsSchema,
+    "sizes" -> IdxSizesSchema)
+
   /** Builds (once, idempotently) the on-disk MinHash-LSH index of the
     * corpus: band buckets, shingle rows, and set sizes — the artifact
     * a production pipeline materializes so that DAILY INGEST pays
@@ -344,7 +353,7 @@ object Dedup {
     * as today's ingest against yesterday's index. Guarded like
     * `withPlanted`: natural ids must sit below PlantOffset.
     */
-  private[operators] def ingestBatchOf(docs: DataFrame): DataFrame =
+  private[graft] def ingestBatchOf(docs: DataFrame): DataFrame =
     docs.filter(assert_true(col("doc_id") < PlantOffset,
         lit(s"ingestBatchOf: doc_id >= $PlantOffset collides with batch ids — raise PlantOffset")).isNull)
       .filter(pmod(col("doc_id"), lit(4L)) === 0L)

@@ -297,12 +297,33 @@ object Relational {
       .orderBy("l_suppkey", "rn")
   }
 
-  /** HLL sketch count-distinct — the 100 TB path for distinct counts. */
+  /** HLL relative standard deviation for `rel_approx_distinct`. */
+  val ApproxDistinctRsd = 0.02
+
+  /** HLL sketch count-distinct — the 100 TB path for distinct counts —
+    * in its oracle-green bound-verdict form (VERDICT r13 #1): the HLL
+    * estimate is engine-private (register layout), so the row emits
+    * the 3σ accuracy VERDICT instead — per group, is the estimate
+    * within 3·rsd of the exact count? DuckDB computes the exact
+    * distinct count and the constant-1 verdict column; a sketch
+    * regression beyond its published bound flips the 1 and breaks the
+    * hash (the estimate itself never reaches the oracle). The exact
+    * count rides the SAME single aggregation pass for certification —
+    * production keeps only the sketch; the oracle-green calibration
+    * companion is `rel_distinct_sketch_error` (replayable KMV).
+    */
   def relApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+      .agg(
+        approx_count_distinct(col("o_custkey"), ApproxDistinctRsd).as("hll"),
+        count_distinct(col("o_custkey")).as("n_exact_customers"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("n_exact_customers"),
+        when(abs(col("hll") - col("n_exact_customers")).cast("double") <=
+          lit(3 * ApproxDistinctRsd) * col("n_exact_customers").cast("double"),
+          1L).otherwise(0L).as("within_3sigma"))
       .orderBy("o_orderpriority")
 
   /** KMV (k-minimum-values) affine-hash parameters for the
@@ -449,21 +470,51 @@ object Relational {
     * bounded-size sketch instead of buffering its group's values, and
     * the shuffle carries sketches, not data. Like the other sketch
     * rows (HLL distinct, SpaceSaving), merge order varies with
-    * shuffle-fetch order, so the registry check is rows-only; the
-    * quantitative guarantee — the returned value sits within rank
-    * error ε·n = n/accuracy of the true quantile — is pinned in
-    * RelationalSpec against the exact sorted values.
+    * shuffle-fetch order, so the row emits the GK rank-bracket
+    * VERDICT rather than the estimates (VERDICT r13 #1): the sketch
+    * guarantees a returned value whose rank is within ε·n
+    * (ε = 1/accuracy) of the target rank, so the estimate's exact
+    * rank interval [lt+1, le] — computed by ONE broadcast-join pass
+    * over the group — must intersect the closed-form bracket
+    * [⌊n(p−ε)⌋, ⌈n(p+ε)⌉]. The bracket endpoints are pure integer
+    * arithmetic over n (identical `div` on both engines), so DuckDB
+    * emits them plus the constant-1 verdicts; a sketch regression
+    * beyond its published rank error flips a verdict and breaks the
+    * hash. The estimates stay engine-private; RelationalSpec
+    * additionally pins them against the exact sorted values.
     */
-  def relApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy("o_orderpriority")
+  def relApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = ApproxPctAccuracy
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val est = o.groupBy("o_orderpriority")
       .agg(
-        round(expr(s"percentile_approx(o_totalprice, 0.5, $ApproxPctAccuracy)"), 2)
-          .as("p50_approx"),
-        round(expr(s"percentile_approx(o_totalprice, 0.95, $ApproxPctAccuracy)"), 2)
-          .as("p95_approx"),
-        count(lit(1)).as("n_orders"))
+        expr(s"percentile_approx(o_totalprice, 0.5, $acc)").as("e50"),
+        expr(s"percentile_approx(o_totalprice, 0.95, $acc)").as("e95"))
+    o.join(broadcast(est), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("e95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("o_totalprice") <= col("e95"), 1L).otherwise(0L)).as("le95"))
+      .withColumn("r50_lo", expr(s"(n_rows * ($acc - 2)) div (2 * $acc)"))
+      .withColumn("r50_hi",
+        expr(s"(n_rows * ($acc + 2) + 2 * $acc - 1) div (2 * $acc)"))
+      .withColumn("r95_lo", expr(s"(n_rows * (19 * $acc - 20)) div (20 * $acc)"))
+      .withColumn("r95_hi",
+        expr(s"(n_rows * (19 * $acc + 20) + 20 * $acc - 1) div (20 * $acc)"))
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("r50_lo"), col("r50_hi"),
+        when(col("le50") >= col("r50_lo") &&
+          col("lt50") + 1L <= col("r50_hi"), 1L).otherwise(0L)
+          .as("p50_bracketed"),
+        col("r95_lo"), col("r95_hi"),
+        when(col("le95") >= col("r95_lo") &&
+          col("lt95") + 1L <= col("r95_hi"), 1L).otherwise(0L)
+          .as("p95_bracketed"))
       .orderBy("o_orderpriority")
+  }
 
   /** TPC-H Q9 shape: multi-dim profit rollup by nation × year. */
   /** Profit sums ride as SCALED INTEGERS (×10⁴ — price has 2 decimals,
@@ -2099,7 +2150,12 @@ object Relational {
         |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem WHERE l_suppkey <= 10)
         |ORDER BY l_suppkey, rn""".stripMargin),
-    "rel_approx_distinct" -> GQuery.rowsOnly(relApproxDistinct),
+    "rel_approx_distinct" -> GQuery.sql(relApproxDistinct,
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_exact_customers,
+        |  CAST(1 AS BIGINT) AS within_3sigma
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
     "rel_distinct_sketch_error" -> GQuery.sql(distinctSketchError,
       s"""WITH d AS (SELECT DISTINCT o_orderstatus AS status, o_custkey FROM orders),
         |h AS (SELECT DISTINCT status,
@@ -2118,7 +2174,18 @@ object Relational {
         |  CAST(abs(est_distinct - n_exact) * 1000000 // n_exact AS BIGINT)
         |    AS err_ppm
         |FROM est ORDER BY status""".stripMargin),
-    "rel_approx_percentiles" -> GQuery.rowsOnly(relApproxPercentiles),
+    "rel_approx_percentiles" -> GQuery.sql(relApproxPercentiles, {
+      val acc = ApproxPctAccuracy
+      s"""SELECT o_orderpriority, count(*) AS n_rows,
+        |  (count(*) * ($acc - 2)) // (2 * $acc) AS r50_lo,
+        |  (count(*) * ($acc + 2) + 2 * $acc - 1) // (2 * $acc) AS r50_hi,
+        |  CAST(1 AS BIGINT) AS p50_bracketed,
+        |  (count(*) * (19 * $acc - 20)) // (20 * $acc) AS r95_lo,
+        |  (count(*) * (19 * $acc + 20) + 20 * $acc - 1) // (20 * $acc) AS r95_hi,
+        |  CAST(1 AS BIGINT) AS p95_bracketed
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    }),
     "rel_percentile_sketch_error" -> GQuery.sql(percentileSketchError,
       s"""WITH cents AS (
         |  SELECT o_orderpriority AS pri,

@@ -25,12 +25,20 @@ object Similarity {
     * failing LOUD on a mixed-width corpus — the silent hazard behind
     * every width-derived artifact (`vec_dot` truncates to the shorter
     * operand, so planes/ladders minted at max width would silently
-    * degrade narrower rows; review finding, r13). Constant driver
-    * traffic, the Lloyd-seed discipline.
+    * degrade narrower rows; review finding, r13). NULL vectors fail
+    * the same way — min/max aggregates skip them, so a corpus with
+    * some NULL rows would pass the width guard while vec_dot yields
+    * NULL signatures downstream (ADVICE r13 #3) — so the SAME pass
+    * counts them and requires zero. Constant driver traffic, the
+    * Lloyd-seed discipline.
     */
   private[operators] def uniformDim(e: DataFrame): Option[Int] = {
     val r = e.agg(min(size(col("v"))).as("lo"),
-      max(size(col("v"))).as("hi")).head()
+      max(size(col("v"))).as("hi"),
+      count(when(col("v").isNull, 1)).as("nulls")).head()
+    require(r.getLong(2) == 0L,
+      s"${r.getLong(2)} NULL embedding rows — width-derived artifacts " +
+        "(planes, ladders) would silently emit NULL signatures for them")
     if (r.isNullAt(0)) None
     else {
       require(r.getInt(0) == r.getInt(1),
@@ -280,7 +288,7 @@ object Similarity {
   /** IVF PROBE against an already-built index (in-memory frames or
     * parquet-backed reads — the plan is identical either way).
     */
-  private[operators] def ivfProbe(centroids: DataFrame, assigned: DataFrame,
+  private[graft] def ivfProbe(centroids: DataFrame, assigned: DataFrame,
       q: DataFrame): DataFrame = {
     // Probe the nearest half of the cells. The crank window is
     // per-query over the ~√n centroid rows only (already reduced by
@@ -360,6 +368,14 @@ object Similarity {
     * `Dedup.probeLshIndex`. Explicit schemas: an empty corpus stages
     * no part files.
     */
+  /** (subtable, read schema) of the on-disk IVF index layout — the
+    * compaction helper rewrites each subtable through these schemas
+    * (StreamingOps.compactStreamedIndex).
+    */
+  private[graft] val IvfIndexTables: Seq[(String, String)] = Seq(
+    "centroids" -> "cell_id BIGINT, cv ARRAY<FLOAT>",
+    "assigned" -> "vec_id BIGINT, v ARRAY<FLOAT>, cell_id BIGINT")
+
   private[graft] def readIvfIndex(spark: SparkSession,
       idx: String): (DataFrame, DataFrame) = {
     val centroids = spark.read.schema("cell_id BIGINT, cv ARRAY<FLOAT>")
@@ -375,7 +391,7 @@ object Similarity {
     * `ann_index_probe`, and the streamed index's probe so all three
     * rows share one closed-form oracle.
     */
-  private[operators] def plantedVecQueriesOf(e: DataFrame): DataFrame =
+  private[graft] def plantedVecQueriesOf(e: DataFrame): DataFrame =
     e.filter(pmod(col("vec_id"), lit(8L)) === 0L)
       .select((col("vec_id") + QueryOffset).as("q_id"), col("v").as("qv"))
 
@@ -1370,8 +1386,16 @@ ORDER BY f.vec_id"""
         max(col("xu")).as("max_u"))
       .orderBy("label", "dim")
 
-  /** Matryoshka truncation prefixes for `vec_matryoshka_census`. */
-  val MrlPrefixes: Seq[Int] = Seq(8, 16, 32, 64)
+  /** Matryoshka truncation ladder for `vec_matryoshka_census`,
+    * derived from the corpus width (the r13 dimension-rehearsal
+    * rule): powers 8·2^k up to dim, plus dim itself — {8,16,32,64}
+    * at the stock dim 64. THE function is the contract; the former
+    * `MrlPrefixes = Seq(8,16,32,64)` constant was stale the moment
+    * the census went width-derived (ADVICE r13 #1).
+    */
+  def mrlLadder(dim: Int): Seq[Int] =
+    (Iterator.iterate(8)(_ * 2).takeWhile(_ <= dim).toSeq :+ dim)
+      .distinct.sorted
 
   /** MRL quantization scale: coarser than dimMoments' 10⁶ so every
     * intermediate stays in BIGINT — per-vector energy ≤ 64·(10⁴)² ≈
@@ -1410,9 +1434,7 @@ ORDER BY f.vec_id"""
     // lookup (the Lloyd-seed discipline). At dim 64 the ladder and
     // every output row are unchanged.
     val dim = uniformDim(e).getOrElse(64)
-    val ladder =
-      (Iterator.iterate(8)(_ * 2).takeWhile(_ <= dim).toSeq :+ dim)
-        .distinct.sorted
+    val ladder = mrlLadder(dim)
     // et IS the ladder's last entry (prefix = dim spans the whole
     // vector) — alias it instead of aggregating the same value twice
     val perVec = e.select(

@@ -192,6 +192,94 @@ object StreamingOps {
   def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
+    val (watch, idx) = ingestLshIndex(spark, docs)
+    sealAndClean(
+      Dedup.plantedPairsOnly(Dedup.probeLshIndex(spark, idx.toString,
+        Dedup.ingestBatchOf(docs))),
+      watch, idx)
+  }
+
+  /** Eagerly materialize the (constant-size) census, then reclaim the
+    * per-invocation temp roots the drain staged — repeated bench and
+    * correctness sweeps were accumulating the watch + index slices on
+    * disk (ADVICE r13 #2). `localCheckpoint` pins the result rows in
+    * block storage (partition order, hence row order, preserved), so
+    * the returned frame outlives its directories.
+    */
+  private def sealAndClean(df: DataFrame,
+      dirs: java.nio.file.Path*): DataFrame = {
+    val out = df.localCheckpoint()
+    dirs.foreach { d =>
+      if (java.nio.file.Files.exists(d)) Staging.deleteTree(d)
+    }
+    out
+  }
+
+  /** Compact a stream-maintained index IN PLACE: rewrite every
+    * subtable's accumulated batch-keyed slices into one consolidated
+    * `compact/` slice and atomically swap the new layout over the old
+    * (fresh temp sibling → rename aside → rename into place — the
+    * `Staging.stagedDir` commit protocol, applied to an index the
+    * stream owns). This is the missing last step of the maintained-
+    * index lifecycle (VERDICT r13 #3): per-batch overwrite keeps
+    * replay idempotent but accumulates one directory per micro-batch
+    * forever — unbounded small files at production cadence, the
+    * problem `src_compaction_census` solves for data files. The serve
+    * path is layout-blind (recursiveFileLookup), so a probe reads the
+    * compacted index unchanged — CompactionLifecycleSpec pins probe
+    * equality and the file-count drop. `coalesce(1)` because each
+    * subtable here is KB-scale; production compaction bins slices to
+    * a target file size per partition (the `compactionPlan` shape)
+    * and runs incrementally — the commit protocol is identical.
+    */
+  private[graft] def compactStreamedIndex(spark: SparkSession, idx: String,
+      tables: Seq[(String, String)]): Unit = {
+    val nonce = System.nanoTime()
+    val tmp = java.nio.file.Paths.get(s"$idx.compact-$nonce")
+    tables.foreach { case (t, schema) =>
+      val sub = if (t.isEmpty) idx else s"$idx/$t"
+      val dst = if (t.isEmpty) s"$tmp/compact" else s"$tmp/$t/compact"
+      spark.read.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(sub)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dst)
+    }
+    val p = java.nio.file.Paths.get(idx)
+    val old = java.nio.file.Paths.get(s"$idx.old-$nonce")
+    java.nio.file.Files.move(p, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Staging.deleteTree(old)
+  }
+
+  /** The streamed-LSH-index lifecycle COMPLETED: ingest the corpus as
+    * micro-batches (per-batch subdirectories, replay-idempotent),
+    * compact the accumulated slices into one consolidated layout, and
+    * probe the COMPACTED index through the identical serve path — so
+    * the closed-form brute-force oracle certifies that compaction
+    * changed the file layout and nothing else. At 100 TB this is the
+    * scheduled job that keeps a stream-maintained index from
+    * dissolving into per-minute micro-files between full rebuilds.
+    */
+  def streamIndexCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val (watch, idx) = ingestLshIndex(spark, docs)
+    compactStreamedIndex(spark, idx.toString, Dedup.LshIndexTables)
+    sealAndClean(
+      Dedup.plantedPairsOnly(Dedup.probeLshIndex(spark, idx.toString,
+        Dedup.ingestBatchOf(docs))),
+      watch, idx)
+  }
+
+  /** The ingest half of `stream_index_ingest` /
+    * `stream_index_compaction`: drain the corpus into a fresh
+    * batch-keyed LSH index layout. Returns the (watch, index) temp
+    * roots — the CALLER owns their cleanup (`sealAndClean`).
+    */
+  private[graft] def ingestLshIndex(spark: SparkSession, docs: DataFrame)
+      : (java.nio.file.Path, java.nio.file.Path) = {
     val watch = java.nio.file.Files.createTempDirectory("graft_idx_ingest")
     // three roughly equal corpus slices arrive as ordered batches
     EventsStreaming.dropFile(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L),
@@ -232,8 +320,7 @@ object StreamingOps {
         .start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
-    Dedup.plantedPairsOnly(Dedup.probeLshIndex(spark, idx.toString,
-      Dedup.ingestBatchOf(docs)))
+    (watch, idx)
   }
 
   /** One micro-batch of IVF index maintenance: assign the batch's
@@ -315,9 +402,11 @@ object StreamingOps {
         .start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
-    Sources.dvCensusOf(Sources.readDvData(spark, stage),
-      spark.read.schema("file_name STRING, pos BIGINT")
-        .option("recursiveFileLookup", "true").parquet(root.toString))
+    sealAndClean(
+      Sources.dvCensusOf(Sources.readDvData(spark, stage),
+        spark.read.schema("file_name STRING, pos BIGINT")
+          .option("recursiveFileLookup", "true").parquet(root.toString)),
+      watch, root)
   }
 
   def streamVecIndexIngest(spark: SparkSession, dir: String): DataFrame = {
@@ -352,10 +441,12 @@ object StreamingOps {
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
     val (centroids, assigned) = Similarity.readIvfIndex(spark, idx.toString)
-    Similarity.ivfProbe(centroids, assigned,
-        Similarity.plantedVecQueriesOf(e))
-      .filter(col("rank") === 1L)
-      .orderBy("q_id")
+    sealAndClean(
+      Similarity.ivfProbe(centroids, assigned,
+          Similarity.plantedVecQueriesOf(e))
+        .filter(col("rank") === 1L)
+        .orderBy("q_id"),
+      watch, idx)
   }
 
   /** Watermark-progression census — the OBSERVABILITY row a streaming
@@ -698,6 +789,35 @@ object StreamingOps {
         .orderBy("user_id")
     }
 
+  /** Brute-force planted-pair ground truth shared by
+    * `stream_index_ingest` and `stream_index_compaction` — compaction
+    * must serve the identical probe result through the identical
+    * serve path, so the two rows replay one oracle.
+    */
+  private val lshIngestOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, ' ' || text || chr(9)
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM docs),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  FROM toks WHERE len(t) >= 3)
+      |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+      |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+      |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+      |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   val queries: Map[String, GQuery] = Map(
     "stream_upsert_sink_census" -> GQuery.sql(streamUpsertSinkCensus,
       """SELECT user_id, count(*) AS n_events,
@@ -773,29 +893,9 @@ object StreamingOps {
         |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 8 = 0
         |ORDER BY q_id""".stripMargin),
-    "stream_index_ingest" -> GQuery.sql(streamIndexIngest,
-      """WITH docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, ' ' || text || chr(9)
-        |  FROM documents WHERE doc_id % 4 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[[:punct:][:space:]]+'),
-        |                x -> len(x) > 0) AS t
-        |  FROM docs),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-        |  FROM toks WHERE len(t) >= 3)
-        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-        |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
-        |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
-        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    "stream_index_ingest" -> GQuery.sql(streamIndexIngest, lshIngestOracle),
+    "stream_index_compaction" ->
+      GQuery.sql(streamIndexCompaction, lshIngestOracle),
     "stream_watermark_census" -> GQuery.sql(streamWatermarkCensus,
       """WITH m AS (
         |  SELECT COALESCE(CAST(max(epoch_ms(ts)) AS BIGINT), 0) AS mx,

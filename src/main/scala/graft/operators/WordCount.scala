@@ -1170,21 +1170,61 @@ SELECT walk_id, step, node FROM (""" +
     * before the exchange, so shuffle volume is cap·partitions,
     * independent of corpus AND vocabulary size. Capacity 16 is chosen
     * BELOW this corpus's 31-token vocabulary so eviction genuinely
-    * exercises the sketch (rows-only by design — the result carries
-    * [ub−err, ub] bounds, not exact counts; Round6OpsSpec pins the
-    * bound guarantees and the cap ≥ vocab ⇒ exact degeneration).
+    * exercises the sketch; the registry row (`heavyHitters` below)
+    * reduces the summary to its provable bound VERDICT so the DuckDB
+    * oracle hash-checks it, and Round6OpsSpec pins the raw bound
+    * guarantees and the cap ≥ vocab ⇒ exact degeneration.
     */
-  def heavyHittersWith(cap: Int)(spark: SparkSession, dir: String): DataFrame =
+  /** The FULL cap-entry summary (token, ub, err) — no head cut. */
+  private[graft] def ssSummary(cap: Int)(spark: SparkSession,
+      dir: String): DataFrame =
     tokenized(spark, dir)
       .select(graft.functions.SpaceSaving.spaceSaving(cap)(col("word")).as("summary"))
       .select(explode(col("summary")).as("e"))
       .select(col("e.token").as("token"), col("e.ub").as("count_ub"),
         col("e.err").as("err"))
+
+  def heavyHittersWith(cap: Int)(spark: SparkSession, dir: String): DataFrame =
+    ssSummary(cap)(spark, dir)
       .orderBy(desc("count_ub"), asc("token"))
       .limit(HeavyHitterK)
 
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
-    heavyHittersWith(HeavyHitterCap)(spark, dir)
+  /** The oracle-green form of the SpaceSaving row (VERDICT r13 #1):
+    * the raw summary is engine-private (merge-order nondeterministic
+    * near the cutoff), but its two theorems are closed-form-checkable
+    * per exact-top-k token, a set DuckDB computes independently:
+    * a token PRESENT in the summary must have its exact count inside
+    * [ub − err, ub] (the bracket invariant, any merge order), and a
+    * token ABSENT from it can have occurred at most min-ub times (the
+    * eviction-floor invariant — reduce always admits the newcomer, so
+    * absence means every copy was charged below some intermediate
+    * floor, and floors only grow under the merge's missing-side
+    * charge). The verdict column is therefore PROVABLY 1 row-for-row;
+    * any sketch defect — a lost bracket, an eviction that undercounts,
+    * a merge that forgets its floor — flips a 1 to 0 and breaks the
+    * hash against DuckDB's constant-1 column. The sketch output
+    * itself never reaches the oracle. ONE sketch pass, pinned by
+    * localCheckpoint: the summary is not run-stable, so both
+    * consumers (the probe join and the min-ub bound) must read the
+    * same materialization — ≤ cap rows, the constant-size contract.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val s = ssSummary(HeavyHitterCap)(spark, dir).localCheckpoint()
+    val minUb = s.agg(min(col("count_ub")).as("min_ub"))
+    val topk = tokenized(spark, dir)
+      .groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("word"))
+      .limit(HeavyHitterK)
+    topk.join(s.withColumnRenamed("token", "word"), Seq("word"), "left")
+      .crossJoin(broadcast(minUb))
+      .select(col("word").as("token"), col("n_exact"),
+        when(col("count_ub").isNotNull,
+          when(col("count_ub") - col("err") <= col("n_exact") &&
+            col("n_exact") <= col("count_ub"), 1L).otherwise(0L))
+          .otherwise(when(col("n_exact") <= col("min_ub"), 1L).otherwise(0L))
+          .as("contained"))
+      .orderBy("token")
+  }
 
   /** Exact-degeneration twin of `wc_heavy_hitters`: capacity 64 ≥ the
     * corpus vocabulary, so no summary ever evicts — err is 0 for
@@ -1728,7 +1768,16 @@ SELECT scc_size, count(*) AS n_sccs FROM sz GROUP BY scc_size ORDER BY scc_size"
         |  CAST(size * count(*) AS BIGINT) AS n_nodes
         |FROM sz GROUP BY size ORDER BY size""".stripMargin),
     "wc_hits" -> GQuery.sql(hits, hitsOracle),
-    "wc_heavy_hitters" -> GQuery.rowsOnly(heavyHitters),
+    "wc_heavy_hitters" -> GQuery.sql(heavyHitters,
+      s"""WITH cnt AS (
+        |  SELECT word, count(*) AS n_exact
+        |  FROM (SELECT unnest(regexp_split_to_array(text,
+        |          '[[:punct:][:space:]]+')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |topk AS (SELECT word, n_exact FROM cnt
+        |         ORDER BY n_exact DESC, word LIMIT $HeavyHitterK)
+        |SELECT word AS token, n_exact, CAST(1 AS BIGINT) AS contained
+        |FROM topk ORDER BY token""".stripMargin),
     "wc_heavy_hitters_exact" -> GQuery.sql(heavyHittersExact,
       s"""WITH wc AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt

@@ -100,11 +100,12 @@ class RelationalSpec extends SparkTestBase {
 
   test("approx_count_distinct error stays within 3x the configured rsd") {
     import org.apache.spark.sql.functions._
-    // The sketch is configured at rsd = 0.02; a 3-sigma relative-error
-    // bound of 6% turns the rows-only HLL path into a quantitative
-    // gate instead of an existence check.
-    val approx = Relational.relApproxDistinct(spark, SfDir)
-      .select(col("o_orderpriority"), col("approx_customers"))
+    // The raw sketch check, independent of the registry row's verdict
+    // column: rsd = 0.02, 3-sigma relative-error bound of 6%.
+    val approx = Tables.orders(spark, SfDir)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"),
+        Relational.ApproxDistinctRsd).as("approx_customers"))
     val exact = Tables.orders(spark, SfDir)
       .groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("exact_customers"))
@@ -112,7 +113,14 @@ class RelationalSpec extends SparkTestBase {
       .select((abs(col("approx_customers") - col("exact_customers")).cast("double") /
         col("exact_customers").cast("double")).as("rel_err"))
       .agg(max(col("rel_err"))).collect()(0).getDouble(0)
-    assert(worst <= 3 * 0.02, s"worst HLL relative error $worst > 6%")
+    assert(worst <= 3 * Relational.ApproxDistinctRsd,
+      s"worst HLL relative error $worst > 6%")
+    // and the registry row's verdict column agrees: every group 1
+    val verdicts = Relational.relApproxDistinct(spark, SfDir).collect()
+    assert(verdicts.nonEmpty)
+    verdicts.foreach(r =>
+      assert(r.getAs[Long]("within_3sigma") == 1L,
+        s"${r.getAs[String]("o_orderpriority")}: verdict flipped to 0"))
   }
 
   test("approx percentiles sit within the sketch's rank-error bracket") {
@@ -121,7 +129,13 @@ class RelationalSpec extends SparkTestBase {
     // within ε·n of q·n, ε = 1/acc — assert each group's approx value
     // lies between the exact order statistics at ranks (q ± ε)·n.
     val eps = 1.0 / Relational.ApproxPctAccuracy
-    val approx = Relational.relApproxPercentiles(spark, SfDir).collect()
+    val acc = Relational.ApproxPctAccuracy
+    val approx = Tables.orders(spark, SfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr(s"percentile_approx(o_totalprice, 0.5, $acc)"), 2).as("p50"),
+        round(expr(s"percentile_approx(o_totalprice, 0.95, $acc)"), 2).as("p95"))
+      .collect()
       .map(r => r.getString(0) ->
         Seq(0.5 -> r.getDouble(1), 0.95 -> r.getDouble(2))).toMap
     val groups = Tables.orders(spark, SfDir)
@@ -137,6 +151,16 @@ class RelationalSpec extends SparkTestBase {
         assert(got >= lo - 0.01 && got <= hi + 0.01,
           s"$k q=$q: $got outside rank bracket [$lo, $hi]")
       }
+    }
+    // and the registry row's verdict columns agree: every group 1/1
+    val verdicts = Relational.relApproxPercentiles(spark, SfDir).collect()
+    assert(verdicts.map(_.getString(0)).toSet === groups.keySet)
+    verdicts.foreach { r =>
+      assert(r.getAs[Long]("p50_bracketed") == 1L &&
+        r.getAs[Long]("p95_bracketed") == 1L,
+        s"${r.getString(0)}: bracket verdict flipped to 0")
+      assert(r.getAs[Long]("r50_lo") <= r.getAs[Long]("r50_hi") &&
+        r.getAs[Long]("r95_lo") <= r.getAs[Long]("r95_hi"))
     }
   }
 

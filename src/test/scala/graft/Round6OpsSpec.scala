@@ -151,13 +151,29 @@ class Round6OpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.size > operators.WordCount.HeavyHitterCap,
       "corpus vocab must exceed capacity for this test to bite")
-    val approx = operators.WordCount.heavyHitters(spark, SfDir).collect()
+    val approx = operators.WordCount
+      .ssSummary(operators.WordCount.HeavyHitterCap)(spark, SfDir).collect()
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val (tok, ub, err) = (r.getString(0), r.getLong(1), r.getLong(2))
       val t = exact.getOrElse(tok, 0L)
       assert(t <= ub, s"$tok: true $t above upper bound $ub")
       assert(t >= ub - err, s"$tok: true $t below lower bound ${ub - err}")
+    }
+    // the eviction-floor invariant behind the verdict row: any token
+    // ABSENT from the summary occurred at most min-ub times
+    val minUb = approx.map(_.getLong(1)).min
+    val present = approx.map(_.getString(0)).toSet
+    exact.foreach { case (tok, t) =>
+      if (!present(tok))
+        assert(t <= minUb, s"absent $tok: true $t above eviction floor $minUb")
+    }
+    // and the registry row's containment verdicts are all 1
+    val verdict = operators.WordCount.heavyHitters(spark, SfDir).collect()
+    assert(verdict.length == operators.WordCount.HeavyHitterK)
+    verdict.foreach { r =>
+      assert(r.getAs[Long]("contained") == 1L,
+        s"${r.getString(0)}: containment verdict flipped to 0")
     }
     // capacity ≥ vocabulary ⇒ no eviction ⇒ the sketch degenerates to
     // exact counting: equality with the exact top-k pins the plumbing

@@ -86,10 +86,15 @@ class Round8OpsSpec extends SparkTestBase {
   test("matryoshka census fractions are monotone and saturate at full dim") {
     val rows = operators.Similarity.matryoshkaCensus(spark, SfDir).collect()
     assert(rows.nonEmpty)
+    // the expected ladder comes from the corpus's own width through
+    // the SAME rule the census uses — a pinned {8,16,32,64} constant
+    // silently decoupled on non-64-dim corpora (ADVICE r13 #1)
+    val dim = Tables.embeddings(spark, SfDir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val ladder = operators.Similarity.mrlLadder(dim).map(_.toLong)
     rows.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
       val byPrefix = rs.sortBy(_.getAs[Long]("prefix_dim"))
-      assert(byPrefix.map(_.getAs[Long]("prefix_dim")).toSeq ==
-        operators.Similarity.MrlPrefixes.map(_.toLong))
+      assert(byPrefix.map(_.getAs[Long]("prefix_dim")).toSeq == ladder)
       // energy can only grow with a longer prefix, per min/avg/max
       for (c <- Seq("avg_frac_ppm", "min_frac_ppm", "max_frac_ppm")) {
         val v = byPrefix.map(_.getAs[Long](c))
