@@ -1286,7 +1286,317 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  // ---------------------------------------------------------------
+  // SemDeDup-style SEMANTIC dedup over embeddings (VERDICT r13 #5)
+  // ---------------------------------------------------------------
+
+  /** Per-axis quantization scale for the semantic-dedup contract:
+    * every cosine decision runs over q = ⌊x·1000 + ½⌋ BIGINTs, so
+    * the arithmetic is integer end-to-end and DuckDB replays it
+    * cell-for-cell (the MrlScale discipline applied to dedup).
+    */
+  val SemScale = 1000.0
+
+  /** τ² in ppm: a pair is a semantic duplicate when cos² ≥ 0.64
+    * (τ = 0.8) under the quantized integer formula below. The
+    * corpus's max NATURAL cosine is 0.47 (cos² = 0.22), so only the
+    * planted paraphrase twins cross the threshold — which is what
+    * makes the DuckDB oracle closed-form.
+    */
+  val SemTau2Ppm = 640000L
+
+  /** Overflow fail-fast: nq₁·nq₂ must stay < 2⁶³, so each vector's
+    * Σq² is capped at 3·10⁹ (loud, the wc_betweenness discipline) —
+    * headroom for dim ≤ 3000 at |x| ≤ 1 under SemScale.
+    */
+  val SemGuardNq = 3000000000L
+
+  /** Multiprobe radius: a vector probes every cell within ρ of its
+    * best cell's cosine. ρ = 0.05 ≥ 2× the planted perturbation's
+    * worst-case cosine shift (√128/10³ ≈ 0.012 on the unit-norm
+    * corpus) + quantization slack — twin recall is provable.
+    */
+  val SemProbeRho = 0.05
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" — public arXiv:2303.09540): MinHash catches
+    * LEXICAL near-dups (shared shingles); paraphrases share no
+    * shingles but sit close in embedding space, so the modern
+    * LLM-corpus pipeline adds this pass. Complements
+    * `dd_semantic_dedup` (Similarity.scala — spherical-k-means
+    * Lloyd-replay oracle over EXACT 0.5-scaled copies, cosine
+    * exactly 1): here the planted twins are genuinely PERTURBED
+    * paraphrases (cos ≈ 0.9999, not 1 — the sketch must survive a
+    * real angular gap), the verdict carries the CANONICAL id per
+    * dropped vector, and the cosine contract is integer-quantized
+    * instead of rounded-double. Plan: k-means cells over the
+    * corpus (the shared `ivfCentroidsOf`/`ivfAssign` machinery — same
+    * artifact an ANN serving tier already maintains), then candidate
+    * pairs are generated WITHIN CELLS ONLY — Σ|cell|² ≈ n^1.5 at √n
+    * cells, never the n² all-pairs — verified by exact quantized
+    * cosine, and reduced to the keep-canonical census: each vector
+    * with a τ-partner of lower id is DROPPED in favor of its minimum
+    * partner (the SemDeDup keep-one rule). Certification corpus:
+    * a paraphrase twin of every 4th vector at vec_id + PlantOffset,
+    * perturbed IN THE INTEGER DOMAIN (q + ((i mod 5) − 2) — a ~0.7°
+    * rotation, far above quantization noise and far below τ's
+    * headroom), so the twin provably lands in its source's cell and
+    * the closed-form oracle replays every dropped row: (twin, source,
+    * quantized cos²). cos² rides the staged integer division
+    * (dot² div (nq₁·nq₂ div 10⁶)) — the quantized definition IS the
+    * contract, identical on both engines, BIGINT-safe under the
+    * loud SemGuardNq cap.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .filter(assert_true(col("vec_id") < PlantOffset,
+        lit(s"semanticDedup: vec_id >= $PlantOffset collides with planted ids — raise PlantOffset")).isNull)
+    val q0 = e.select(col("vec_id"), col("label"),
+      expr(s"transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * $SemScale + 0.5) AS BIGINT))")
+        .as("q"))
+    val twins = q0.filter(pmod(col("vec_id"), lit(4L)) === 0L)
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("label"),
+        expr("transform(q, (x, i) -> x + (i % 5) - 2)").as("q"))
+    val all = q0.unionByName(twins)
+      .withColumn("nq",
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .filter(assert_true(col("nq") <= SemGuardNq,
+        lit("semanticDedup: sum(q^2) exceeds the BIGINT cos^2 headroom — lower SemScale")).isNull)
+      .truncated
+    // cells bound the candidate set; the q-domain is the contract.
+    // Reconstructed floats (q/SemScale) on BOTH sides, so the only
+    // assignment delta between twin and source is the perturbation.
+    val allF = all.select(col("vec_id"),
+      expr(s"transform(q, x -> CAST(CAST(x AS DOUBLE) / $SemScale AS FLOAT))")
+        .as("v"))
+    // Bounded MULTIPROBE assignment (standard multi-probe IVF): keep
+    // every cell within SemProbeRho of the vector's best cell. This
+    // makes planted recall PROVABLE, not probabilistic: the corpus is
+    // unit-norm, the integer perturbation has ‖δ‖ = √128 against
+    // ‖q‖ ≈ 10³, so twin and source cosines to ANY centroid differ by
+    // ≤ ~0.012 — strictly inside ρ = 0.05, so the source's best cell
+    // is always in the twin's probe set (a single-best assignment
+    // lost 1-in-500 twins to a Voronoi near-tie; the spec caught it).
+    // Production gets the same knob as recall/cost trade — candidate
+    // volume grows only by the probe multiplicity (~1–3 cells/vector).
+    import graft.functions.VectorFunctions.{vec_cosine => vcos}
+    val scored = allF
+      .join(broadcast(Similarity.ivfCentroidsOf(allF)), lit(true))
+      .select(col("vec_id"), col("cell_id"),
+        vcos(col("v"), col("cv")).as("cc"))
+    val probes = scored
+      .join(scored.groupBy("vec_id").agg(max(col("cc")).as("best")),
+        Seq("vec_id"))
+      .filter(col("cc") >= col("best") - lit(SemProbeRho))
+      .select("vec_id", "cell_id")
+    val cand = probes.as("x").join(probes.as("y"),
+        col("x.cell_id") === col("y.cell_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"))
+      .distinct()
+    val qn = all.select(col("vec_id"), col("label"), col("q"), col("nq"))
+    cand
+      .join(qn.select(col("vec_id").as("vec_id_1"), col("q").as("q1"),
+        col("nq").as("nq1")), Seq("vec_id_1"))
+      .join(qn.select(col("vec_id").as("vec_id_2"), col("label"),
+        col("q").as("q2"), col("nq").as("nq2")), Seq("vec_id_2"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(q1, q2, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos2_ppm",
+        expr("CASE WHEN dot <= 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "(dot * dot) div greatest((nq1 * nq2) div 1000000, 1) END"))
+      .filter(col("cos2_ppm") >= SemTau2Ppm)
+      .groupBy(col("vec_id_2").as("vec_id"), col("label"))
+      .agg(min(col("vec_id_1")).as("canonical_id"),
+        min_by(col("cos2_ppm"), col("vec_id_1")).as("cos2_ppm"))
+      .select(col("vec_id"), col("label"), col("canonical_id"), col("cos2_ppm"))
+      .orderBy("vec_id")
+  }
+
+  /** Hashed bag-of-words width for the semantic-lift document
+    * vectors (the standard hashing-trick embedding, integer counts
+    * per rollingHash(word) mod bin — computable on both engines).
+    */
+  val SemLiftBins = 64L
+
+  /** The SEMANTIC LIFT census (VERDICT r13 #5's second half) — the
+    * quantified version of the sentence that motivates SemDeDup:
+    * "semantic duplicates share no shingles, so MinHash cannot see
+    * them". Certification corpus: a PARAPHRASE twin of every 4th doc
+    * at doc_id + PlantOffset whose token stream is the original's
+    * REVERSED plus its first token appended — a word-order paraphrase
+    * with (a) an almost-disjoint 3-shingle set (trigrams don't
+    * survive reversal), so the `dd_minhash_lsh` verification
+    * predicate (exact shingle Jaccard ≥ 0.35) rejects it, and (b) a
+    * near-identical hashed bag-of-words vector (identical counts plus
+    * one extra token), so the semantic cosine is ≈ 1. BOTH measures
+    * are computed exactly per pair — shingle Jaccard by set
+    * arithmetic, semantic cosine by the same quantized-integer staged
+    * division as `dd_semantic` over SemLiftBins hashed-count vectors —
+    * and reduced to a per-source census: pairs, lexical catches,
+    * semantic catches, lift = sem − lex, lift_ppm. DuckDB replays
+    * every step (tokens, reversal, trigram sets, rollingHash bins,
+    * integer cosine), so the lift is hash-checked, not asserted.
+    * Scale: per-pair work only (the pair set is the planted domain);
+    * a production run feeds ORGANIC pairs from `dd_semantic` /
+    * `dd_minhash_lsh` through the same verdict join.
+    */
+  def semanticLift(spark: SparkSession, dir: String): DataFrame = {
+    val base = docsTable(spark, dir)
+      .filter(assert_true(col("doc_id") < PlantOffset,
+        lit(s"semanticLift: doc_id >= $PlantOffset collides with planted ids — raise PlantOffset")).isNull)
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("t"))
+    val twins = base
+      .filter(pmod(col("doc_id"), lit(4L)) === 0L && size(col("t")) >= 1)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("source"),
+        concat(reverse(col("t")), slice(col("t"), 1, 1)).as("t"))
+    val all = base.unionByName(twins)
+    def shingles(c: Column): Column =
+      array_distinct(when(size(c) >= 3,
+        expr("transform(sequence(0, size(t) - 3), " +
+          "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+    val feats = all.select(col("doc_id"), col("source"),
+      shingles(col("t")).as("sh"), col("t"))
+    val bag = all.select(col("doc_id"), explode(col("t")).as("w"))
+      .select(col("doc_id"),
+        pmod(Text.rollingHash(col("w")), lit(SemLiftBins)).as("bin"))
+      .groupBy("doc_id", "bin").agg(count(lit(1)).as("c"))
+    // bag norms are token-count-sized (≤ ~10⁴), so the EXACT ppm
+    // formula dot²·10⁶ div (nq₁·nq₂) fits BIGINT — unlike the
+    // embedding-scaled `dd_semantic`, which needs the staged
+    // division. Loud cap keeps the product under 2⁶³ even on a
+    // pathological mega-document.
+    val nq = bag.groupBy("doc_id")
+      .agg(sum(col("c") * col("c")).as("nq"))
+      .filter(assert_true(col("nq") <= 3000000L,
+        lit("semanticLift: bag norm exceeds the BIGINT cos^2 headroom")).isNull)
+    val dot = bag.select(col("doc_id"), col("bin"), col("c").as("c1"))
+      .join(bag.select((col("doc_id") - PlantOffset).as("doc_id"),
+        col("bin"), col("c").as("c2")), Seq("doc_id", "bin"))
+      .groupBy("doc_id").agg(sum(col("c1") * col("c2")).as("dot"))
+    val pairs = feats.filter(col("doc_id") < PlantOffset).as("a")
+      .join(feats.filter(col("doc_id") >= PlantOffset)
+        .select((col("doc_id") - PlantOffset).as("doc_id"),
+          col("sh").as("sh2")).as("b"), Seq("doc_id"))
+      .join(dot, Seq("doc_id"))
+      .join(nq.withColumnRenamed("nq", "nq1"), Seq("doc_id"))
+      .join(nq.select((col("doc_id") - PlantOffset).as("doc_id"),
+        col("nq").as("nq2")), Seq("doc_id"))
+      .withColumn("n_inter", size(array_intersect(col("sh"), col("sh2"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sh"), col("sh2"))).cast("long"))
+      .withColumn("lex_caught",
+        when(col("n_inter") * 100L >= col("n_union") * 35L &&
+          col("n_union") > 0L, 1L).otherwise(0L))
+      .withColumn("cos2_ppm",
+        expr("CASE WHEN dot <= 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "(dot * dot * 1000000) div (nq1 * nq2) END"))
+      .withColumn("sem_caught",
+        when(col("cos2_ppm") >= SemTau2Ppm, 1L).otherwise(0L))
+    pairs.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("lex_caught")).as("n_lex"),
+        sum(col("sem_caught")).as("n_sem"))
+      .withColumn("sem_lift", col("n_sem") - col("n_lex"))
+      .withColumn("lift_ppm",
+        expr("(2 * (n_sem - n_lex) * 1000000 + n_pairs) div (2 * n_pairs)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, GQuery] = Map(
+    "dd_semantic_lift" -> GQuery.sql(semanticLift,
+      s"""WITH base AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(text, '[[:punct:][:space:]]+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, source, t,
+        |    list_concat(list_reverse(t), t[1:1]) AS t2
+        |  FROM base WHERE doc_id % 4 = 0 AND len(t) >= 1),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s1,
+        |    list_distinct(list_transform(range(1, greatest(len(t2) - 1, 1)),
+        |      i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2])) AS s2
+        |  FROM tw),
+        |w1 AS (SELECT doc_id, unnest(t) AS w FROM tw),
+        |w2 AS (SELECT doc_id, unnest(t2) AS w FROM tw),
+        |h1 AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(w) + 1),
+        |        i -> CAST(ascii(w[i]) AS BIGINT))),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007) % $SemLiftBins AS bin
+        |  FROM w1),
+        |h2 AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(w) + 1),
+        |        i -> CAST(ascii(w[i]) AS BIGINT))),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007) % $SemLiftBins AS bin
+        |  FROM w2),
+        |c1 AS (SELECT doc_id, bin, count(*) AS c FROM h1 GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, bin, count(*) AS c FROM h2 GROUP BY 1, 2),
+        |d AS (
+        |  SELECT c1.doc_id, CAST(sum(c1.c * c2.c) AS BIGINT) AS dot
+        |  FROM c1 JOIN c2 USING (doc_id, bin) GROUP BY 1),
+        |q1 AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS nq1
+        |       FROM c1 GROUP BY 1),
+        |q2 AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS nq2
+        |       FROM c2 GROUP BY 1),
+        |p AS (
+        |  SELECT sh.doc_id, sh.source,
+        |    CAST(len(list_intersect(s1, s2)) AS BIGINT) AS n_inter,
+        |    CAST(len(list_distinct(list_concat(s1, s2))) AS BIGINT) AS n_union,
+        |    d.dot, q1.nq1, q2.nq2
+        |  FROM sh JOIN d USING (doc_id) JOIN q1 USING (doc_id)
+        |    JOIN q2 USING (doc_id)),
+        |v AS (
+        |  SELECT source,
+        |    CASE WHEN n_inter * 100 >= n_union * 35 AND n_union > 0
+        |      THEN 1 ELSE 0 END AS lex_caught,
+        |    CASE WHEN (CASE WHEN dot <= 0 THEN CAST(0 AS BIGINT)
+        |        ELSE (dot * dot * 1000000) // (nq1 * nq2) END)
+        |        >= $SemTau2Ppm
+        |      THEN 1 ELSE 0 END AS sem_caught
+        |  FROM p)
+        |SELECT source, count(*) AS n_pairs,
+        |  CAST(sum(lex_caught) AS BIGINT) AS n_lex,
+        |  CAST(sum(sem_caught) AS BIGINT) AS n_sem,
+        |  CAST(sum(sem_caught) - sum(lex_caught) AS BIGINT) AS sem_lift,
+        |  CAST((2 * (sum(sem_caught) - sum(lex_caught)) * 1000000 + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS lift_ppm
+        |FROM v GROUP BY source ORDER BY source""".stripMargin),
+    "dd_semantic" -> GQuery.sql(semanticDedup,
+      s"""WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * $SemScale + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |tw AS (
+        |  SELECT vec_id, label, q,
+        |    list_transform(q, (x, i) -> x + ((i - 1) % 5) - 2) AS qt
+        |  FROM q WHERE vec_id % 4 = 0),
+        |p AS (
+        |  SELECT vec_id + $PlantOffset AS vec_id, label,
+        |    vec_id AS canonical_id,
+        |    CAST(list_sum(list_transform(range(1, len(q) + 1),
+        |      i -> q[i] * qt[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq1,
+        |    CAST(list_sum(list_transform(qt, x -> x * x)) AS BIGINT) AS nq2
+        |  FROM tw),
+        |v AS (
+        |  SELECT vec_id, label, canonical_id,
+        |    CASE WHEN dot <= 0 THEN CAST(0 AS BIGINT)
+        |      ELSE (dot * dot) // greatest((nq1 * nq2) // 1000000, 1)
+        |    END AS cos2_ppm
+        |  FROM p)
+        |SELECT vec_id, label, canonical_id, cos2_ppm
+        |FROM v WHERE cos2_ppm >= $SemTau2Ppm
+        |ORDER BY vec_id""".stripMargin),
     "dd_cross_source_overlap" -> GQuery.sql(crossSourceOverlap,
       """WITH t AS (
         |  SELECT source,

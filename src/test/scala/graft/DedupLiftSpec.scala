@@ -23,4 +23,36 @@ class DedupLiftSpec extends SparkTestBase {
       assert(n == np && n - ph == nsig)
     }
   }
+
+  test("semantic dedup drops exactly the planted paraphrase twins") {
+    val out = graft.operators.Dedup.semanticDedup(spark, SfDir).collect()
+    val planted = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id") % 4 === 0).count()
+    assert(out.length.toLong == planted)
+    out.foreach { r =>
+      // each dropped vector is a twin, canonical is its source
+      assert(r.getAs[Long]("vec_id") ==
+        r.getAs[Long]("canonical_id") + graft.operators.Dedup.PlantOffset)
+      val c2 = r.getAs[Long]("cos2_ppm")
+      assert(c2 >= graft.operators.Dedup.SemTau2Ppm)
+      // genuinely perturbed: strictly below an exact-copy cosine
+      assert(c2 < 1000000L, s"cos2_ppm $c2 looks like an exact copy")
+    }
+  }
+
+  test("semantic lift: twins invisible to shingles, visible to bag cosine") {
+    val rows = graft.operators.Dedup.semanticLift(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lex, sem, lift, ppm) = (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_lex"), r.getAs[Long]("n_sem"),
+        r.getAs[Long]("sem_lift"), r.getAs[Long]("lift_ppm"))
+      assert(n > 0 && lex >= 0 && sem <= n)
+      assert(lift == sem - lex)
+      assert(ppm == (2 * lift * 1000000L + n) / (2 * n))
+      // the SemDeDup motivation, quantified: the semantic pass sees
+      // strictly more of the paraphrase twins than shingle Jaccard
+      assert(sem > lex, s"${r.getAs[String]("source")}: no semantic lift")
+    }
+  }
 }
