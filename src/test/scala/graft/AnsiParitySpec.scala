@@ -12,12 +12,14 @@ package graft
   * identical output under both modes therefore has no SERVE-PATH
   * arithmetic that silently relies on wrap/NULL-on-overflow at the
   * tested scale — and any FUTURE operator that sneaks one in fails
-  * this suite, not a 3 a.m. production job. Scope note (ADVICE r12
-  * #1): memoized artifacts (graph/BPE memo fills, localCheckpointed
-  * lineage) and staged indexes are built once under the suite's
-  * default conf and REUSED by the alternate-mode run, so this sweep
-  * certifies the serve/probe paths under ANSI, not the one-time
-  * build paths.
+  * this suite, not a 3 a.m. production job. Division of labor
+  * (ADVICE r12 #1, closed in r14): memoized artifacts (graph/BPE
+  * memo fills, localCheckpointed lineage) and staged indexes are
+  * built once under the suite's default conf and REUSED here, so
+  * this sweep certifies the serve/probe paths; the one-time BUILD
+  * paths are certified by AnsiBuildSpec, which rebuilds every memo
+  * and staged artifact from scratch on a fresh corpus copy with
+  * ANSI on.
   *
   * NULL-on-missing lookups that are semantically intended (the
   * Viterbi piece-score probe, the JS-divergence per-source mass) use
