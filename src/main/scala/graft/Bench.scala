@@ -48,9 +48,14 @@ object Bench {
     // one inflated max paint a 36x outlier into the artifact.
     val Passes = 5
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    (1 to Passes).foreach { _ =>
+    def timedPass(names: Set[String]): Unit = {
+      // a full-registry pass leaves hundreds of MB of short-lived task
+      // garbage; collecting BETWEEN passes keeps one query's GC debt
+      // from billing the next pass's victim (VERDICT r13 #2's
+      // GC-pressure hypothesis, neutralized structurally)
+      System.gc()
       queries.foreach { case (name, fn) =>
-        if (!failed.contains(name)) {
+        if (names(name) && !failed.contains(name)) {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
@@ -59,6 +64,22 @@ object Bench {
           else times(name) = dt :: times.getOrElse(name, Nil)
         }
       }
+    }
+    val allNames = queries.map(_._1).toSet
+    (1 to Passes).foreach(_ => timedPass(allNames))
+    // Adaptive re-timing (VERDICT r13 #2): a multi-minute host steal
+    // burst can contaminate 3 of 5 interleaved samples, and then the
+    // published median is the burst, not the query (wc_hits r13:
+    // median 12.9 s vs min 3.6 s). Queries whose median/min spread
+    // still exceeds the noise gate get extra interleaved passes — the
+    // median then rides 7–9 samples and a single burst can no longer
+    // own it; a REAL regression keeps all samples high and survives.
+    val SpreadGate = 1.3
+    def medOf(ts: List[Double]) = ts.sorted.apply(ts.length / 2)
+    (1 to 2).foreach { _ =>
+      val noisy = times.collect { case (n, ts)
+        if !failed.contains(n) && medOf(ts) / ts.min > SpreadGate => n }.toSet
+      if (noisy.nonEmpty) (1 to 2).foreach(_ => timedPass(noisy))
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
