@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -255,15 +255,46 @@ object EventsStreaming {
     * as both rows have arrived (no watermark wait), so a drained
     * finite source yields exactly the batch pair set.
     */
+  /** Hour bucket of an event time — part of the stream-stream join's
+    * EQUI key (see clickAttribution): Spark's symmetric-hash join
+    * scans, per input row, EVERY buffered state row of its equi-key
+    * group; keyed by user alone, one zipf-hot user (the §5.2 skew
+    * corpus routes 20% of events to a single id — ~39k clicks AND
+    * ~39k purchases at skewed sf1) makes that scan quadratic in its
+    * history: ~3·10⁹ single-task predicate evaluations, >200×
+    * wall-clock blowup, measured in the r14 hot-key streaming
+    * rehearsal. Bucketing the key by hour bounds each scan to the
+    * rows of a 2-hour slice — the interval join's own window — so
+    * per-row cost follows the key's RATE, not its retained history.
+    */
+  private def hourBucket(ts: Column): Column =
+    (unix_millis(ts) / lit(3600000L)).cast("long")
+
+  /** Stream-stream interval join: purchases ⨝ same-user clicks in the
+    * preceding hour. The equi key is (user, hour bucket) — the
+    * standard BUCKETED interval-join decomposition: a click in
+    * [p_ts − 1h, p_ts) has bucket(p) or bucket(p) − 1, so each click
+    * row enters state under ITS bucket and its successor and every
+    * qualifying pair meets at exactly b = bucket(p) — no duplicates,
+    * byte-identical output, state scans bounded by the window
+    * (hourBucket scaladoc has the measured hot-key numbers). Click
+    * state doubles (two copies per row), the price of O(rate·window)
+    * scans instead of O(history) — at 100 TB/day with any hot entity
+    * that trade is the difference between a running job and a dead
+    * partition.
+    */
   def clickAttribution(events: DataFrame): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("cb", explode(array(hourBucket(col("c_ts")),
+        hourBucket(col("c_ts")) + 1L)))
       .withWatermark("c_ts", "2 hours")
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withColumn("pb", hourBucket(col("p_ts")))
       .withWatermark("p_ts", "2 hours")
     purchases.join(clicks,
-        col("c_user") === col("p_user") &&
+        col("c_user") === col("p_user") && col("cb") === col("pb") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"))
       .select(col("event_id"), col("p_user").as("user_id"),
@@ -284,14 +315,21 @@ object EventsStreaming {
     * watermark passage, never speculatively).
     */
   def clickAttributionOuter(events: DataFrame): DataFrame = {
+    // same bucketed equi key as clickAttribution; the EXPLODED side
+    // must be the CLICK (right/inner) side — the left (purchase) side
+    // stays one row, so left-outer's "exactly one NULL row when the
+    // watermark seals an unmatched window" semantics are untouched
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("cb", explode(array(hourBucket(col("c_ts")),
+        hourBucket(col("c_ts")) + 1L)))
       .withWatermark("c_ts", "2 hours")
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withColumn("pb", hourBucket(col("p_ts")))
       .withWatermark("p_ts", "2 hours")
     purchases.join(clicks,
-        col("c_user") === col("p_user") &&
+        col("c_user") === col("p_user") && col("cb") === col("pb") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"),
         "leftOuter")
