@@ -1211,11 +1211,15 @@ SELECT walk_id, step, node FROM (""" +
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val s = ssSummary(HeavyHitterCap)(spark, dir).localCheckpoint()
     val minUb = s.agg(min(col("count_ub")).as("min_ub"))
-    val topk = tokenized(spark, dir)
+    // verdict over the WHOLE vocabulary (cap-row summary + 1-row
+    // floor both broadcast — no extra shuffle beyond the word count),
+    // THEN the top-k cut as a terminal TakeOrdered: a limit feeding a
+    // join is the shape PlanSpec gates (and at scale would collect a
+    // corpus-derived head onto one task mid-plan); here the limit
+    // consumes the already-reduced vocab-sized verdict relation.
+    val verdicts = tokenized(spark, dir)
       .groupBy("word").agg(count(lit(1)).as("n_exact"))
-      .orderBy(desc("n_exact"), asc("word"))
-      .limit(HeavyHitterK)
-    topk.join(s.withColumnRenamed("token", "word"), Seq("word"), "left")
+      .join(broadcast(s.withColumnRenamed("token", "word")), Seq("word"), "left")
       .crossJoin(broadcast(minUb))
       .select(col("word").as("token"), col("n_exact"),
         when(col("count_ub").isNotNull,
@@ -1223,6 +1227,7 @@ SELECT walk_id, step, node FROM (""" +
             col("n_exact") <= col("count_ub"), 1L).otherwise(0L))
           .otherwise(when(col("n_exact") <= col("min_ub"), 1L).otherwise(0L))
           .as("contained"))
+    verdicts.orderBy(desc("n_exact"), asc("token")).limit(HeavyHitterK)
       .orderBy("token")
   }
 
