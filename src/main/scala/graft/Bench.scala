@@ -110,7 +110,8 @@ object Bench {
     // (text/corrupt-JSON/roundtrip dirs) is untimed and idempotent
     // across runs, so it is not part of this field.
     val memoFill = (operators.WordCount.memoFillNanos.get() +
-      operators.Bpe.memoFillNanos.get()) / 1e9
+      operators.Bpe.memoFillNanos.get() +
+      operators.Dedup.memoFillNanos.get()) / 1e9
     def imap(f: org.apache.spark.sql.graftshim.PlanTelemetry.Counts => Int) =
       queries.flatMap { case (name, _) => tele.get(name).map(c =>
         s"\"" + name + "\":" + f(c)) }.mkString("{", ",", "}")

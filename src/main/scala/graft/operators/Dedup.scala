@@ -1348,7 +1348,60 @@ object Dedup {
     * contract, identical on both engines, BIGINT-safe under the
     * loud SemGuardNq cap.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Cold fill time of the semantic-dedup index memo — published by
+    * Bench in `memo_fill_sec` alongside the graph and BPE memos.
+    */
+  val memoFillNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val semIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** MEMOIZED per (session, corpus): the semantic-dedup INDEX — the
+    * quantized vectors with norms, and the multiprobe cell
+    * assignment. Production SemDeDup trains cells once and probes the
+    * assignment from every dedup run (the `coPurchaseMemo` /
+    * `stageLshIndex` discipline applied to the vector side); before
+    * the memo, every invocation retrained k-means in-query (~13 of
+    * the row's exchanges, ~60% of its bench time). Both frames are
+    * lineage-truncated at fill.
+    */
+  private def semIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    semIndexMemo.getOrElseUpdate(
+      (spark, java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString), {
+        val t0 = System.nanoTime()
+        val r = semIndexCompute(spark, dir)
+        memoFillNanos.addAndGet(System.nanoTime() - t0)
+        r
+      })
+
+  /** Optional hot-cell cap (`graft.sem.cellcap`): when set, probe
+    * rows of cells WIDER than the cap are excluded from candidate
+    * generation — the semantic-side mirror of `graft.lsh.bucketcap`.
+    * On a clustered corpus (most embeddings in one semantic region —
+    * common after a topical crawl) one cell can hold a large fraction
+    * of the corpus and the within-cell pair join goes quadratic in
+    * its width. With multiprobe a pair dropped from one hot cell can
+    * still meet in another shared probe cell; the residual loss is
+    * confined to dense-region members with ≥cap near-neighbors —
+    * which under dedup semantics is the drop-all-but-one population
+    * anyway. Unset (the default and the registry row) the probe is
+    * exhaustive; SemCellCapSpec pins byte-identity under a generous
+    * cap on the stock corpus and the bounded-candidates behavior on
+    * a constructed one-region corpus.
+    */
+  private def capCells(probes: DataFrame): DataFrame =
+    probes.sparkSession.conf.getOption("graft.sem.cellcap")
+      .map(_.toLong).fold(probes) { c =>
+        val ok = probes.groupBy("cell_id")
+          .agg(count(lit(1)).as("cell_w"))
+          .filter(col("cell_w") <= c)
+          .select("cell_id")
+        probes.join(ok, Seq("cell_id"))
+      }
+
+  private def semIndexCompute(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .filter(assert_true(col("vec_id") < PlantOffset,
@@ -1391,6 +1444,13 @@ object Dedup {
         Seq("vec_id"))
       .filter(col("cc") >= col("best") - lit(SemProbeRho))
       .select("vec_id", "cell_id")
+      .truncated
+    (all, probes)
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (all, rawProbes) = semIndex(spark, dir)
+    val probes = capCells(rawProbes)
     val cand = probes.as("x").join(probes.as("y"),
         col("x.cell_id") === col("y.cell_id") &&
           col("x.vec_id") < col("y.vec_id"))
