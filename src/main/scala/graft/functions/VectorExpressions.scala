@@ -83,10 +83,75 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer twin of [[DotProduct]]: dot product of two BIGINT arrays
+  * with whole-stage codegen — the hot inner loop of the
+  * quantized-integer cosine verdicts (`dd_semantic`), where the
+  * contract is integer end-to-end so the double-accumulating
+  * [[DotProduct]] cannot serve. `aggregate(zip_with(...))` (the first
+  * cut) is interpreted and allocates a zipped array per PAIR — at
+  * sf10's ~10⁸ candidate pairs that was the difference between a
+  * 40-minute run and seconds of fused loop. Accumulation wraps like
+  * any Java long; callers bound their operands (the SemGuardNq
+  * fail-fast) so ANSI and default modes agree.
+  */
+@ExpressionDescription(
+  usage = "vec_dot_long(a, b) - integer dot product of two bigint arrays.")
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_long expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for [[LongDotProduct]]. */
+  def vec_dot_long(a: Column, b: Column): Column =
+    ColumnShim.column(LongDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   def vec_norm(a: Column): Column = {
     import org.apache.spark.sql.functions.sqrt

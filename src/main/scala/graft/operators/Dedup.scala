@@ -1449,22 +1449,33 @@ object Dedup {
   }
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot_long
     val (all, rawProbes) = semIndex(spark, dir)
-    val probes = capCells(rawProbes)
-    val cand = probes.as("x").join(probes.as("y"),
-        col("x.cell_id") === col("y.cell_id") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"))
-      .distinct()
-    val qn = all.select(col("vec_id"), col("label"), col("q"), col("nq"))
-    cand
-      .join(qn.select(col("vec_id").as("vec_id_1"), col("q").as("q1"),
-        col("nq").as("nq1")), Seq("vec_id_1"))
-      .join(qn.select(col("vec_id").as("vec_id_2"), col("label"),
-        col("q").as("q2"), col("nq").as("nq2")), Seq("vec_id_2"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q1, q2, (a, b) -> a * b), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    // CELL-LOCAL verification: carry the quantized arrays INTO the
+    // cell-keyed self-join and compute the (codegen'd, fused-loop)
+    // integer dot inline, so the corpus-pair-sized relation exists
+    // only as a pipelined join product feeding the τ filter — never
+    // shuffled, never materialized. The first cut generated a bare
+    // (v1, v2) candidate table, distinct-ed it, and joined the arrays
+    // back by each side's id: at sf10 that shuffled ~10⁸ rows with
+    // 64-element payloads TWICE (tens of GB) and ran the dot through
+    // interpreted zip_with/aggregate lambdas — a single pass had not
+    // finished in 40 minutes; this shape runs the same corpus in
+    // seconds-per-decade territory. Multiprobe pair duplicates (a
+    // pair sharing two probe cells) survive to the census, where the
+    // min/min_by aggregation absorbs them — cheaper than a
+    // corpus-pair-sized distinct, and only τ-survivors (the tiny dup
+    // population) reach the shuffle at all.
+    val sided = capCells(rawProbes)
+      .join(all.select(col("vec_id"), col("label"), col("q"), col("nq")),
+        Seq("vec_id"))
+    val lhs = sided.select(col("cell_id"), col("vec_id").as("vec_id_1"),
+      col("q").as("q1"), col("nq").as("nq1"))
+    val rhs = sided.select(col("cell_id"), col("vec_id").as("vec_id_2"),
+      col("label"), col("q").as("q2"), col("nq").as("nq2"))
+    lhs.join(rhs, Seq("cell_id"))
+      .filter(col("vec_id_1") < col("vec_id_2"))
+      .withColumn("dot", vec_dot_long(col("q1"), col("q2")))
       .withColumn("cos2_ppm",
         expr("CASE WHEN dot <= 0 THEN CAST(0 AS BIGINT) ELSE " +
           "(dot * dot) div greatest((nq1 * nq2) div 1000000, 1) END"))

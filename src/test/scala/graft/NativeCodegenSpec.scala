@@ -78,4 +78,24 @@ class NativeCodegenSpec extends SparkTestBase {
       else assert(r.getLong(2) == wantPh.longValue(), s"phash diverged on '$s'")
     }
   }
+
+  test("vec_dot_long: codegen agrees with a plain-Scala dot on edge shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.vec_dot_long
+    // unequal lengths truncate to the shorter (the vec_dot contract),
+    // empty arrays dot to 0, negatives and large-ish magnitudes exact
+    val rows: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 580L, 0L), Seq(580L, -7L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1000000L, -1000000L), Seq(1000000L, 1000000L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(9L, 8L)))
+    val got = rows.toDF("a", "b")
+      .select(vec_dot_long(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got == want)
+  }
 }
