@@ -83,9 +83,13 @@ object Bench {
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    case class Q(min: Double, median: Double, spread: Double)
+    // samples: how many timed passes back each published figure —
+    // 5 means a true median, 7–9 means the best-5 median of a
+    // re-timed query (ADVICE r14: consumers must be able to tell
+    // the two statistics apart when comparing across rounds).
+    case class Q(min: Double, median: Double, spread: Double, n: Int)
     val results = queries.map { case (name, _) =>
-      if (failed.contains(name)) name -> Q(-1.0, -1.0, -1.0)
+      if (failed.contains(name)) name -> Q(-1.0, -1.0, -1.0, 0)
       else {
         val ts = times(name).sorted
         // 3rd-smallest: identical to the plain median at the base 5
@@ -94,11 +98,14 @@ object Bench {
         // triggered the re-time cannot re-enter the published figure
         // while a REAL regression (all samples high) still shows.
         val med = ts(math.min(ts.length / 2, 2))
-        name -> Q(ts.min, med, med / ts.min)
+        name -> Q(ts.min, med, med / ts.min, ts.length)
       }
     }
     def jmap(f: Q => Double) = results
       .map { case (k, q) => s"\"" + k + "\":" + fmt(f(q)) }
+      .mkString("{", ",", "}")
+    def jmapInt(f: Q => Int) = results
+      .map { case (k, q) => s"\"" + k + "\":" + f(q) }
       .mkString("{", ",", "}")
     val fs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.min).filter(_ >= 0).sum
@@ -114,14 +121,27 @@ object Bench {
     // encoded vocabulary — ADVICE r10 #3); other one-time staging
     // (text/corrupt-JSON/roundtrip dirs) is untimed and idempotent
     // across runs, so it is not part of this field.
-    val memoFill = (operators.WordCount.memoFillNanos.get() +
-      operators.Bpe.memoFillNanos.get() +
-      operators.Dedup.memoFillNanos.get()) / 1e9
+    // Per-family itemization (VERDICT r14 #8): memo_fill_sec grew
+    // round over round as more artifacts memoize; the breakdown keeps
+    // the one-time cost attributable instead of a growing blob. Disk
+    // stagings (lsh/ivf/knn_graph) accumulate only when a staging
+    // actually REBUILDS, so a warm-staged run shows them ~0.
+    val memoParts = Seq(
+      "graph" -> operators.WordCount.memoFillNanos.get(),
+      "bpe" -> operators.Bpe.memoFillNanos.get(),
+      "semantic" -> operators.Dedup.memoFillNanos.get(),
+      "lsh_index" -> operators.Dedup.lshFillNanos.get(),
+      "ivf_index" -> operators.Similarity.ivfFillNanos.get(),
+      "knn_graph" -> operators.Similarity.knnGraphFillNanos.get())
+    val memoFill = memoParts.map(_._2).sum / 1e9
+    val memoJson = memoParts
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v / 1e9) }
+      .mkString("{", ",", "}")
     def imap(f: org.apache.spark.sql.graftshim.PlanTelemetry.Counts => Int) =
       queries.flatMap { case (name, _) => tele.get(name).map(c =>
         s"\"" + name + "\":" + f(c)) }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"memo_fill_sec":${fmt(memoFill)},"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"exchanges":${imap(_.exchanges)},"skew_splits":${imap(_.skewSplits)},"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"memo_fill_sec":${fmt(memoFill)},"memo_fill_breakdown":$memoJson,"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"samples":${jmapInt(_.n)},"exchanges":${imap(_.exchanges)},"skew_splits":${imap(_.skewSplits)},"failed":$fs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of output, so the
     // full 82-query map (~6 KB) can never parse from stdout (rounds
     // 1-5 all show parsed:null). Print a COMPACT line — total + a

@@ -114,13 +114,29 @@ case class LongDotProduct(left: Expression, right: Expression)
         s"vec_dot_long expects array<bigint>, got ${left.dataType} / ${right.dataType}")
   }
 
+  /** Either input array type admits NULL elements. When false the
+    * generated loop carries no per-element null branch; when true a
+    * NULL element makes the whole dot product NULL — the SQL
+    * semantics `aggregate(zip_with(...))` would give (ADVICE r14:
+    * the first cut read null slots as 0, silently diverging).
+    */
+  private lazy val elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elemNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (elemNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getLong(i) * y.getLong(i); i += 1
+    }
     java.lang.Long.valueOf(s)
   }
 
@@ -129,10 +145,14 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (elemNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;

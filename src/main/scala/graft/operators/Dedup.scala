@@ -306,8 +306,13 @@ object Dedup {
     */
   val LshIndexRoot = "/root/repo/target/graft_lsh_index"
 
+  /** Committed-version path of the staged LSH index — resolves the
+    * stage root's `_CURRENT` pointer, so callers (freshness specs,
+    * external probes) read the same immutable version directory
+    * `stageLshIndex` returned.
+    */
   def lshIndexPathFor(dir: String): String =
-    Staging.pathFor(LshIndexRoot, dir)
+    Staging.resolve(Staging.pathFor(LshIndexRoot, dir))
 
   // explicit read schemas: an EMPTY corpus stages zero part files and
   // a schemaless parquet read would fail (the RobustnessSpec contract)
@@ -337,8 +342,21 @@ object Dedup {
   /** Corpus-agnostic staging (the probe-generality spec builds an
     * index over an arbitrary docs frame).
     */
+  /** Cold fill time of the on-disk LSH index (accumulates only when
+    * the staging actually rebuilds) — itemized in bench.json's
+    * `memo_fill_breakdown` (VERDICT r14 #8).
+    */
+  val lshFillNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def stageLshIndexOf(dir: String)(docs: => DataFrame): String =
     Staging.stagedDir(LshIndexRoot, dir) { tmp =>
+      val t0 = System.nanoTime()
+      try stageLshWrite(tmp, docs)
+      finally lshFillNanos.addAndGet(System.nanoTime() - t0)
+    }
+
+  private def stageLshWrite(tmp: java.nio.file.Path,
+      docs: => DataFrame): Unit = {
       val r0 = shingleHashRowsOf(docs).truncated
       r0.select("doc_id", "sh")
         .write.mode("overwrite").parquet(tmp.resolve("shingles").toString)
@@ -404,8 +422,12 @@ object Dedup {
     * whatever the ids; certification wrappers narrow to the planted
     * domain AFTERWARDS via `plantedPairsOnly`.
     */
-  private[graft] def probeLshIndex(spark: SparkSession, idx: String,
+  private[graft] def probeLshIndex(spark: SparkSession, idxRoot: String,
       batch: DataFrame): DataFrame = {
+    // serve-path resolution through the `_CURRENT` pointer when the
+    // root carries one (a compacted stream-owned index); a live flat
+    // layout or an already-resolved staged version path reads as-is
+    val idx = Staging.resolveOpt(idxRoot).getOrElse(idxRoot)
     // recursiveFileLookup: the stream-maintained layout nests
     // batch-keyed subdirectories (idempotent per-batch overwrites);
     // the flat batch-staged layout reads identically under it

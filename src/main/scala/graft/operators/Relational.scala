@@ -303,8 +303,13 @@ object Relational {
   /** HLL sketch count-distinct — the 100 TB path for distinct counts —
     * in its oracle-green bound-verdict form (VERDICT r13 #1): the HLL
     * estimate is engine-private (register layout), so the row emits
-    * the 3σ accuracy VERDICT instead — per group, is the estimate
-    * within 3·rsd of the exact count? DuckDB computes the exact
+    * the 6σ accuracy VERDICT instead — per group, is the estimate
+    * within 6·rsd of the exact count? (rsd is a relative STANDARD
+    * DEVIATION, not a hard bound — ADVICE r14: at 3σ a legitimate
+    * sketch run on a fresh corpus can flip the verdict with
+    * probability ~2.7e-3 per group; 6σ puts the false-flip rate
+    * below 2e-9 per group while any real register-layout regression
+    * still lands orders of magnitude outside.) DuckDB computes the exact
     * distinct count and the constant-1 verdict column; a sketch
     * regression beyond its published bound flips the 1 and breaks the
     * hash (the estimate itself never reaches the oracle). The exact
@@ -322,8 +327,8 @@ object Relational {
       .select(col("o_orderpriority"), col("n_orders"),
         col("n_exact_customers"),
         when(abs(col("hll") - col("n_exact_customers")).cast("double") <=
-          lit(3 * ApproxDistinctRsd) * col("n_exact_customers").cast("double"),
-          1L).otherwise(0L).as("within_3sigma"))
+          lit(6 * ApproxDistinctRsd) * col("n_exact_customers").cast("double"),
+          1L).otherwise(0L).as("within_6sigma"))
       .orderBy("o_orderpriority")
 
   /** KMV (k-minimum-values) affine-hash parameters for the
@@ -2153,7 +2158,7 @@ object Relational {
     "rel_approx_distinct" -> GQuery.sql(relApproxDistinct,
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_exact_customers,
-        |  CAST(1 AS BIGINT) AS within_3sigma
+        |  CAST(1 AS BIGINT) AS within_6sigma
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
     "rel_distinct_sketch_error" -> GQuery.sql(distinctSketchError,

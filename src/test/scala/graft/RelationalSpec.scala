@@ -119,7 +119,7 @@ class RelationalSpec extends SparkTestBase {
     val verdicts = Relational.relApproxDistinct(spark, SfDir).collect()
     assert(verdicts.nonEmpty)
     verdicts.foreach(r =>
-      assert(r.getAs[Long]("within_3sigma") == 1L,
+      assert(r.getAs[Long]("within_6sigma") == 1L,
         s"${r.getAs[String]("o_orderpriority")}: verdict flipped to 0"))
   }
 
