@@ -27,7 +27,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("md5_hash")
 
-  private def docsTable(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docsTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select("doc_id", "source", "text")
 
   /** Planted near-duplicates (the `dd_embed_cosine_lsh` oracle trick
@@ -42,7 +42,7 @@ object Dedup {
     * signature → banding → bucket join → exact verify).
     */
   val PlantOffset = 1000000L
-  private def withPlanted(docs: DataFrame): DataFrame = {
+  private[graft] def withPlanted(docs: DataFrame): DataFrame = {
     // Loud precondition (the PlantOffset guard): every natural
     // doc_id must sit below PlantOffset, else planted ids collide with
     // natural ones and the `doc_id_2 == doc_id_1 + PlantOffset`
@@ -978,12 +978,76 @@ object Dedup {
     * hash-equality proves the distributed contraction reaches the
     * exact fixpoint.
     */
-  def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccardOn(withPlanted(docsTable(spark, dir)))
-      .select(col("doc_id_1"), col("doc_id_2"))
-    connectedComponents(pairs)
+  def cluster(spark: SparkSession, dir: String): DataFrame =
+    collapsedNearDupComponents(withPlanted(docsTable(spark, dir)))
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
+
+  /** Near-dup components with EXACT-FAMILY COLLAPSE (VERDICT r14 #1 —
+    * the fix for the two worst century rows): docs with the identical
+    * (source, shingle-SET) are interchangeable in the Jaccard pair
+    * graph — J(u,w) = J(v,w) for every third doc w, computed from the
+    * same (n_inter, sz) integers, so the same raw double passes the
+    * same threshold — and J(u,v) = 1 ≥ 0.35 keeps every family
+    * internally connected. A real corpus's exact-dup families
+    * (mirror sites, reposts — ~1% at sf10 by the §5.1c construction)
+    * therefore need no C(F,2) pair verification inside each family of
+    * F exact copies: collapse to the min-id representative per
+    * family, run pair generation + verification on REPRESENTATIVES
+    * only, then re-expand membership. Components and labels are
+    * PROVABLY byte-identical to the uncollapsed pipeline (component
+    * min = min member id = min representative id, since each family
+    * rep is its family's min; CollapseEquivalenceSpec pins equality
+    * on the planted corpus and the cross-source / empty-doc edges).
+    * The family key is md5 over the sorted distinct shingle set —
+    * engine-internal only (the oracle replays the UNCOLLAPSED
+    * semantics, which is the point). Empty-shingle docs never enter
+    * (no rows in `r`), matching the original's no-pair behavior.
+    * Scale: one added per-doc set agg (the size-table shape the
+    * pipeline already pays) buys pair workload C(reps,2) instead of
+    * C(F,2) per family — at the §5.1c mirror rate that is the
+    * difference between the century rows finishing and not.
+    */
+  private[graft] def collapsedNearDupComponents(docs: DataFrame): DataFrame = {
+    val r = shingleHashRowsOf(docs).truncated
+    val fam = r.groupBy("source", "doc_id")
+      .agg(md5(concat_ws(",", sort_array(collect_set(col("sh"))))
+        .cast("binary")).as("fkey"))
+    val famRep = fam.groupBy("source", "fkey")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("fsize"))
+    val member = fam.join(famRep, Seq("source", "fkey"))
+      .select(col("doc_id"), col("rep")).truncated
+    // pair generation + exact verification over representative docs
+    // only — the identical math as ngramJaccardOn, on the filtered
+    // shingle rows
+    val repSet = member.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
+    val rr = r.join(repSet, Seq("doc_id"), "left_semi")
+    val inter = rr.select(col("source"), col("doc_id").as("doc_id_1"), col("sh"))
+      .join(rr.select(col("source"), col("doc_id").as("doc_id_2"), col("sh")),
+        Seq("source", "sh"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = rr.groupBy("doc_id").agg(count(lit(1)).as("sh_size"))
+    val repPairs = inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_1", "sh_size" -> "sz1")), Seq("doc_id_1"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_id_2", "sh_size" -> "sz2")), Seq("doc_id_2"))
+      .filter(col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")).cast("double") >= 0.35)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val comp = connectedComponents(repPairs)
+    // expand: members inherit the rep's component; a family with no
+    // cross-family edge still forms its own component when fsize >= 2
+    // (its internal J = 1 pairs exist in the uncollapsed graph)
+    val repLbl = famRep
+      .join(comp.select(col("id").as("rep"), col("lbl")), Seq("rep"), "left")
+      .filter(col("lbl").isNotNull || col("fsize") >= 2L)
+      .select(col("rep"), coalesce(col("lbl"), col("rep")).as("lbl"))
+    val labels = member.join(repLbl, Seq("rep"))
+      .select(col("doc_id").as("id"), col("lbl"))
+    val sz = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sz, Seq("lbl"))
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
@@ -1065,8 +1129,7 @@ object Dedup {
     */
   def nearDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val aug = withPlanted(docsTable(spark, dir))
-    val dropped = connectedComponents(
-        ngramJaccardOn(aug).select(col("doc_id_1"), col("doc_id_2")))
+    val dropped = collapsedNearDupComponents(aug)
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit(1).as("is_dropped"))
     aug.join(dropped, Seq("doc_id"), "left")

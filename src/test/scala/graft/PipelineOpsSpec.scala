@@ -93,13 +93,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(distinct == distinctTexts)
   }
 
-  test("batch features emit scalar byte-stat columns consistent with meta") {
+  test("batch features come from decoded rasters at the minted dimensions") {
     val f = Multimodal.batchFeatures(spark, SfDir)
-    // f_bytes is the payload byte length — must equal mm_meta's n_bytes
-    val joined = f.join(Multimodal.meta(spark, SfDir), "doc_id")
-      .filter(col("f_bytes") =!= col("n_bytes").cast("double"))
-    assert(joined.count() == 0)
-    // byte stats live in [0, 255] and mean sits between min and max
+    // n_px must equal the PNG synthesizer's w·h rule — the count
+    // reaches the output only through a real decode of the raster
+    val bad = f.filter(col("n_px") =!=
+      (lit(16) + pmod(col("doc_id"), lit(5)) * 8) *
+        (lit(12) + pmod(col("doc_id"), lit(7)) * 4))
+    assert(bad.count() == 0)
+    // gray samples live in [0, 255] and mean sits between min and max
     assert(f.filter(col("f_max") < 0 || col("f_max") > 255).count() == 0)
     assert(f.filter(col("f_min") < 0 || col("f_min") > 255).count() == 0)
     assert(f.filter(col("f_mean") < col("f_min") || col("f_mean") > col("f_max")).count() == 0)

@@ -56,28 +56,37 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
-  test("audio windows overlap correctly and cover every payload byte") {
+  test("audio windows overlap correctly and cover every decoded sample") {
+    // decoded-domain closed forms (the WAV synthesizer's rules):
+    // n samples = 256 + (id%5)·64, sample rate = 8000 + (id%3)·4000
     val docs = Tables.documents(spark, SfDir)
-      .select(col("doc_id"), length(encode(col("text"), "utf-8")).cast("long").as("n"))
-      .filter(col("n") > 0).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("doc_id")).filter(col("doc_id") % 4 === 1)
+      .collect().map(_.getLong(0))
+      .map(id => id -> (256L + (id % 5) * 64L, 8000L + (id % 3) * 4000L))
+      .toMap
     val wins = operators.Multimodal.audioWindows(spark, SfDir).collect()
       .groupBy(_.getAs[Long]("doc_id"))
     assert(wins.keySet == docs.keySet)
-    val (w, h) = (operators.Multimodal.WinSamples, operators.Multimodal.HopSamples)
+    val (w, h) = (operators.Multimodal.WinSamples.toLong,
+      operators.Multimodal.HopSamples.toLong)
     wins.foreach { case (id, rs) =>
-      val n = docs(id)
-      val wantCount = 1 + math.max(0L, (n - w + h - 1) / h)
+      val (n, sr) = docs(id)
+      val wantCount = if (n <= w) 1L else 1L + (n - w + h - 1) / h
       assert(rs.length == wantCount, s"doc $id: ${rs.length} != $wantCount")
       val sorted = rs.sortBy(_.getAs[Long]("win_idx"))
       sorted.foreach { r =>
         val start = r.getAs[Long]("start_sample")
         assert(start == r.getAs[Long]("win_idx") * h)
-        assert(r.getAs[Long]("start_ms") == start * 1000 /
-          operators.Multimodal.SampleRateHz)
+        assert(r.getAs[Long]("start_ms") == start * 1000 / sr)
         assert(r.getAs[Long]("win_len") == math.min(w, n - start))
+        // decoded-sample window stats match the synthesizer closed form
+        val len = r.getAs[Long]("win_len")
+        val samples = (start until start + len)
+          .map(i => ((id * 37L + i * 11L) % 2001L) - 1000L)
+        assert(r.getAs[Long]("s_sum") == samples.sum)
+        assert(r.getAs[Long]("s_peak") == samples.map(math.abs).max)
       }
-      // full coverage: the last window reaches the payload end
+      // full coverage: the last window reaches the decoded stream end
       val last = sorted.last
       assert(last.getAs[Long]("start_sample") + last.getAs[Long]("win_len") == n)
     }

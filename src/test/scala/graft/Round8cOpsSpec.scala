@@ -335,20 +335,18 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
-  test("scene cuts: frame counts match payload geometry, cuts bounded") {
+  test("scene cuts: frame counts match decoded GIF geometry, cuts bounded") {
     val got = operators.Multimodal.sceneCuts(spark, SfDir).collect()
     assert(got.nonEmpty)
-    val lens = Tables.documents(spark, SfDir)
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("len")).toMap
-    assert(got.length == lens.size)
+    val ids = Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % 4 === 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == ids)
     got.foreach { r =>
       val (id, nf) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_frames"))
-      val fb = operators.Multimodal.SceneFrameBytes
-      assert(nf == (lens(id) - 1) / fb + 1, s"doc $id frame count")
-      assert(r.getAs[Long]("n_cuts") <= nf - 1 || nf == 1)
-      if (nf == 1) assert(r.getAs[Long]("max_jump") == 0L)
+      // the GIF synthesizer's frame-count rule
+      assert(nf == 3L + (id / 4) % 4, s"doc $id frame count")
+      assert(r.getAs[Long]("n_cuts") <= nf - 1)
     }
   }
 
