@@ -112,9 +112,10 @@ object Multimodal {
     * `//` both truncate toward zero, so the empty payload degenerates
     * to one frame rather than none — an accepted, consistent edge). We
     * keep every 4th frame index plus a deterministic per-frame
-    * fingerprint (stand-in for a decoded frame hash; md5 so the DuckDB
-    * oracle reproduces it). Schema and explode shape are the real
-    * contract — the decode is the stub.
+    * fingerprint (md5 so the DuckDB oracle reproduces it). Schema and
+    * explode shape are the contract — this op is container-agnostic
+    * SAMPLING plumbing by design; the codec-backed frame ops are
+    * `mm_decode_video` / `mm_video_cuts` / `mm_scene_cuts`.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
