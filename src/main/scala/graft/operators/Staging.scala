@@ -18,9 +18,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * recommit saw ENOENT. Under the pointer commit a reader resolves
   * `_CURRENT` to either the old complete version or the new complete
   * version, never to nothing (StagedSwapSpec interleaves a reader at
-  * every commit step to pin this). The displaced version is deleted
-  * only after the pointer lands; production retention would instead
-  * expire it on a delay — the `src_vacuum_census` story.
+  * every commit step to pin this). Displaced versions live one more
+  * generation before expiring (`expireVersions`) so a reader that
+  * resolved just before the swap can finish its read; production
+  * retention widens that grace to a time window — the
+  * `src_vacuum_census` story.
   */
 object Staging {
 
@@ -149,8 +151,30 @@ object Staging {
         Files.write(tmp.resolve("_SOURCE"), marker.getBytes("UTF-8"))
         Files.move(tmp, stagePath.resolve(vname),
           StandardCopyOption.ATOMIC_MOVE)
-        commitPointer(stagePath, vname).foreach(deleteTree)
+        val displaced = commitPointer(stagePath, vname)
+        expireVersions(stagePath,
+          Set(vname) ++ displaced.map(_.getFileName.toString))
       }
       resolve(stage)
     }
+
+  /** One-generation retention (the in-process stand-in for a
+    * time-based vacuum window): the version displaced by THIS commit
+    * survives until the next one — a reader that resolved it just
+    * before the pointer swap can finish its read — while versions
+    * displaced by earlier commits are expired now. Deletes every
+    * `v-*` sibling not in `keep`.
+    */
+  private[operators] def expireVersions(stage: Path, keep: Set[String]): Unit = {
+    val ls = Files.list(stage)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.toSeq
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v-") && !keep.contains(n) && Files.isDirectory(p)
+        }
+        .foreach(deleteTree)
+    } finally ls.close()
+  }
 }

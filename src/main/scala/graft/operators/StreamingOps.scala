@@ -260,7 +260,10 @@ object StreamingOps {
     java.nio.file.Files.move(tmp, root.resolve(vname),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val displaced = Staging.commitPointer(root, vname)
-    displaced.foreach(Staging.deleteTree)
+    // one-generation retention, like Staging.stagedDir: the version
+    // displaced by THIS compaction survives until the next one
+    Staging.expireVersions(root,
+      Set(vname) ++ displaced.map(_.getFileName.toString))
     if (displaced.isEmpty) {
       // first compaction of a flat live layout: retire the
       // pre-pointer batch slices AFTER the pointer landed (production

@@ -74,14 +74,16 @@ object WordCount {
   def stagePathFor(dir: String): String =
     Staging.pathFor(TextStageRoot, dir)
 
-  /** Oracle-side glob for the staged text: under the pointer layout
-    * the live part files sit in the single committed `v-*` version
-    * dir (displaced versions are deleted after the pointer swap), so
-    * one version-level glob reaches exactly the files `stageTextDir`
-    * returned.
+  /** Oracle-side glob for the staged text: resolves the `_CURRENT`
+    * pointer at call time (the oracle SQL is dumped after staging),
+    * so only the COMMITTED version's part files match — under
+    * one-generation retention a displaced `v-*` sibling may coexist
+    * and a version-level wildcard would double-read it.
     */
-  def stageGlobFor(dir: String): String =
-    s"${Staging.pathFor(TextStageRoot, dir)}/v-*/part-*.txt"
+  def stageGlobFor(dir: String): String = {
+    val stage = Staging.pathFor(TextStageRoot, dir)
+    Staging.resolveOpt(stage).getOrElse(s"$stage/v-*") + "/part-*.txt"
+  }
 
   /** Stage `documents.text` as raw `.txt` files, idempotent per source
     * dir, under the shared manifest-pointer commit (`Staging.stagedDir`

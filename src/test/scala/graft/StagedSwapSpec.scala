@@ -153,9 +153,17 @@ class StagedSwapSpec extends SparkTestBase {
         operators.Dedup.LshIndexTables)
       val v2 = Staging.resolve(idx.toString)
       assert(v2 != v1, "second compaction must commit a NEW version")
-      assert(!Files.exists(Paths.get(v1)),
-        "displaced version must be retired after the pointer swap")
+      // one-generation retention: the just-displaced version survives
+      // this commit (a mid-commit reader can finish) and expires at
+      // the NEXT one
+      assert(Files.exists(Paths.get(v1)),
+        "just-displaced version must survive one generation")
       assert(probe() == before, "second compaction changed the probe")
+      operators.StreamingOps.compactStreamedIndex(spark, idx.toString,
+        operators.Dedup.LshIndexTables)
+      assert(!Files.exists(Paths.get(v1)),
+        "grace expired: versions displaced two commits ago must be gone")
+      assert(probe() == before, "third compaction changed the probe")
     } finally {
       operators.Staging.deleteTree(watch)
       if (Files.exists(idx)) operators.Staging.deleteTree(idx)
