@@ -2203,10 +2203,26 @@ ORDER BY f.vec_id"""
     */
   def annGraphProbe(spark: SparkSession, dir: String): DataFrame = {
     val idx = stageKnnGraph(spark, dir)
-    val edges = spark.read.schema("vec_id BIGINT, nbr BIGINT")
-      .option("recursiveFileLookup", "true").parquet(s"$idx/edges")
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
-    val q = plantedVecQueriesOf(e)
+    beamSearchTopK(readKnnGraph(spark, idx), e, plantedVecQueriesOf(e))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Schema'd read of a persisted serve-adjacency layout (batch-staged
+    * flat or stream-appended batch-keyed — recursiveFileLookup makes
+    * them indistinguishable, like `readIvfIndex`).
+    */
+  private[graft] def readKnnGraph(spark: SparkSession, idx: String): DataFrame =
+    spark.read.schema("vec_id BIGINT, nbr BIGINT")
+      .option("recursiveFileLookup", "true").parquet(s"$idx/edges")
+
+  /** The deterministic greedy beam search shared by `ann_graph_probe`
+    * (serving) and `stream_graph_index_ingest` (the HNSW-style insert:
+    * a new vector's link set IS its beam-search result). Returns
+    * (q_id, rank, vec_id, cosine), best GraphProbeK per query.
+    */
+  private[graft] def beamSearchTopK(edges: DataFrame, e: DataFrame,
+      q: DataFrame): DataFrame = {
     val entry = e.agg(min(col("vec_id")).as("vec_id"))
     val topB = graft.functions.TopK.topKByScore(GraphBeam)
     def scoreOf(cand: DataFrame): DataFrame = cand
@@ -2235,13 +2251,12 @@ ORDER BY f.vec_id"""
       .select(col("q_id"), posexplode(col("t")).as(Seq("pos", "s")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.id").as("vec_id"), round(col("s.score"), 4).as("cosine"))
-      .orderBy("q_id", "rank")
   }
 
   /** The hop-for-hop DuckDB replay of `annGraphProbe`'s beam search
     * over the replayed NN-descent graph.
     */
-  private def graphProbeOracle: String = {
+  private[graft] def graphProbeOracle: String = {
     def cosq(qa: String, ea: String) =
       s"list_inner_product($qa.qv, $ea.v) / " +
         s"(sqrt(list_inner_product($qa.qv, $qa.qv)) * " +

@@ -478,6 +478,73 @@ object StreamingOps {
       watch, idx)
   }
 
+  /** One micro-batch of graph-index maintenance: the batch's NEW
+    * vectors beam-search the ALREADY-BUILT static graph for their
+    * link sets (no rebuild — the HNSW insert path: a node's links ARE
+    * its search result) and overwrite the batch's own `edges/b<id>`
+    * slice — idempotent under micro-batch replay, like
+    * `appendVecBatch`.
+    */
+  private[graft] def appendGraphBatch(spark: SparkSession, root: String,
+      staticEdges: DataFrame, e: DataFrame, batch: DataFrame,
+      batchId: Long): Unit =
+    Similarity.beamSearchTopK(staticEdges, e, batch)
+      .write.mode("overwrite").parquet(s"$root/edges/b$batchId")
+
+  /** Graph-side streaming index maintenance — completes the graph-ANN
+    * lifecycle the way `stream_vec_index_ingest` completed IVF's
+    * (build `ann_nndescent_knn`, persist+serve `ann_graph_probe`, now
+    * MAINTAIN): the static serve adjacency is staged once (the
+    * offline build), then new vectors arrive as three ordered
+    * micro-batches, each of which finds its own link set by
+    * deterministic beam search AGAINST THE STATIC GRAPH (recurring
+    * cost O(batch × beam × K × hops) — no NN-descent re-run, no
+    * corpus re-scan) and appends a per-batchId edge slice,
+    * replay-idempotent by per-batch overwrite. New nodes link into
+    * the static graph only (batch-order independence — the
+    * insert-edge set is identical however the stream slices the
+    * arrivals), so the drained maintained layout is closed-form and
+    * the SAME hop-for-hop DuckDB replay as `ann_graph_probe`
+    * hash-checks stream-built == batch beam search == ground truth.
+    */
+  def streamGraphIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.vecs(spark, dir).select(col("vec_id"), col("v"))
+    val idx = Similarity.stageKnnGraph(spark, dir)
+    val staticEdges = Similarity.readKnnGraph(spark, idx)
+    val newVecs = Similarity.plantedVecQueriesOf(e)
+    val watch = java.nio.file.Files.createTempDirectory("graft_graph_ingest")
+    EventsStreaming.dropFile(newVecs.filter(pmod(col("q_id"), lit(3L)) === 0L),
+      watch.toString, "a")
+    EventsStreaming.dropFile(newVecs.filter(pmod(col("q_id"), lit(3L)) === 1L),
+      watch.toString, "b")
+    EventsStreaming.dropFile(newVecs.filter(pmod(col("q_id"), lit(3L)) === 2L),
+      watch.toString, "c")
+    val root = java.nio.file.Files.createTempDirectory("graft_graph_stream")
+    // seed an empty slice so the post-drain read exists even when the
+    // corpus (and so the ingest stream) is empty
+    Similarity.beamSearchTopK(staticEdges, e, newVecs.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$root/edges/seed")
+    withDrainConf(spark) {
+      val q = spark.readStream.schema(newVecs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          appendGraphBatch(spark, root.toString, staticEdges, e,
+            batch.toDF(), batchId)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    sealAndClean(
+      spark.read
+        .schema("q_id BIGINT, rank BIGINT, vec_id BIGINT, cosine DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(s"$root/edges")
+        .orderBy("q_id", "rank"),
+      watch, root)
+  }
+
   /** Watermark-progression census — the OBSERVABILITY row a streaming
     * operator on call actually reads (is the watermark advancing? how
     * many rows rode each advance?): the corpus plus two far-future
@@ -922,6 +989,10 @@ object StreamingOps {
         |  vec_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 8 = 0
         |ORDER BY q_id""".stripMargin),
+    // same hop-for-hop replay as ann_graph_probe: the stream-appended
+    // insert edges must equal the batch beam search exactly
+    "stream_graph_index_ingest" -> GQuery.sql(streamGraphIndexIngest,
+      Similarity.graphProbeOracle),
     "stream_index_ingest" -> GQuery.sql(streamIndexIngest, lshIngestOracle),
     "stream_index_compaction" ->
       GQuery.sql(streamIndexCompaction, lshIngestOracle),

@@ -38,6 +38,39 @@ class GraphProbeSpec extends SparkTestBase {
       "staged graph holds no parquet edges")
   }
 
+  test("stream-maintained insert edges equal the batch beam search, replay-idempotent") {
+    val batchAnswer = operators.Similarity.annGraphProbe(spark, SfDir)
+      .collect().map(_.toString).toSeq
+    val streamed = operators.StreamingOps
+      .streamGraphIndexIngest(spark, SfDir)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batchAnswer,
+      "stream-appended insert edges diverged from the batch beam search")
+    // replay idempotency: re-running a micro-batch overwrites its own
+    // slice, leaving the maintained layout unchanged
+    val e = operators.Similarity.vecs(spark, SfDir)
+      .select(col("vec_id"), col("v"))
+    val idx = operators.Similarity.stageKnnGraph(spark, SfDir)
+    val edges = operators.Similarity.readKnnGraph(spark, idx)
+    val batch = operators.Similarity.plantedVecQueriesOf(e)
+      .filter(col("q_id") % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_graph_replay")
+    try {
+      operators.StreamingOps.appendGraphBatch(spark, root.toString,
+        edges, e, batch, 0L)
+      def slice() = spark.read
+        .schema("q_id BIGINT, rank BIGINT, vec_id BIGINT, cosine DOUBLE")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$root/edges")
+        .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+      val once = slice()
+      operators.StreamingOps.appendGraphBatch(spark, root.toString,
+        edges, e, batch, 0L)
+      assert(slice() == once, "micro-batch replay duplicated insert edges")
+    } finally operators.Staging.deleteTree(root)
+  }
+
   test("beam-search rank-1 recall vs exact nearest neighbor clears the floor") {
     val e = operators.Similarity.vecs(spark, SfDir)
       .select(col("vec_id"), col("v"))
