@@ -45,8 +45,22 @@ def main():
     driver_stage = stage_path("/root/testdata/sf0.01")
     this_stage = stage_path(sf_dir)
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
+    import re as _re
+    def retarget(sql):
+        if driver_stage == this_stage:
+            return sql
         sql = sql.replace(driver_stage, this_stage)
+        # pointer layout (r15): the dumped SQL embeds the DRIVER SF's
+        # committed `v-<nonce>` version dir; re-resolve to THIS SF's
+        # committed version via its _CURRENT pointer
+        cur_file = os.path.join(this_stage, "_CURRENT")
+        if os.path.exists(cur_file):
+            cur = open(cur_file).read().strip()
+            sql = _re.sub(_re.escape(this_stage) + r"/v-\d+",
+                          f"{this_stage}/{cur}", sql)
+        return sql
+    for name, sql in sorted(oracle.items()):
+        sql = retarget(sql)
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"MISSING spark output: {name}")
