@@ -189,8 +189,14 @@ object Pipeline {
     val nDocs = docs.select(count(lit(1)).as("n_total"))
     val terms = docs
       .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
-    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("term_count"))
+    // tf is the one corpus-keyed aggregate everything downstream reads
+    // (doc lengths, document frequencies, the ranked join):
+    // materialized once. doc_len derives from tf by per-doc sum — the
+    // r15 shape re-tokenized the corpus a second time for the same
+    // number (Σ term_count ≡ token count).
+    val tf = graft.Ckpt.truncate(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("term_count")))
+    val docLen = tf.groupBy("doc_id").agg(sum(col("term_count")).as("doc_len"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_raw"), asc("term"))
     tf.join(docLen, Seq("doc_id"))
@@ -1177,8 +1183,9 @@ FROM s GROUP BY col_name ORDER BY col_name"""
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(Text.tokens(lower(col("text")))).cast("long").as("n_tok"))
-    val pairs = Dedup.ngramJaccardOn(
-        Tables.documents(spark, dir).select("doc_id", "source", "text"))
+    // the memoized verified pair index — one pair computation per
+    // corpus shared with dd_ngram_jaccard / pipe_split_leakage
+    val pairs = Dedup.nearDupPairsOf(spark, dir)
       .select(col("doc_id_1"), col("doc_id_2"))
     val removed = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("lbl"))
@@ -1216,8 +1223,7 @@ FROM s GROUP BY col_name ORDER BY col_name"""
         when(hashBucket(col("doc_id")) < 80, "train")
           .when(hashBucket(col("doc_id")) < 90, "val")
           .otherwise("test").as("split"))
-    val pairs = Dedup.ngramJaccardOn(
-        Tables.documents(spark, dir).select("doc_id", "source", "text"))
+    val pairs = Dedup.nearDupPairsOf(spark, dir)
       .select(col("doc_id_1"), col("doc_id_2"))
     pairs
       .join(splits.select(col("doc_id").as("doc_id_1"),

@@ -1503,6 +1503,11 @@ object Relational {
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
     def estimateOf(name: String, left: DataFrame, lk: String,
         right: DataFrame, rk: String): DataFrame = {
+      // NOTE (measured, r16): checkpointing ca/cb (each feeds the
+      // exact-pairs join AND its own (n, d) rollup) was tried and
+      // came out SLOWER at sf0.1 (1.0 → 1.4 s) — Spark's exchange
+      // reuse already shares the keyed aggregate between the two
+      // references, so the extra barriers bought nothing.
       val ca = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
       val cb = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
       ca.join(cb, Seq("k"))

@@ -239,7 +239,10 @@ object Similarity {
     * tables a vector store persists (see `ann_index_probe`).
     */
   private def ivfIndexOf(e: DataFrame): (DataFrame, DataFrame) = {
-    val centroids = ivfCentroidsOf(e)
+    // materialized once: the centroid table feeds the assignment AND
+    // both probe references (query ranking + cell count) — left live,
+    // the corpus-wide sampling union re-executed per reference
+    val centroids = ivfCentroidsOf(e).truncated
     (centroids, ivfAssign(e, centroids))
   }
 
@@ -465,11 +468,20 @@ object Similarity {
     */
   private[graft] def ivf2IndexOf(e: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val coarse = ivf2CoarseOf(e)
+    // Each index table is MATERIALIZED once (build-once/probe-many —
+    // the in-plan analogue of `stageIvfIndex`'s on-disk staging):
+    // coarse feeds both the level-1 assignment and the probe's
+    // broadcast, assigned1 feeds the sub-sampling and the level-2
+    // assignment, sub feeds the assignment and two probe joins —
+    // left as live plans, every downstream reference re-executed the
+    // whole upstream build (r15: a 29-exchange single plan for
+    // `ann_ivf2_topk`).
+    val coarse = ivf2CoarseOf(e).truncated
     val assigned1 = ivfAssign(e,
       coarse.select(col("c1_id").as("cell_id"), col("c1v").as("cv")))
       .select(col("vec_id"), col("v"), col("cell_id").as("c1_id"))
-    val sub = ivf2SubOf(assigned1)
+      .truncated
+    val sub = ivf2SubOf(assigned1).truncated
     val assigned2 = assigned1.join(sub, "c1_id")
       .select(col("vec_id"), col("v"), col("c1_id"), col("c2_id"),
         cosine(col("v"), col("c2v")).as("c2_cos"))
@@ -2023,12 +2035,19 @@ ORDER BY f.vec_id"""
         Window.partitionBy("q_id").orderBy(desc("cell_cos"), asc("cell_id"))))
       .filter(col("crank") <= RecallProbes.max)
       .select(col("q_id"), col("qv"), col("cell_id"), col("crank"))
+    // ONE candidate join at the maximum probe budget, carrying the
+    // cell rank: every probe budget p's candidate set is exactly the
+    // crank ≤ p subset, so the per-budget branches reduce to cheap
+    // filters + per-query heaps over the materialized scored
+    // candidates — r15 re-ran the corpus-scale assigned join once per
+    // budget (|RecallProbes| corpus joins per call).
+    val scoredMax = qCells.join(assigned, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("crank"),
+        cosine(col("qv"), col("v")).as("score"), col("vec_id"))
+      .truncated
     val branches = RecallProbes.map { p =>
-      qCells.filter(col("crank") <= p)
-        .join(assigned, Seq("cell_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), cosine(col("qv"), col("v")).as("score"),
-          col("vec_id"))
+      scoredMax.filter(col("crank") <= p)
         .groupBy("q_id").agg(topk(col("score"), col("vec_id")).as("top"))
         .select(lit(p).as("probes"), col("q_id"),
           explode(col("top.id")).as("vec_id"))
@@ -2133,6 +2152,10 @@ ORDER BY f.vec_id"""
     val init = strideInit.unionByName(cellInit).distinct()
     var graph = select(score(init), topk).truncated
     for (_ <- 1 to NdRounds) {
+      // adj pivots a self-join; measured r16: checkpointing it per
+      // round COSTS more than the duplicated aggregation it saves
+      // (3.7 → 4.6 s at sf0.1 — the exchange under the self-join is
+      // reused by Spark already), so it stays a live plan
       val adj = select(
         graph.unionByName(graph.select(col("nbr").as("vec_id"),
           col("vec_id").as("nbr"), col("cos"))).distinct(),
@@ -2225,6 +2248,13 @@ ORDER BY f.vec_id"""
       q: DataFrame): DataFrame = {
     val entry = e.agg(min(col("vec_id")).as("vec_id"))
     val topB = graft.functions.TopK.topKByScore(GraphBeam)
+    // NOTE (measured, r16): explicit broadcast hints on the bounded
+    // beam/candidate sides (guide §3.1 — they are |Q|·B·K rows, never
+    // corpus-shaped) were tried and came out FLAT-to-slower at sf0.1
+    // (probe 4.2 → 4.4 s, ingest 7.7 → 8.3 s): per hop the hint adds
+    // a driver collect + rebroadcast, which at this query-batch size
+    // costs as much as the small AQE-coalesced exchanges it removes.
+    // Revisit if serve batches grow while the corpus side dominates.
     def scoreOf(cand: DataFrame): DataFrame = cand
       .join(e, Seq("vec_id"))
       .join(q, Seq("q_id"))

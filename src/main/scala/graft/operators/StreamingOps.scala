@@ -151,7 +151,7 @@ object StreamingOps {
     // dropFile writes the already-normalized ts, so the watch-dir
     // stream reads TimestampType directly (the sessionize pattern).
     val watch = java.nio.file.Files.createTempDirectory("graft_attr_outer")
-    EventsStreaming.dropFile(all, watch.toString, "a")
+    EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
     EventsStreaming.dropFile(
       sentinel(-1L, maxMs + 10L * 3600 * 1000, "click")
         .unionByName(sentinel(-2L, maxMs + 10L * 3600 * 1000, "purchase")),
@@ -249,14 +249,30 @@ object StreamingOps {
     // resolves to the old complete layout or the new one, never to
     // nothing (StagedSwapSpec pins the interleaving)
     val tmp = root.resolve(s".tmp-$vname")
-    tables.foreach { case (t, schema) =>
-      val sub = if (t.isEmpty) live else s"$live/$t"
-      val dst = if (t.isEmpty) s"$tmp/compact" else s"$tmp/$t/compact"
-      spark.read.schema(schema)
-        .option("recursiveFileLookup", "true").parquet(sub)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(dst)
-    }
+    // the subtables are independent read→rewrite jobs over disjoint
+    // directories: submit them concurrently (guide §2.6 — overlapping
+    // independent jobs back-fills the executor slots one small job's
+    // tail would leave idle; at production compaction cadence the
+    // same shape overlaps per-partition rewrite bins)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(tables.size, 1))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val jobs = tables.map { case (t, schema) =>
+        scala.concurrent.Future {
+          val sub = if (t.isEmpty) live else s"$live/$t"
+          val dst = if (t.isEmpty) s"$tmp/compact" else s"$tmp/$t/compact"
+          spark.read.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(sub)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(dst)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     java.nio.file.Files.move(tmp, root.resolve(vname),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val displaced = Staging.commitPointer(root, vname)
@@ -521,8 +537,16 @@ object StreamingOps {
       watch.toString, "c")
     val root = java.nio.file.Files.createTempDirectory("graft_graph_stream")
     // seed an empty slice so the post-drain read exists even when the
-    // corpus (and so the ingest stream) is empty
-    Similarity.beamSearchTopK(staticEdges, e, newVecs.filter(lit(false)))
+    // corpus (and so the ingest stream) is empty. Written as a bare
+    // empty frame of the beam output schema: beamSearchTopK over an
+    // empty query set is provably empty (every output row carries a
+    // q_id), but executing it still paid GraphHops+1 checkpoint
+    // barriers' worth of empty jobs per invocation (r16 measure-first
+    // finding) — the seed only needs the schema.
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "q_id BIGINT, rank BIGINT, vec_id BIGINT, cosine DOUBLE"))
       .write.mode("overwrite").parquet(s"$root/edges/seed")
     withDrainConf(spark) {
       val q = spark.readStream.schema(newVecs.schema)
@@ -576,7 +600,7 @@ object StreamingOps {
         timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"))
     val watch = java.nio.file.Files.createTempDirectory("graft_wm_census")
-    EventsStreaming.dropFile(all, watch.toString, "a")
+    EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
     EventsStreaming.dropFile(
       sentinel(-1L, maxMs + 10L * 3600 * 1000), watch.toString, "s1")
     EventsStreaming.dropFile(
@@ -648,7 +672,7 @@ object StreamingOps {
       val q = sessions.toDF().writeStream.outputMode("append")
         .format("memory").queryName("graft_stream_sess").start()
       try {
-        EventsStreaming.dropFile(all, watch.toString, "a")
+        EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
         q.processAllAvailable()
         // first sentinel advances the watermark at its batch's end; the
         // second runs a batch UNDER the advanced watermark so the

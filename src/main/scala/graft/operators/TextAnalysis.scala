@@ -717,7 +717,14 @@ object TextAnalysis {
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    // bounds is referenced by three broadcasts and grid by both sides
+    // of the cumulative theta-join: materialized once each (1-row and
+    // 10-row frames) instead of re-aggregating the corpus per
+    // reference. The token stream itself is deliberately NOT
+    // checkpointed: re-scanning the corpus twice beats materializing
+    // an exploded token relation at scale.
+    val bounds = graft.Ckpt.truncate(
+      docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")))
     def decile(c: Column): Column =
       expr(s"((${c.toString} - lo) * $VocabDeciles) div (hi - lo + 1)")
     val tok = docs
@@ -732,13 +739,13 @@ object TextAnalysis {
       .crossJoin(broadcast(bounds))
       .groupBy(decile(col("fdoc")).as("decile"))
       .agg(count(lit(1)).as("new_types"))
-    val grid = nDocs
+    val grid = graft.Ckpt.truncate(nDocs
       .join(nToks, Seq("decile"), "full_outer")
       .join(newTypes, Seq("decile"), "full_outer")
       .select(col("decile"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("new_types"), lit(0L)).as("new_types"))
+        coalesce(col("new_types"), lit(0L)).as("new_types")))
     grid.as("a")
       .join(broadcast(grid.as("b")), col("b.decile") <= col("a.decile"))
       .groupBy(col("a.decile").as("decile"), col("a.n_docs").as("n_docs"),

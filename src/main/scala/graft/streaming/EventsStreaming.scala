@@ -225,6 +225,38 @@ object EventsStreaming {
     */
   private val lastDropMtime = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Root for staged first-drop corpora (see `stageCorpusDrop`). */
+  val CorpusDropRoot = "/root/repo/target/graft_stream_corpus"
+
+  /** The staged-input twin of `dropFile` for the CORPUS-SIZED first
+    * drop of the sentinel-protocol drains (attribution-outer /
+    * watermark census / sessionize): stage the normalized frame ONCE
+    * per (corpus dir, name) under the shared manifest-pointer
+    * protocol — the `stageEventsDir`/`stageTextDir` staged-INPUT
+    * convention, never a result — and per invocation only symlink the
+    * committed part file into the fresh watch dir. Order safety: the
+    * symlink's resolved mtime is the STAGING time, hours older than
+    * any sentinel `dropFile` writes next (and `lastDropMtime` is
+    * bumped past it, so even a just-staged corpus cannot tie with its
+    * own sentinels). r15 shape: every timed pass re-wrote the whole
+    * event corpus through `dropFile` before draining it.
+    */
+  def stageCorpusDrop(df: DataFrame, dir: String, name: String,
+      watchDir: String): Unit = {
+    val v = graft.operators.Staging.stagedDir(
+      s"$CorpusDropRoot/$name", dir) { tmp =>
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }
+    val parts = new java.io.File(v).listFiles
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(watchDir, s"${name}_$i.parquet"), f.toPath)
+      lastDropMtime.updateAndGet(p => math.max(p,
+        java.nio.file.Files.getLastModifiedTime(f.toPath).toMillis))
+    }
+  }
+
   def dropFile(df: DataFrame, watchDir: String, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drop")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
 class CheckpointSpec extends SparkTestBase {
 
   test("fixpoint output is identical under local and reliable checkpointing") {
+    // pagerank, not lpaCommunities: the LPA label state is memoized
+    // per (session, corpus) since r16, so its second run would read
+    // the memo instead of re-running rounds under the reliable conf —
+    // pagerank's per-round truncation re-executes on every call.
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val local = graft.operators.WordCount.lpaCommunities(spark, SfDir)
+    val local = graft.operators.WordCount.pagerank(spark, SfDir)
       .collect().map(_.toSeq).toSeq
     try {
       spark.conf.set("graft.checkpoint.dir", dir)
-      val reliable = graft.operators.WordCount.lpaCommunities(spark, SfDir)
+      val reliable = graft.operators.WordCount.pagerank(spark, SfDir)
         .collect().map(_.toSeq).toSeq
       assert(local == reliable)
       // the reliable path must have materialized durable round files
