@@ -130,6 +130,7 @@ object Bench {
       "graph" -> operators.WordCount.memoFillNanos.get(),
       "bpe" -> operators.Bpe.memoFillNanos.get(),
       "semantic" -> operators.Dedup.memoFillNanos.get(),
+      "near_dup_pairs" -> operators.Dedup.pairsFillNanos.get(),
       "lsh_index" -> operators.Dedup.lshFillNanos.get(),
       "ivf_index" -> operators.Similarity.ivfFillNanos.get(),
       "knn_graph" -> operators.Similarity.knnGraphFillNanos.get())

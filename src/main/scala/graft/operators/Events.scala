@@ -947,9 +947,14 @@ object Events {
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val s = sessionize(spark, dir)
       .select(col("session_start_ms").as("s"), col("session_end_ms").as("e"))
-    val deltas = s.select(col("s").as("ms"), lit(1L).as("d"))
-      .unionAll(s.select((col("e") + 1).as("ms"), lit(-1L).as("d")))
-      .withColumn("hour", expr("ms div 3600000"))
+    // deltas feeds the per-hour totals AND the final windowed join —
+    // left live, the entire sessionize pipeline upstream re-executes
+    // once per reference; materialized it is two session-bounded rows
+    // per session
+    val deltas = graft.Ckpt.truncate(
+      s.select(col("s").as("ms"), lit(1L).as("d"))
+        .unionAll(s.select((col("e") + 1).as("ms"), lit(-1L).as("d")))
+        .withColumn("hour", expr("ms div 3600000")))
     val hourTot = deltas.groupBy("hour").agg(sum(col("d")).as("hd"))
     val offsets = hourTot.as("a")
       .join(broadcast(hourTot.as("b")), col("b.hour") < col("a.hour"), "left")

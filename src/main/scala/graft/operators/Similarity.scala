@@ -327,7 +327,9 @@ object Similarity {
   val IvfIndexRoot = "/root/repo/target/graft_ivf_index"
 
   /** Committed-version path of the staged IVF index (resolves the
-    * `_CURRENT` pointer — see `Dedup.lshIndexPathFor`).
+    * `_CURRENT` pointer — see `Dedup.lshIndexPathFor`; same
+    * throws-if-unstaged contract — use `Staging.resolveOpt` for
+    * may-not-exist-yet callers).
     */
   def ivfIndexPathFor(dir: String): String =
     Staging.resolve(Staging.pathFor(IvfIndexRoot, dir))

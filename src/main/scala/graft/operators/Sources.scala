@@ -779,9 +779,15 @@ object Sources {
       val before = censusV3()
       val (dataN, sideN, orphN, bytes) = vacuumSnapshot(work, 3)
       val after = censusV3()
+      // narrow catch (ADVICE r15 #4): only the expected manifest-read
+      // failure counts as a refusal — an unrelated analysis error or
+      // path misconfiguration must not masquerade as the green verdict
       val refused =
         try { readSnapshot(spark, work.toString, 1, schema); 0L }
-        catch { case _: Exception => 1L }
+        catch {
+          case _: java.nio.file.NoSuchFileException => 1L
+          case _: java.io.FileNotFoundException => 1L
+        }
       import spark.implicits._
       Seq((
         "v3", after._1, after._2, after._3,

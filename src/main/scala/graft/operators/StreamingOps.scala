@@ -376,10 +376,17 @@ object StreamingOps {
     */
   private[graft] def appendVecBatch(spark: SparkSession, idx: String,
       batch: DataFrame, batchId: Long): Unit = {
+    // resolve the pointer when the root has been compacted (ADVICE
+    // r15 #2): a per-batch slice appended to the FLAT root after a
+    // compaction would be invisible to both the serve path and the
+    // next compaction, which resolve `_CURRENT` — writing into the
+    // committed version keeps post-compaction appends served and
+    // compactable; a fresh (never-compacted) root resolves to itself
+    val live = Staging.resolveOpt(idx).getOrElse(idx)
     val centroids = spark.read.schema("cell_id BIGINT, cv ARRAY<FLOAT>")
-      .option("recursiveFileLookup", "true").parquet(s"$idx/centroids")
+      .option("recursiveFileLookup", "true").parquet(s"$live/centroids")
     Similarity.ivfAssign(batch, centroids)
-      .write.mode("overwrite").parquet(s"$idx/assigned/b$batchId")
+      .write.mode("overwrite").parquet(s"$live/assigned/b$batchId")
   }
 
   /** Vector-side streaming index maintenance (VERDICT r12 #4) — the
@@ -503,9 +510,12 @@ object StreamingOps {
     */
   private[graft] def appendGraphBatch(spark: SparkSession, root: String,
       staticEdges: DataFrame, e: DataFrame, batch: DataFrame,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // pointer-aware like appendVecBatch (ADVICE r15 #2)
+    val live = Staging.resolveOpt(root).getOrElse(root)
     Similarity.beamSearchTopK(staticEdges, e, batch)
-      .write.mode("overwrite").parquet(s"$root/edges/b$batchId")
+      .write.mode("overwrite").parquet(s"$live/edges/b$batchId")
+  }
 
   /** Graph-side streaming index maintenance — completes the graph-ANN
     * lifecycle the way `stream_vec_index_ingest` completed IVF's
@@ -665,25 +675,31 @@ object StreamingOps {
       spark.range(1).select(lit(id).as("event_id"),
         timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    // Pre-stage corpus + both sentinels and drain once with
+    // AvailableNow + maxFilesPerTrigger=1 — the attribution-outer
+    // protocol applied here too (r16): the files process as ordered
+    // micro-batches (mtime order — staged corpus oldest, dropFile
+    // sentinels strictly increasing), the first sentinel's batch-end
+    // advances the watermark and the second's batch fires the
+    // event-time timeouts under it, exactly like the former
+    // interactive drop/processAllAvailable/drop protocol at a third
+    // of the drain round-trips (AvailableNow also appends the no-data
+    // flush batch append-mode state operators need).
     val watch = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
+    EventsStreaming.dropFile(
+      sentinel(-1L, maxMs + 10L * 3600 * 1000), watch.toString, "s1")
+    EventsStreaming.dropFile(
+      sentinel(-2L, maxMs + 20L * 3600 * 1000), watch.toString, "s2")
     withDrainConf(spark) {
       val sessions = EventsStreaming.sessionize(spark,
-        spark.readStream.schema(all.schema).parquet(watch.toString))
+        spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", 1).parquet(watch.toString))
       val q = sessions.toDF().writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_sess").start()
-      try {
-        EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
-        q.processAllAvailable()
-        // first sentinel advances the watermark at its batch's end; the
-        // second runs a batch UNDER the advanced watermark so the
-        // event-time timeouts fire deterministically
-        EventsStreaming.dropFile(
-          sentinel(-1L, maxMs + 10L * 3600 * 1000), watch.toString, "s1")
-        q.processAllAvailable()
-        EventsStreaming.dropFile(
-          sentinel(-2L, maxMs + 20L * 3600 * 1000), watch.toString, "s2")
-        q.processAllAvailable()
-      } finally q.stop()
+        .format("memory").queryName("graft_stream_sess")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
     }
     spark.table("graft_stream_sess")
       .filter(col("user_id") >= 0)

@@ -72,11 +72,6 @@ class GraphProbeSpec extends SparkTestBase {
   }
 
   test("beam-search rank-1 recall vs exact nearest neighbor clears the floor") {
-    val e = operators.Similarity.vecs(spark, SfDir)
-      .select(col("vec_id"), col("v"))
-    val probe = operators.Similarity.annGraphProbe(spark, SfDir)
-      .filter(col("rank") === 1L)
-      .select(col("q_id"), col("vec_id").as("got"))
     // exact NN of each planted twin is its source vector (cosine 1);
     // ties on cosine 1 can only come from exact-duplicate vectors,
     // which the deterministic (cos desc, id) order resolves — accept

@@ -47,16 +47,19 @@ def main():
     n_pass = n_fail = 0
     import re as _re
     def retarget(sql):
-        if driver_stage == this_stage:
-            return sql
-        sql = sql.replace(driver_stage, this_stage)
-        # pointer layout (r15): the dumped SQL embeds the DRIVER SF's
-        # committed `v-<nonce>` version dir; re-resolve to THIS SF's
-        # committed version via its _CURRENT pointer
+        if driver_stage != this_stage:
+            sql = sql.replace(driver_stage, this_stage)
+        # pointer layout (r15): the dumped SQL embeds a committed
+        # `v-<nonce>` version dir — or, when the SQL was dumped before
+        # the text staging committed, the `v-*` fallback glob, which
+        # under one-generation retention can match a displaced sibling
+        # and double-read (ADVICE r15 #1). Re-resolve EITHER form to
+        # THIS stage's committed version via its _CURRENT pointer,
+        # also when the SF under test is the driver's own.
         cur_file = os.path.join(this_stage, "_CURRENT")
         if os.path.exists(cur_file):
             cur = open(cur_file).read().strip()
-            sql = _re.sub(_re.escape(this_stage) + r"/v-\d+",
+            sql = _re.sub(_re.escape(this_stage) + r"/v-(\d+|\*)",
                           f"{this_stage}/{cur}", sql)
         return sql
     for name, sql in sorted(oracle.items()):
