@@ -18,6 +18,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Warm-staging honesty (VERDICT r15 #5 / r16 #6): the on-disk
+    // stagings (LSH index, IVF index, knn serve graph) accumulate
+    // fill time only when they actually REBUILD, so a warm-staged
+    // full run used to publish their cold cost as 0.0. A FULL bench
+    // now expires the three staged artifacts for this sf dir up front
+    // so every published cold fill is measured in THIS run (during
+    // the untimed warmup, like the in-JVM memos). Filtered local-
+    // iteration runs keep warm stagings — they never publish to
+    // bench.json.
+    if (only.isEmpty)
+      Seq(operators.Dedup.LshIndexRoot, operators.Similarity.IvfIndexRoot,
+          operators.Similarity.KnnGraphRoot).foreach { root =>
+        val p = java.nio.file.Paths.get(operators.Staging.pathFor(root, sfDir))
+        if (java.nio.file.Files.exists(p)) operators.Staging.deleteTree(p)
+      }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Pass 0 (untimed): warms JIT, codegen caches, and file listings for
     // EVERY query, so the first timed pass isn't charged for them and a
@@ -131,6 +146,7 @@ object Bench {
       "bpe" -> operators.Bpe.memoFillNanos.get(),
       "semantic" -> operators.Dedup.memoFillNanos.get(),
       "near_dup_pairs" -> operators.Dedup.pairsFillNanos.get(),
+      "near_dup_components" -> operators.Dedup.componentsFillNanos.get(),
       "lsh_index" -> operators.Dedup.lshFillNanos.get(),
       "ivf_index" -> operators.Similarity.ivfFillNanos.get(),
       "knn_graph" -> operators.Similarity.knnGraphFillNanos.get())
@@ -138,11 +154,19 @@ object Bench {
     val memoJson = memoParts
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v / 1e9) }
       .mkString("{", ",", "}")
+    // warm/cold marker per family (VERDICT r16 #6): "cold" = this
+    // run measured the fill; "warm" = the artifact pre-existed and
+    // the published 0.0 is NOT a cost claim. Full runs force-expire
+    // the disk stagings above, so they always read cold there.
+    val memoModeJson = memoParts
+      .map { case (k, v) =>
+        s"\"" + k + "\":\"" + (if (v > 0L) "cold" else "warm") + "\"" }
+      .mkString("{", ",", "}")
     def imap(f: org.apache.spark.sql.graftshim.PlanTelemetry.Counts => Int) =
       queries.flatMap { case (name, _) => tele.get(name).map(c =>
         s"\"" + name + "\":" + f(c)) }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"memo_fill_sec":${fmt(memoFill)},"memo_fill_breakdown":$memoJson,"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"samples":${jmapInt(_.n)},"exchanges":${imap(_.exchanges)},"skew_splits":${imap(_.skewSplits)},"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"memo_fill_sec":${fmt(memoFill)},"memo_fill_breakdown":$memoJson,"memo_fill_mode":$memoModeJson,"codegen_fallbacks":$cgf,"queries":${jmap(_.min)},"queries_median":${jmap(_.median)},"spread":${jmap(_.spread)},"samples":${jmapInt(_.n)},"exchanges":${imap(_.exchanges)},"skew_splits":${imap(_.skewSplits)},"failed":$fs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 chars of output, so the
     // full 82-query map (~6 KB) can never parse from stdout (rounds
     // 1-5 all show parsed:null). Print a COMPACT line — total + a

@@ -854,6 +854,15 @@ FROM c$BfsMaxRounds GROUP BY seed ORDER BY seed"""
     * estimator, same contract as the closeness row.
     */
   def betweennessCentrality(spark: SparkSession, dir: String): DataFrame = {
+    // NOTE (measured, r17 — do not retry): fusing TWO sweep levels per
+    // checkpoint barrier (tagged union of level l and F(level l), one
+    // localCheckpoint per pair, both sweeps) was prototyped per
+    // VERDICT r16 #7 and came out 9.1 → 15.2 s at sf0.1 (same filtered
+    // shape, same day): the fused plan references level l's subtree
+    // twice (union branch + level l+1's input) and Spark's exchange
+    // reuse does NOT cover the doubled aggregate/join work above the
+    // shared exchange, so each pair paid ~1.7 levels of recompute to
+    // save one barrier. The per-level checkpoint loop below stays.
     val (_, edges) = bipartiteGraph(spark, dir)
     val reached = landmarkBfsReached(spark, dir)
     // forward: per-level shortest-path counts σ. The sweep stops at

@@ -23,10 +23,28 @@ object EventsStreaming {
     * same way Tables.events does (ns-as-long corpora floor to µs;
     * TIMESTAMP_NTZ corpora cast to the UTC-pinned session zone).
     */
+  /** On-disk schema per (session, REAL path of the first staged file)
+    * — staged watch dirs are fresh temp dirs of symlinks into the same
+    * immutable corpus, so keying the memo on the resolved target makes
+    * every drain after the first skip the schema-inference job
+    * (Tables.schemaMemo, the catalog posture, applied to the staged
+    * streaming inputs — r17).
+    */
+  private val srcSchemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), StructType]
+
   def readEvents(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(eventsDir).schema
+    val key = {
+      val fs = new java.io.File(eventsDir).listFiles
+      val first = if (fs == null) None
+        else fs.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .headOption
+      first.map(_.toPath.toRealPath().toString).getOrElse(eventsDir)
+    }
+    val onDisk = srcSchemaMemo.getOrElseUpdate((spark, key),
+      spark.read.parquet(eventsDir).schema)
     val reader = spark.readStream.schema(onDisk)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -254,6 +272,45 @@ object EventsStreaming {
         java.nio.file.Paths.get(watchDir, s"${name}_$i.parquet"), f.toPath)
       lastDropMtime.updateAndGet(p => math.max(p,
         java.nio.file.Files.getLastModifiedTime(f.toPath).toMillis))
+    }
+  }
+
+  /** Staged-input form of N ORDERED `dropFile` slices (the r17
+    * extension of `stageCorpusDrop` to the micro-batch ingest drains):
+    * the slice frames are deterministic functions of the corpus
+    * (pmod filters / planted query sets), so write them ONCE per
+    * (corpus dir, name) under the manifest-pointer protocol with
+    * STRICTLY INCREASING mtimes across slices — FileStreamSource
+    * orders pending files by modification time, so staged slice order
+    * IS micro-batch order, exactly as the sequential dropFile calls
+    * it replaces — and per invocation only symlink the committed part
+    * files into the fresh watch dir. r16 shape: every timed pass
+    * re-wrote all three corpus slices through dropFile (3 corpus-scale
+    * Spark write jobs per pass) before draining them.
+    */
+  def stageSlicedDrop(slices: Seq[DataFrame], dir: String, name: String,
+      watchDir: String): Unit = {
+    val v = graft.operators.Staging.stagedDir(
+      s"$CorpusDropRoot/$name", dir) { tmp =>
+      val t0 = System.currentTimeMillis()
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val sdir = tmp.resolve(s"slice_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(sdir.toString)
+        sdir.toFile.listFiles.filter(_.getName.startsWith("part-"))
+          .foreach(f => java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L)))
+      }
+    }
+    for (i <- slices.indices) {
+      val parts = new java.io.File(s"$v/slice_$i").listFiles
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, j) =>
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(watchDir, s"${name}_${i}_$j.parquet"),
+          f.toPath)
+        lastDropMtime.updateAndGet(p => math.max(p,
+          java.nio.file.Files.getLastModifiedTime(f.toPath).toMillis))
+      }
     }
   }
 

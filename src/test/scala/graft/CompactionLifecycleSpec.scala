@@ -27,7 +27,7 @@ class CompactionLifecycleSpec extends SparkTestBase {
   test("LSH index compaction: probe identical, files collapse to 1/subtable") {
     val docs = Tables.documents(spark, SfDir)
       .select(col("doc_id"), col("source"), col("text"))
-    val (watch, idx) = operators.StreamingOps.ingestLshIndex(spark, docs)
+    val (watch, idx) = operators.StreamingOps.ingestLshIndex(spark, docs, SfDir)
     try {
       val batch = operators.Dedup.ingestBatchOf(docs)
       def probe() = operators.Dedup.plantedPairsOnly(

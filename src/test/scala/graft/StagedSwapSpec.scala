@@ -135,7 +135,7 @@ class StagedSwapSpec extends SparkTestBase {
   test("stream-index compaction commits via the pointer and recompacts version-to-version") {
     val docs = Tables.documents(spark, SfDir)
       .select(col("doc_id"), col("source"), col("text"))
-    val (watch, idx) = operators.StreamingOps.ingestLshIndex(spark, docs)
+    val (watch, idx) = operators.StreamingOps.ingestLshIndex(spark, docs, SfDir)
     try {
       val batch = operators.Dedup.ingestBatchOf(docs)
       def probe() = operators.Dedup.plantedPairsOnly(
