@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// per-test durations in the report (-oD) — needed to keep the suite
+// inside the driver's test budget by finding the slow specs
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

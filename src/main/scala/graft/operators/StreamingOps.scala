@@ -176,8 +176,6 @@ object StreamingOps {
     val all = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val maxMs = Option(all.select(max(unix_millis(col("ts")))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
     def sentinel(id: Long, ms: Long, tpe: String): DataFrame =
       spark.range(1).select(lit(id).as("event_id"),
         timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("user_id"),
@@ -185,23 +183,28 @@ object StreamingOps {
     // Pre-stage corpus + both sentinel generations and drain with
     // AvailableNow + maxFilesPerTrigger=1: the files process as
     // ordered micro-batches — FileStreamSource orders by MODIFICATION
-    // TIME, which dropFile forces strictly increasing in call order
-    // (ADVICE r11 #3) — each batch-end advances the watermark, and
-    // the NEXT batch emits what the previous one sealed — same
-    // determinism as the interactive sentinel protocol at a third of
-    // the drain round-trips.
-    // dropFile writes the already-normalized ts, so the watch-dir
-    // stream reads TimestampType directly (the sessionize pattern).
+    // TIME, which the stagings force strictly increasing (ADVICE r11
+    // #3; staged sentinel slices carry staging-time mtimes strictly
+    // above the staged corpus) — each batch-end advances the
+    // watermark, and the NEXT batch emits what the previous one
+    // sealed — same determinism as the interactive sentinel protocol
+    // at a third of the drain round-trips.
+    // r17: the sentinels are a deterministic function of the corpus
+    // (its max event time), so they are STAGED once per corpus like
+    // the corpus drop itself — the per-pass corpus-scale max(ts)
+    // action and two sentinel write jobs now run only at staging time
+    // (stageSlicedDrop evaluates its slices by-name).
     val watch = java.nio.file.Files.createTempDirectory("graft_attr_outer")
     EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
-    EventsStreaming.dropFile(
-      sentinel(-1L, maxMs + 10L * 3600 * 1000, "click")
-        .unionByName(sentinel(-2L, maxMs + 10L * 3600 * 1000, "purchase")),
-      watch.toString, "s1")
-    EventsStreaming.dropFile(
-      sentinel(-3L, maxMs + 20L * 3600 * 1000, "click")
-        .unionByName(sentinel(-4L, maxMs + 20L * 3600 * 1000, "purchase")),
-      watch.toString, "s2")
+    EventsStreaming.stageSlicedDrop({
+      val maxMs = Option(all.select(max(unix_millis(col("ts")))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      Seq(
+        sentinel(-1L, maxMs + 10L * 3600 * 1000, "click")
+          .unionByName(sentinel(-2L, maxMs + 10L * 3600 * 1000, "purchase")),
+        sentinel(-3L, maxMs + 20L * 3600 * 1000, "click")
+          .unionByName(sentinel(-4L, maxMs + 20L * 3600 * 1000, "purchase")))
+    }, dir, "attr_outer_sent", watch.toString)
     val joined = EventsStreaming.clickAttributionOuter(
       spark.readStream.schema(all.schema)
         .option("maxFilesPerTrigger", 1).parquet(watch.toString))
@@ -667,18 +670,20 @@ object StreamingOps {
     val all = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val maxMs = Option(all.select(max(unix_millis(col("ts")))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
     def sentinel(id: Long, ms: Long): DataFrame =
       spark.range(1).select(lit(id).as("event_id"),
         timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"))
     val watch = java.nio.file.Files.createTempDirectory("graft_wm_census")
     EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
-    EventsStreaming.dropFile(
-      sentinel(-1L, maxMs + 10L * 3600 * 1000), watch.toString, "s1")
-    EventsStreaming.dropFile(
-      sentinel(-2L, maxMs + 20L * 3600 * 1000), watch.toString, "s2")
+    // staged sentinels (r17 — see streamClickAttributionOuter): the
+    // per-pass max(ts) action and both drop writes run at staging only
+    EventsStreaming.stageSlicedDrop({
+      val maxMs = Option(all.select(max(unix_millis(col("ts")))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      Seq(sentinel(-1L, maxMs + 10L * 3600 * 1000),
+        sentinel(-2L, maxMs + 20L * 3600 * 1000))
+    }, dir, "wm_census_sent", watch.toString)
     withDrainConf(spark) {
       val agg = spark.readStream.schema(all.schema)
         .option("maxFilesPerTrigger", 1).parquet(watch.toString)
@@ -731,10 +736,6 @@ object StreamingOps {
     val all = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    // empty corpus (the 3 a.m. empty-partition case): any sentinel
-    // epoch works, there are no sessions to seal
-    val maxMs = Option(all.select(max(unix_millis(col("ts")))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
     def sentinel(id: Long, ms: Long): DataFrame =
       spark.range(1).select(lit(id).as("event_id"),
         timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("user_id"),
@@ -751,10 +752,15 @@ object StreamingOps {
     // flush batch append-mode state operators need).
     val watch = java.nio.file.Files.createTempDirectory("graft_sess_stream")
     EventsStreaming.stageCorpusDrop(all, dir, "events5", watch.toString)
-    EventsStreaming.dropFile(
-      sentinel(-1L, maxMs + 10L * 3600 * 1000), watch.toString, "s1")
-    EventsStreaming.dropFile(
-      sentinel(-2L, maxMs + 20L * 3600 * 1000), watch.toString, "s2")
+    // staged sentinels (r17 — see streamClickAttributionOuter); empty
+    // corpus (the 3 a.m. empty-partition case): any sentinel epoch
+    // works, there are no sessions to seal
+    EventsStreaming.stageSlicedDrop({
+      val maxMs = Option(all.select(max(unix_millis(col("ts")))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      Seq(sentinel(-1L, maxMs + 10L * 3600 * 1000),
+        sentinel(-2L, maxMs + 20L * 3600 * 1000))
+    }, dir, "sessionize_sent", watch.toString)
     withDrainConf(spark) {
       val sessions = EventsStreaming.sessionize(spark,
         spark.readStream.schema(all.schema)

@@ -288,11 +288,20 @@ object EventsStreaming {
     * re-wrote all three corpus slices through dropFile (3 corpus-scale
     * Spark write jobs per pass) before draining them.
     */
-  def stageSlicedDrop(slices: Seq[DataFrame], dir: String, name: String,
+  def stageSlicedDrop(slices: => Seq[DataFrame], dir: String, name: String,
       watchDir: String): Unit = {
+    // `slices` is BY-NAME: building the sentinel frames costs a
+    // corpus-scale max(ts) action in the sentinel-protocol drains, so
+    // the frames (and that action) are only evaluated when the staging
+    // actually writes — a warm-staged invocation never runs it.
     val v = graft.operators.Staging.stagedDir(
       s"$CorpusDropRoot/$name", dir) { tmp =>
-      val t0 = System.currentTimeMillis()
+      // base strictly above every drop already linked this session
+      // (in particular the staged corpus a sentinel staging must
+      // FOLLOW — stageCorpusDrop bumps lastDropMtime first), so slice
+      // order can never tie with the corpus under coarse mtimes
+      val t0 = math.max(System.currentTimeMillis(),
+        lastDropMtime.get() + 1000L)
       slices.zipWithIndex.foreach { case (df, i) =>
         val sdir = tmp.resolve(s"slice_$i")
         df.coalesce(1).write.mode("overwrite").parquet(sdir.toString)
@@ -301,8 +310,14 @@ object EventsStreaming {
             java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L)))
       }
     }
-    for (i <- slices.indices) {
-      val parts = new java.io.File(s"$v/slice_$i").listFiles
+    // symlink every staged slice (layout-driven, so warm invocations
+    // never need the slice frames at all)
+    val sliceDirs = new java.io.File(v).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("slice_"))
+      .sortBy(_.getName.stripPrefix("slice_").toInt)
+    sliceDirs.foreach { sd =>
+      val i = sd.getName.stripPrefix("slice_")
+      val parts = sd.listFiles
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       parts.zipWithIndex.foreach { case (f, j) =>
         java.nio.file.Files.createSymbolicLink(

@@ -29,24 +29,28 @@ class AnsiParitySpec extends SparkTestBase {
 
   test("every registry query is byte-identical under ANSI mode") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val diverged = scala.collection.mutable.ArrayBuffer.empty[String]
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val default = fn(spark, SfDir).collect().map(_.toSeq).toSeq
-      // restore the PREVIOUS value, not a literal: the session is
-      // shared across suites via getOrCreate (ADVICE r12 #2)
-      val prev = spark.conf.getOption("spark.sql.ansi.enabled")
-      spark.conf.set("spark.sql.ansi.enabled", "true")
-      val ansi =
-        try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
-        catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
-        finally prev.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
-          spark.conf.set("spark.sql.ansi.enabled", _))
-      ansi match {
-        case Left(err) => diverged += s"$name THREW under ANSI: $err"
-        case Right(rows) if rows != default =>
-          diverged += s"$name rows diverged under ANSI"
-        case _ => ()
+    // two pooled passes under stable conf windows (sweepRegistry —
+    // same per-query comparisons as the former sequential
+    // run-default-then-flip loop, ~3x less wall): all default-mode
+    // results first, then all ANSI results under one conf window;
+    // restore the PREVIOUS value, not a literal — the session is
+    // shared across suites via getOrCreate (ADVICE r12 #2)
+    val default = sweepRegistry(names)(n =>
+      SparkEntry.queries(n)(spark, SfDir).collect().map(_.toSeq).toSeq)
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    val ansi =
+      try sweepRegistry(names)(n =>
+        SparkEntry.queries(n)(spark, SfDir).collect().map(_.toSeq).toSeq)
+      finally prev.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
+        spark.conf.set("spark.sql.ansi.enabled", _))
+    val diverged = names.flatMap { name =>
+      (default(name), ansi(name)) match {
+        case (Left(err), _) => Some(s"$name THREW under default conf: $err")
+        case (_, Left(err)) => Some(s"$name THREW under ANSI: $err")
+        case (Right(d), Right(a)) if d != a =>
+          Some(s"$name rows diverged under ANSI")
+        case _ => None
       }
     }
     assert(diverged.isEmpty,

@@ -18,24 +18,25 @@ class AqeParitySpec extends SparkTestBase {
 
   test("every registry query is byte-identical under adaptive execution") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val diverged = scala.collection.mutable.ArrayBuffer.empty[String]
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val default = fn(spark, SfDir).collect().map(_.toSeq).toSeq
-      // restore the PREVIOUS value, not a literal: the session is
-      // shared across suites via getOrCreate (ADVICE r12 #2)
-      val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      val aqe =
-        try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
-        catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
-        finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
-          spark.conf.set("spark.sql.adaptive.enabled", _))
-      aqe match {
-        case Left(err) => diverged += s"$name THREW under AQE: $err"
-        case Right(rows) if rows != default =>
-          diverged += s"$name rows diverged under AQE"
-        case _ => ()
+    // two pooled passes under stable conf windows (sweepRegistry);
+    // restore the PREVIOUS value, not a literal — the session is
+    // shared across suites via getOrCreate (ADVICE r12 #2)
+    val default = sweepRegistry(names)(n =>
+      SparkEntry.queries(n)(spark, SfDir).collect().map(_.toSeq).toSeq)
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val aqe =
+      try sweepRegistry(names)(n =>
+        SparkEntry.queries(n)(spark, SfDir).collect().map(_.toSeq).toSeq)
+      finally prev.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+        spark.conf.set("spark.sql.adaptive.enabled", _))
+    val diverged = names.flatMap { name =>
+      (default(name), aqe(name)) match {
+        case (Left(err), _) => Some(s"$name THREW under default conf: $err")
+        case (_, Left(err)) => Some(s"$name THREW under AQE: $err")
+        case (Right(d), Right(a)) if d != a =>
+          Some(s"$name rows diverged under AQE")
+        case _ => None
       }
     }
     assert(diverged.isEmpty,

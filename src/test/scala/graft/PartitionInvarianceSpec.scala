@@ -20,24 +20,28 @@ class PartitionInvarianceSpec extends SparkTestBase {
 
   test("every registry query is byte-identical at 13 shuffle partitions") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val diverged = scala.collection.mutable.ArrayBuffer.empty[String]
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val at4 = fn(spark, SfDir).collect().map(_.toSeq).toSeq
-      // restore the PREVIOUS value, not a literal: the session is
-      // shared across suites via getOrCreate (ADVICE r12 #2)
-      val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "13")
-      val at13 =
-        try Right(fn(spark, SfDir).collect().map(_.toSeq).toSeq)
-        catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
-        finally prev.fold(spark.conf.unset("spark.sql.shuffle.partitions"))(
-          spark.conf.set("spark.sql.shuffle.partitions", _))
-      at13 match {
-        case Left(err) => diverged += s"$name THREW at 13 partitions: $err"
-        case Right(rows) if rows != at4 =>
-          diverged += s"$name rows depend on the shuffle partition count"
-        case _ => ()
+    // two pooled passes under stable conf windows (sweepRegistry —
+    // the conf is flipped ONCE around the whole second pass, so a
+    // concurrently planned query can never observe a mid-sweep
+    // partition count; stream drains run sequentially inside each
+    // pass for the same reason); restore the PREVIOUS value, not a
+    // literal — the session is shared across suites (ADVICE r12 #2)
+    val at4 = sweepRegistry(names)(n =>
+      SparkEntry.queries(n)(spark, SfDir).collect().map(_.toSeq).toSeq)
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    val at13 =
+      try sweepRegistry(names)(n =>
+        SparkEntry.queries(n)(spark, SfDir).collect().map(_.toSeq).toSeq)
+      finally prev.fold(spark.conf.unset("spark.sql.shuffle.partitions"))(
+        spark.conf.set("spark.sql.shuffle.partitions", _))
+    val diverged = names.flatMap { name =>
+      (at4(name), at13(name)) match {
+        case (Left(err), _) => Some(s"$name THREW at 4 partitions: $err")
+        case (_, Left(err)) => Some(s"$name THREW at 13 partitions: $err")
+        case (Right(a), Right(b)) if a != b =>
+          Some(s"$name rows depend on the shuffle partition count")
+        case _ => None
       }
     }
     assert(diverged.isEmpty,

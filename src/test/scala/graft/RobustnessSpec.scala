@@ -26,10 +26,12 @@ class RobustnessSpec extends SparkTestBase {
   }
 
   test("every registry query runs on empty tables without throwing") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, emptyDir).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
-    }
+    // pooled sweep (sweepRegistry — same per-query count() and
+    // failure capture, overlapped instead of strictly sequential)
+    val res = sweepRegistry(SparkEntry.queries.keys.toSeq.sorted)(n =>
+      SparkEntry.queries(n)(spark, emptyDir).count())
+    val failures = res.toSeq.sortBy(_._1)
+      .collect { case (n, Left(err)) => s"$n: ${err.take(160)}" }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
@@ -50,10 +52,10 @@ class RobustnessSpec extends SparkTestBase {
   }
 
   test("every registry query runs on single-row tables without throwing") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, oneRowDir).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
-    }
+    val res = sweepRegistry(SparkEntry.queries.keys.toSeq.sorted)(n =>
+      SparkEntry.queries(n)(spark, oneRowDir).count())
+    val failures = res.toSeq.sortBy(_._1)
+      .collect { case (n, Left(err)) => s"$n: ${err.take(160)}" }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
